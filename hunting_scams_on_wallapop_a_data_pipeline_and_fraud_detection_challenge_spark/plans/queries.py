@@ -1,0 +1,947 @@
+"""Query registry: one entry per implemented SURVEY §2 operator.
+
+Each entry pairs an idiomatic-PySpark implementation with an ANSI-SQL
+oracle that DuckDB runs on the same Parquet tables; the driver compares
+row count + schema + order-insensitive value hash. Parity rules used
+throughout (so double math hashes identically across engines):
+
+- Every aggregate / computed column is aliased identically in both.
+- Float aggregates are rounded (2–6 dp) in BOTH engines.
+- Aggregate-derived statistics are rounded to 2 dp BEFORE being joined
+  into fact-level arithmetic, so per-row derived values are bit-equal.
+- Top-k always carries a deterministic tiebreak key.
+- SQL ``sum(count)`` is cast to BIGINT (DuckDB sums BIGINT→HUGEINT).
+
+Survey-op ids (A1…, W1…, X1…) are noted per query; reference file:line
+citations live in the docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    ops: list[str] = field(default_factory=list)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Rounding with a tiny epsilon nudge, applied IDENTICALLY in Spark and in
+# the DuckDB oracle SQL: derived money/stat values constantly land on exact
+# .xx5 half-boundaries, where Spark (decimal HALF_UP) and DuckDB (float
+# nearbyint) disagree. Shifting by +1e-6 (1e-9 for 6dp shares) moves both
+# engines off the boundary in the same direction; the shift is far below
+# the rounding step so results are unchanged otherwise.
+_EPS2 = 1e-6
+_EPS6 = 1e-9
+
+
+def _r(col, dp: int = 2):
+    return F.round(col + F.lit(_EPS6 if dp >= 6 else _EPS2), dp)
+
+
+
+def query(name: str, oracle: str | None = None, ops: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, ops=list(ops), doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1 — grouped price stats per (category × condition)
+# reference: poller/regex_analyzer.py:951-952,968-986 (mean/median/sample
+# stdev/count, >=2 samples). statistics.stdev == stddev_samp.
+# ---------------------------------------------------------------------------
+@query(
+    "a01_grouped_price_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round((avg(l_extendedprice)) + 1e-6, 2)         AS mean_price,
+           round((median(l_extendedprice)) + 1e-6, 2)      AS median_price,
+           round((stddev_samp(l_extendedprice)) + 1e-6, 2) AS stdev_price,
+           count(*)                               AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) >= 2
+    """,
+    ops=("A1",),
+)
+def a01_grouped_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-stats aggregate: mean/median/sample-stdev/count per group,
+    min 2 samples (regex_analyzer.py:968-986). Map-side partial agg +
+    one shuffle on the group key; no skew risk at 100 TB (few groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.avg("l_extendedprice"), 2).alias("mean_price"),
+            _r(F.median("l_extendedprice"), 2).alias("median_price"),
+            _r(F.stddev_samp("l_extendedprice"), 2).alias("stdev_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — component-level stats (category × condition × comp_type × comp_name)
+# reference: poller/regex_analyzer.py:954-959,988-998
+# ---------------------------------------------------------------------------
+@query(
+    "a02_component_stats",
+    oracle="""
+    SELECT p_brand, p_type,
+           round((avg(p_retailprice)) + 1e-6, 2)         AS mean_price,
+           round((median(p_retailprice)) + 1e-6, 2)      AS median_price,
+           round((stddev_samp(p_retailprice)) + 1e-6, 2) AS stdev_price,
+           count(*)                             AS n
+    FROM part
+    GROUP BY p_brand, p_type
+    HAVING count(*) >= 2
+    """,
+    ops=("A2",),
+)
+def a02_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested component stats flattened to a relational dim table
+    (regex_analyzer.py:988-998): finer-grained group key, same agg."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand", "p_type")
+        .agg(
+            _r(F.avg("p_retailprice"), 2).alias("mean_price"),
+            _r(F.median("p_retailprice"), 2).alias("median_price"),
+            _r(F.stddev_samp("p_retailprice"), 2).alias("stdev_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — secondary-segment stats (mean + count, > 3 samples)
+# reference: poller/regex_analyzer.py:1002-1016
+# ---------------------------------------------------------------------------
+@query(
+    "a03_secondary_segment_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           round((avg(o_totalprice)) + 1e-6, 2) AS mean_price,
+           count(*)                    AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING count(*) > 3
+    """,
+    ops=("A3",),
+)
+def a03_secondary_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROKEN/ACCESSORY/UNCERTAIN segment stats: mean+count with a >3
+    sample cutoff (regex_analyzer.py:1002-1016)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            _r(F.avg("o_totalprice"), 2).alias("mean_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — review stats per user: count + avg(scoring)/100*5 rounded to 2
+# reference: poller/poller.py:201-215
+# ---------------------------------------------------------------------------
+@query(
+    "a05_review_stats_per_user",
+    oracle="""
+    SELECT user_id,
+           count(*)                           AS n_reviews,
+           round((avg(value) / 100 * 5) + 1e-6, 2)     AS avg_stars
+    FROM events
+    GROUP BY user_id
+    """,
+    ops=("A5", "J5"),
+)
+def a05_review_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User review aggregate (poller.py:201-215): count + star-scaled
+    average. groupBy on user_id — the reference's per-user HTTP fetch
+    becomes one shuffle; AQE handles seller skew."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_reviews"),
+        _r(F.avg("value") / 100 * 5, 2).alias("avg_stars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 + J1/J2 — composite weighted Z-score with fallback-precedence stats
+# reference: poller/poller.py:69-74,376-456; weights README.md:389-397
+# ---------------------------------------------------------------------------
+@query(
+    "a06_weighted_zscore",
+    oracle="""
+    WITH bt AS (
+        SELECT p_brand, p_type,
+               round((avg(p_retailprice)) + 1e-6, 2)         AS mean_bt,
+               round((stddev_samp(p_retailprice)) + 1e-6, 2) AS sd_bt
+        FROM part GROUP BY p_brand, p_type HAVING count(*) >= 5
+    ), b AS (
+        SELECT p_brand,
+               round((avg(p_retailprice)) + 1e-6, 2)         AS mean_b,
+               round((stddev_samp(p_retailprice)) + 1e-6, 2) AS sd_b
+        FROM part GROUP BY p_brand
+    ), g AS (
+        SELECT round((avg(p_retailprice)) + 1e-6, 2)         AS mean_g,
+               round((stddev_samp(p_retailprice)) + 1e-6, 2) AS sd_g
+        FROM part
+    ), f AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice / 100.0 AS px,
+               bt.mean_bt, bt.sd_bt, b.mean_b, b.sd_b, g.mean_g, g.sd_g
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        LEFT JOIN bt ON p.p_brand = bt.p_brand AND p.p_type = bt.p_type
+        LEFT JOIN b  ON p.p_brand = b.p_brand
+        CROSS JOIN g
+    ), sig AS (
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN sd_bt IS NOT NULL AND sd_bt > 0 THEN 0.5 ELSE 0.0 END AS w1,
+          CASE WHEN sd_bt IS NOT NULL AND sd_bt > 0
+               THEN 0.5 * (px - mean_bt) / sd_bt ELSE 0.0 END AS wz1,
+          CASE WHEN sd_bt IS NOT NULL AND sd_bt > 0
+               THEN 0.5 * mean_bt ELSE 0.0 END AS wm1,
+          CASE WHEN sd_b IS NOT NULL AND sd_b > 0 THEN 0.3 ELSE 0.0 END AS w2,
+          CASE WHEN sd_b IS NOT NULL AND sd_b > 0
+               THEN 0.3 * (px - mean_b) / sd_b ELSE 0.0 END AS wz2,
+          CASE WHEN sd_b IS NOT NULL AND sd_b > 0
+               THEN 0.3 * mean_b ELSE 0.0 END AS wm2,
+          CASE WHEN sd_g > 0 THEN 0.2 ELSE 0.0 END AS w3,
+          CASE WHEN sd_g > 0 THEN 0.2 * (px - mean_g) / sd_g ELSE 0.0 END AS wz3,
+          CASE WHEN sd_g > 0 THEN 0.2 * mean_g ELSE 0.0 END AS wm3
+        FROM f
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(((wz1 + wz2 + wz3) / (w1 + w2 + w3)) + 1e-6, 4) AS final_z,
+           round(((wm1 + wm2 + wm3) / (w1 + w2 + w3)) + 1e-6, 2) AS est_value
+    FROM sig
+    WHERE (w1 + w2 + w3) > 0
+    """,
+    ops=("A6", "J1", "J2", "J3"),
+)
+def a06_weighted_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite weighted Z (poller.py:412-456): per-signal
+    z=(price-mean)/stdev weighted {0.5, 0.3, 0.2}; final_z=Σwz/Σw,
+    est_value=Σw·mean/Σw over valid (stdev>0) signals.
+
+    Spark-first shape: the reference's nested-dict lookups become three
+    BROADCAST left joins against tiny stats dims (J1 fallback chain);
+    stats are rounded to 2dp before fact math so both engines compute
+    identical doubles. Facts never shuffle — only the dims move."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+
+    bt = (
+        part.groupBy("p_brand", "p_type")
+        .agg(
+            _r(F.avg("p_retailprice"), 2).alias("mean_bt"),
+            _r(F.stddev_samp("p_retailprice"), 2).alias("sd_bt"),
+            F.count(F.lit(1)).alias("n_bt"),
+        )
+        .filter(F.col("n_bt") >= 5)
+        .drop("n_bt")
+    )
+    b = part.groupBy("p_brand").agg(
+        _r(F.avg("p_retailprice"), 2).alias("mean_b"),
+        _r(F.stddev_samp("p_retailprice"), 2).alias("sd_b"),
+    )
+    g = part.agg(
+        _r(F.avg("p_retailprice"), 2).alias("mean_g"),
+        _r(F.stddev_samp("p_retailprice"), 2).alias("sd_g"),
+    )
+
+    px = (F.col("l_extendedprice") / 100.0).alias("px")
+    f = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", px, "p_brand", "p_type")
+        .join(F.broadcast(bt), ["p_brand", "p_type"], "left")
+        .join(F.broadcast(b), ["p_brand"], "left")
+        .crossJoin(F.broadcast(g))
+    )
+
+    def sig(w: float, mean_c: str, sd_c: str):
+        valid = F.col(sd_c).isNotNull() & (F.col(sd_c) > 0)
+        return (
+            F.when(valid, F.lit(w)).otherwise(0.0),
+            F.when(valid, F.lit(w) * (F.col("px") - F.col(mean_c)) / F.col(sd_c)).otherwise(0.0),
+            F.when(valid, F.lit(w) * F.col(mean_c)).otherwise(0.0),
+        )
+
+    w1, wz1, wm1 = sig(0.5, "mean_bt", "sd_bt")
+    w2, wz2, wm2 = sig(0.3, "mean_b", "sd_b")
+    w3, wz3, wm3 = sig(0.2, "mean_g", "sd_g")
+    wsum = w1 + w2 + w3
+    return (
+        f.select(
+            "l_orderkey",
+            "l_linenumber",
+            wsum.alias("wsum"),
+            ((wz1 + wz2 + wz3)).alias("wz"),
+            ((wm1 + wm2 + wm3)).alias("wm"),
+        )
+        .filter(F.col("wsum") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _r(F.col("wz") / F.col("wsum"), 4).alias("final_z"),
+            _r(F.col("wm") / F.col("wsum"), 2).alias("est_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 + U3 — daily date histogram, dual series
+# reference: kibana/dashboard_export.ndjson:2 ("Daily Activity" lens)
+# ---------------------------------------------------------------------------
+@query(
+    "a07_daily_activity",
+    oracle="""
+    SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n,
+           'orders' AS series
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT date_trunc('day', l_shipdate) AS day, count(*) AS n,
+           'shipments' AS series
+    FROM lineitem GROUP BY 1
+    """,
+    ops=("A7", "U3"),
+)
+def a07_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-axis daily date_histogram (created_at + modified_at panels)
+    = two grouped counts unioned (unionByName = U3)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("series", F.lit("orders"))
+    )
+    bdf = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("series", F.lit("shipments"))
+    )
+    return a.unionByName(bdf)
+
+
+# ---------------------------------------------------------------------------
+# A8 — fixed range-bucket histogram on price
+# reference: kibana/dashboard_export.ndjson:2 ("Items by Price"; buckets
+# 0-25-50-100-…-5000 scaled ×100 to the orders price domain)
+# ---------------------------------------------------------------------------
+_PRICE_EDGES = [0, 2500, 5000, 10000, 25000, 50000, 100000, 250000, 500000]
+
+
+def _bucket_case_sql(col: str, edges: list[int]) -> str:
+    parts = []
+    for lo, hi in zip(edges, edges[1:]):
+        parts.append(f"WHEN {col} >= {lo} AND {col} < {hi} THEN '[{lo},{hi})'")
+    parts.append(f"WHEN {col} >= {edges[-1]} THEN '[{edges[-1]},inf)'")
+    return "CASE " + " ".join(parts) + " ELSE '(<0)' END"
+
+
+def _bucket_col(col, edges: list[int]):
+    expr = F.when(col < edges[0], "(<0)")
+    for lo, hi in zip(edges, edges[1:]):
+        expr = expr.when((col >= lo) & (col < hi), f"[{lo},{hi})")
+    return expr.otherwise(f"[{edges[-1]},inf)")
+
+
+@query(
+    "a08_price_histogram",
+    oracle=f"""
+    SELECT {_bucket_case_sql('o_totalprice', _PRICE_EDGES)} AS price_bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    ops=("A8",),
+)
+def a08_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open [from,to) range buckets → count, like the Kibana range
+    agg. The when-chain is pure codegen — no UDF."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(_bucket_col(F.col("o_totalprice"), _PRICE_EDGES).alias("price_bucket"))
+        .groupBy("price_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — risk-score range pie {0-20,20-40,40-70,70-100}
+# reference: kibana/dashboard_export.ndjson:2 ("Risk Score Distribution")
+# ---------------------------------------------------------------------------
+_RISK_EDGES = [0, 20, 40, 70, 100]
+
+
+@query(
+    "a09_risk_buckets",
+    oracle=f"""
+    SELECT {_bucket_case_sql('value', _RISK_EDGES)} AS risk_bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    ops=("A9",),
+)
+def a09_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-range pie buckets (0-20/20-40/40-70/70-100, +overflow)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(_bucket_col(F.col("value"), _RISK_EDGES).alias("risk_bucket"))
+        .groupBy("risk_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 + W3 — 2-D heatmap with share-of-total metric
+# reference: kibana/dashboard_export.ndjson:2 (lens formula
+# count() / overall_sum(count()))
+# ---------------------------------------------------------------------------
+@query(
+    "a10_heatmap_share",
+    oracle=f"""
+    WITH cells AS (
+        SELECT {_bucket_case_sql('o_totalprice', _PRICE_EDGES)} AS price_bucket,
+               o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT price_bucket, o_orderpriority, n,
+           round((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) + 1e-9, 6) AS share
+    FROM cells
+    """,
+    ops=("A10", "W3"),
+)
+def a10_heatmap_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price-range × priority heatmap; metric = cell count / overall
+    total via an empty-partition window (W3)."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            _bucket_col(F.col("o_totalprice"), _PRICE_EDGES).alias("price_bucket"),
+            "o_orderpriority",
+        )
+        .groupBy("price_bucket", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    return cells.withColumn(
+        "share",
+        _r(F.col("n").cast("double") / F.sum("n").over(total).cast("double"), 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 + K2 — Top-15 users by record count
+# reference: kibana/dashboard_export.ndjson:2 ("Top Users" terms agg)
+# ---------------------------------------------------------------------------
+@query(
+    "a11_top_users",
+    oracle="""
+    SELECT user_id, count(*) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id ASC
+    LIMIT 15
+    """,
+    ops=("A11", "K2"),
+)
+def a11_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms agg → TakeOrderedAndProject; user_id ASC tiebreak
+    keeps the boundary deterministic across engines."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — Top-20 terms with "Other" bucket (tag cloud, otherBucket: true)
+# reference: kibana/dashboard_export.ndjson:2
+# ---------------------------------------------------------------------------
+@query(
+    "a12_top_terms_other",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    ), counts AS (
+        SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word
+    ), ranked AS (
+        SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+        FROM counts
+    )
+    SELECT word, n FROM ranked WHERE rk <= 20
+    UNION ALL
+    SELECT '__OTHER__' AS word, CAST(sum(n) AS BIGINT) AS n
+    FROM ranked WHERE rk > 20
+    """,
+    ops=("A12", "X22", "K2"),
+)
+def a12_top_terms_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms agg with Other bucket: explode → count → rank top-20 →
+    union a remainder row (the Painless multi-emit X22 shape: explode of
+    a derived array)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word")))
+    )
+    top = ranked.filter(F.col("rk") <= 20).select("word", "n")
+    other = (
+        ranked.filter(F.col("rk") > 20)
+        .agg(F.sum("n").alias("n"))
+        .select(F.lit("__OTHER__").alias("word"), "n")
+    )
+    return top.unionByName(other)
+
+
+# ---------------------------------------------------------------------------
+# A13 — min/max/sum metrics (datatable metric columns)
+# reference: kibana/dashboard_export.ndjson:2 (min(modified_at) column)
+# ---------------------------------------------------------------------------
+@query(
+    "a13_minmax_metrics",
+    oracle="""
+    SELECT min(l_shipdate)              AS first_ship,
+           max(l_shipdate)              AS last_ship,
+           round((sum(l_quantity)) + 1e-6, 2)    AS total_qty,
+           round((avg(l_discount)) + 1e-6, 4)    AS avg_discount,
+           count(*)                     AS n
+    FROM lineitem
+    """,
+    ops=("A13",),
+)
+def a13_minmax_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global metric aggregates, single-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        _r(F.sum("l_quantity"), 2).alias("total_qty"),
+        _r(F.avg("l_discount"), 4).alias("avg_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — last_value per group ordered by time
+# reference: kibana/dashboard_export.ndjson:2 (op last_value, sortField
+# created_at)
+# ---------------------------------------------------------------------------
+@query(
+    "w01_last_value_per_group",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           round((value) + 1e-6, 2) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    ops=("W1",),
+)
+def w01_last_value_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value(col) per id ordered by created_at → row_number()==1
+    over a desc window; event_id is the deterministic tiebreak."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            _r(F.col("value"), 2).alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 + F7 + K2 — Top-21 groups by last_value, filtered to high risk
+# reference: same datatable panel (terms on id ordered by last_value,
+# size 21, filter risk_score >= 50)
+# ---------------------------------------------------------------------------
+@query(
+    "w02_topk_by_last_value",
+    oracle="""
+    WITH last AS (
+        SELECT user_id, event_id AS last_event_id, round((value) + 1e-6, 2) AS last_value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, last_event_id, last_value
+    FROM last
+    WHERE last_value >= 250
+    ORDER BY last_value DESC, user_id ASC
+    LIMIT 21
+    """,
+    ops=("W2", "F7", "K2"),
+)
+def w02_topk_by_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank groups by an aggregated (last_value) column, keep top 21
+    above the high-risk threshold — W1 then orderBy+limit."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            _r(F.col("value"), 2).alias("last_value"),
+        )
+    )
+    return (
+        last.filter(F.col("last_value") >= 250)
+        .orderBy(F.desc("last_value"), F.asc("user_id"))
+        .limit(21)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — global-total window: share of total per term
+# ---------------------------------------------------------------------------
+@query(
+    "w03_global_share",
+    oracle="""
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) + 1e-9, 6) AS share
+    FROM c
+    """,
+    ops=("W3",),
+)
+def w03_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count()/overall_sum(count()) — empty-partition window ratio."""
+    events = _t(spark, sf_dir, "events")
+    c = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return c.withColumn(
+        "share",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()).cast("double"),
+            6,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — freshness filter (24h relative to corpus max, deterministic)
+# reference: poller/poller.py:540,585-592
+# ---------------------------------------------------------------------------
+@query(
+    "f01_freshness_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events)
+    GROUP BY event_type
+    """,
+    ops=("F1", "F2", "X17"),
+)
+def f01_freshness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only items modified in the trailing 24 h (poller.py:585-592).
+    The anchor is max(ts) (not wall clock) so results are deterministic;
+    the single-row max side is broadcast — no shuffle of the fact
+    table, and on date-partitioned storage this prunes partitions."""
+    events = _t(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("mx"))
+    return (
+        events.join(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — market segmentation predicate chain
+# reference: poller/regex_analyzer.py:793-842 (UNCERTAIN/JUNK/…/PRIME)
+# ---------------------------------------------------------------------------
+@query(
+    "f05_market_segmentation",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'UNCERTAIN_PRICE'
+                WHEN o_totalprice > 300000 THEN 'JUNK'
+                WHEN o_orderpriority = '1-URGENT' THEN 'PRIORITY'
+                ELSE 'PRIME' END AS segment,
+           count(*) AS n,
+           round((avg(o_totalprice)) + 1e-6, 2) AS mean_price
+    FROM orders
+    GROUP BY 1
+    """,
+    ops=("F5", "F4"),
+)
+def f05_market_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered predicate chain → segment label (the reference's
+    UNCERTAIN <5€ / JUNK >10k€ / keyword / PRIME routing,
+    regex_analyzer.py:793-842). Order of WHENs is semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    seg = (
+        F.when(F.col("o_totalprice") < 1000, "UNCERTAIN_PRICE")
+        .when(F.col("o_totalprice") > 300000, "JUNK")
+        .when(F.col("o_orderpriority") == "1-URGENT", "PRIORITY")
+        .otherwise("PRIME")
+    )
+    return (
+        orders.select(seg.alias("segment"), "o_totalprice")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.avg("o_totalprice"), 2).alias("mean_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7/X10 — rlike keyword filter (whole-word match)
+# reference: poller/regex_analyzer.py:228-245; poller/poller.py:479-482
+# ---------------------------------------------------------------------------
+@query(
+    "f07_keyword_filter",
+    oracle="""
+    SELECT source, count(*) AS n
+    FROM documents
+    WHERE regexp_matches(lower(text), '\\b(fast|slow)\\b')
+    GROUP BY source
+    """,
+    ops=("F7", "X10", "X13"),
+)
+def f07_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-word keyword predicate (\\b-bounded alternation), the shape
+    of both the category keyword tables and the external-contact
+    detector. Pure rlike — pushed into the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.lower(F.col("text")).rlike(r"\b(fast|slow)\b"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — fallback-precedence dimension lookup
+# reference: poller/poller.py:376-391 (exact → NEW→LIKE_NEW→USED chain,
+# fallback_used flag)
+# ---------------------------------------------------------------------------
+@query(
+    "j01_fallback_stats_join",
+    oracle="""
+    WITH bt AS (
+        SELECT p_brand, p_type, round((avg(p_retailprice)) + 1e-6, 2) AS mean_bt
+        FROM part GROUP BY p_brand, p_type HAVING count(*) >= 5
+    ), b AS (
+        SELECT p_brand, round((avg(p_retailprice)) + 1e-6, 2) AS mean_b
+        FROM part GROUP BY p_brand
+    ), g AS (
+        SELECT round((avg(p_retailprice)) + 1e-6, 2) AS mean_g FROM part
+    )
+    SELECT p.p_partkey,
+           coalesce(bt.mean_bt, b.mean_b, g.mean_g) AS ref_mean,
+           CASE WHEN bt.mean_bt IS NOT NULL THEN 'exact'
+                WHEN b.mean_b IS NOT NULL THEN 'brand'
+                ELSE 'global' END AS fallback_level
+    FROM part p
+    LEFT JOIN bt ON p.p_brand = bt.p_brand AND p.p_type = bt.p_type
+    LEFT JOIN b  ON p.p_brand = b.p_brand
+    CROSS JOIN g
+    """,
+    ops=("J1",),
+)
+def j01_fallback_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats lookup with fallback precedence: exact key, else coarser
+    key, else global — three broadcast left joins + coalesce + a
+    fallback flag (poller.py:376-391). The dims are tiny: broadcast,
+    so the fact side never shuffles."""
+    part = _t(spark, sf_dir, "part")
+    bt = (
+        part.groupBy("p_brand", "p_type")
+        .agg(_r(F.avg("p_retailprice"), 2).alias("mean_bt"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .drop("n")
+    )
+    b = part.groupBy("p_brand").agg(_r(F.avg("p_retailprice"), 2).alias("mean_b"))
+    g = part.agg(_r(F.avg("p_retailprice"), 2).alias("mean_g"))
+    return (
+        part.select("p_partkey", "p_brand", "p_type")
+        .join(F.broadcast(bt), ["p_brand", "p_type"], "left")
+        .join(F.broadcast(b), ["p_brand"], "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "p_partkey",
+            F.coalesce("mean_bt", "mean_b", "mean_g").alias("ref_mean"),
+            F.when(F.col("mean_bt").isNotNull(), "exact")
+            .when(F.col("mean_b").isNotNull(), "brand")
+            .otherwise("global")
+            .alias("fallback_level"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4 — enrichment joins (item→details, user→profile)
+# reference: poller/poller.py:618-638,663-702
+# ---------------------------------------------------------------------------
+@query(
+    "j03_enrichment_join",
+    oracle="""
+    SELECT p.p_brand, s.s_nationkey, count(*) AS n,
+           round((avg(l.l_extendedprice)) + 1e-6, 2) AS avg_price
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_nationkey
+    """,
+    ops=("J3", "J4"),
+)
+def j03_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row detail fetches become set-based broadcast joins: fact ×
+    two small dims, then aggregate. At 100 TB the dims (part/supplier ≅
+    details/users) stay broadcast-able or become bucketed joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K3/X2 — hidden-price extraction: regexp_extract_all → filter → max
+# reference: poller/regex_analyzer.py:69-76,174-221
+# ---------------------------------------------------------------------------
+@query(
+    "k03_hidden_price_max",
+    oracle="""
+    SELECT * FROM (
+        SELECT doc_id,
+               list_max(list_filter(
+                   list_transform(
+                       regexp_extract_all(text || ' ' || CAST(n_chars AS VARCHAR),
+                                          '(\\d{2,4})', 1),
+                       x -> CAST(x AS INTEGER)),
+                   x -> x >= 50 AND x <= 5000)) AS hidden_price
+        FROM documents)
+    WHERE hidden_price IS NOT NULL
+    """,
+    ops=("K3", "X2", "X1"),
+)
+def k03_hidden_price_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose hidden-price scan: extract all 2-4 digit numbers, keep
+    candidates in [50, 5000], take the max (regex_analyzer.py:207-221).
+    Native regexp_extract_all + array_max — no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.concat_ws(" ", F.col("text"), F.col("n_chars").cast("string"))
+    nums = F.transform(
+        F.regexp_extract_all(txt, F.lit(r"(\d{2,4})"), 1), lambda x: x.cast("int")
+    )
+    cand = F.filter(nums, lambda x: (x >= 50) & (x <= 5000))
+    return (
+        docs.select("doc_id", F.array_max(cand).alias("hidden_price"))
+        .filter(F.col("hidden_price").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 — set-union of token arrays + set-difference conflict resolution
+# reference: poller/regex_analyzer.py:590-657
+# ---------------------------------------------------------------------------
+_STOPWORDS = ["the", "a", "of", "and"]
+
+
+@query(
+    "u12_token_set_ops",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+')),
+               x -> x <> '')) AS n_distinct,
+           len(list_filter(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+')),
+               x -> x <> '' AND x NOT IN ({", ".join(repr(s) for s in _STOPWORDS)})))
+               AS n_content
+    FROM documents
+    """,
+    ops=("U1", "U2"),
+)
+def u12_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe via array_distinct (U1: set.add) and remove a conflict
+    set via array_except (U2: Apple-M vs Intel conflict resolution)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")), "")
+    content = F.array_except(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_distinct"),
+        F.size(content).alias("n_content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST1/A14 — tumbling-window frequency alert (batch form)
+# reference: elastalert/rules/high_risk.yaml:2-14 (≥N docs in 10 min)
+# ---------------------------------------------------------------------------
+@query(
+    "st01_windowed_frequency",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           count(*) AS n
+    FROM events
+    WHERE event_type = 'error' AND value >= 400
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+    ops=("ST1", "A14"),
+)
+def st01_windowed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency rule: count matching docs per 10-minute tumbling
+    window, fire when over threshold. Batch twin of the Structured
+    Streaming job in streaming/alerts.py (same window semantics)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("event_type") == "error") & (F.col("value") >= 400))
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("w.start").alias("window_start"), "n")
+    )

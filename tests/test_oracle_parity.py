@@ -1,0 +1,40 @@
+"""Local twin of the driver's t2 correctness gate: run every registered
+query in Spark AND its DuckDB oracle on the same parquet, compare
+row-count + schema + exact values (order-insensitive)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+    REGISTRY,
+)
+
+from conftest import assert_frames_match
+
+ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
+ROWS_ONLY_QUERIES = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(name, spark, sf_dir, ddb):
+    spec = REGISTRY[name]
+    actual = spec.fn(spark, sf_dir).toPandas()
+    expected = ddb.execute(spec.oracle).fetchdf()
+    assert_frames_match(actual, expected, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
