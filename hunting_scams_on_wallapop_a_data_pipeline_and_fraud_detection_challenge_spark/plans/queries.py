@@ -945,3 +945,8 @@ def st01_windowed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select(F.col("w.start").alias("window_start"), "n")
     )
+
+
+# Sibling registries (same REGISTRY object) — imported last so that any
+# consumer of plans.queries.REGISTRY sees the full inventory.
+from . import training_queries  # noqa: E402,F401  (registers on import)

@@ -1,0 +1,639 @@
+"""Training-data pipeline operators (BASELINE.json north star).
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding near-dup), similarity search (brute-force cosine top-k and an
+LSH-bucketed ANN scale path), and text analysis (language-ID, quality
+scoring, token counting, fingerprinting) over the driver's `documents`
+and `embeddings` tables.
+
+Everything is native DataFrame ops (no Python in the hot path) built on
+the portable hash family in ``functions/hashing.py``, so every operator
+has an exact DuckDB oracle — the driver's value-hash gate verifies them
+bit-for-bit instead of falling back to rows-only checks.
+
+Cross-engine parity rules specific to this module:
+
+- All float math is double-precision left-to-right folds with identical
+  association in both engines (Spark ``aggregate`` ≡ DuckDB
+  ``list_reduce(list_prepend(init, …))``), so doubles are bit-identical
+  and rank/threshold cuts can't diverge.
+- DuckDB ``list_distinct`` does NOT preserve order (Spark
+  ``array_distinct`` does), so no query returns an array column — only
+  scalars derived via order-insensitive set ops (sizes, mins, sums).
+- Thresholt filters compare UNROUNDED values in both engines; only the
+  reported columns are rounded.
+
+Scale notes are per-query; the common theme: candidate generation is
+always hash-bucketed (LSH) so no O(n²) pair enumeration ever touches
+the full corpus — the quadratic step runs only within buckets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hmod, seeded, sql_hmod, sql_seeded
+from ..functions.textstats import (
+    bpe_token_count,
+    distinct_tokens,
+    fingerprint,
+    predicted_lang,
+    quality_score,
+    shingles,
+    sql_bpe_token_count,
+    sql_distinct_tokens,
+    sql_fingerprint,
+    sql_predicted_lang,
+    sql_quality_score,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from .queries import _r, _t, query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txt01_language_id",
+    oracle=f"""
+    SELECT {sql_predicted_lang(sql_distinct_tokens("text"))} AS pred_lang,
+           lang, count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    ops=("TXT-LANGID",),
+)
+def txt01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-hit language ID: argmax of per-language stopword
+    overlap with a pinned tie order, reported as a (predicted × actual)
+    confusion matrix. Pure set-intersection counts — codegen'd, and the
+    per-doc cost is O(tokens); one small shuffle for the matrix."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = predicted_lang(distinct_tokens(F.col("text")))
+    return docs.groupBy(pred.alias("pred_lang"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "txt02_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           len({sql_tokens("text")})            AS ws_tokens,
+           {sql_bpe_token_count("text")}        AS bpe_tokens,
+           round(({sql_quality_score("text")}) + 1e-6, 4) AS quality
+    FROM documents
+    WHERE len({sql_tokens("text")}) > 0
+    """,
+    ops=("TXT-QUALITY", "TXT-TOKENCOUNT", "X14"),
+)
+def txt02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (length / punctuation / stopword /
+    word-length signals) + whitespace and BPE-ish token counts — the
+    short-description heuristic (poller/poller.py:474-476) generalized
+    to a corpus-filtering score. Embarrassingly parallel map."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.size(tokens(F.col("text"))) > 0).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        _r(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@query(
+    "txt03_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {sql_fingerprint("text")} AS fp
+    FROM documents
+    """,
+    ops=("TXT-FINGERPRINT",),
+)
+def txt03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint — one BIGINT
+    identity column for shuffle-light exact dedup / drift detection."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd01_exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_key,
+           min(doc_id)            AS keep_id,
+           count(*)               AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    ops=("DEDUP-EXACT",),
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized text: canonical row =
+    min(doc_id) per key. At 100 TB: group on the 128-bit hash, never
+    the text itself — the shuffle carries 16-byte keys, map-side
+    partial agg collapses most duplicates before the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("text_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_MINHASH_K = 16  # signature length
+_MINHASH_BANDS = 4  # 4 bands × 4 rows
+_MINHASH_JACCARD = 0.5
+
+
+def _minhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"min({sql_seeded('h', str(j))}) AS m{j}" for j in range(_MINHASH_K)
+    )
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(m{b * rows + k} AS VARCHAR)" for k in range(rows)
+            ),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+    shi AS (SELECT doc_id, {sql_shingles("t")} AS sh FROM toks),
+    base AS (SELECT doc_id, sh FROM shi WHERE len(sh) > 0),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM base),
+    h AS (SELECT doc_id, {sql_hmod("s")} AS h FROM e),
+    sig AS (SELECT doc_id, {mins}
+            FROM h GROUP BY doc_id),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    p AS (
+        SELECT a_id, b_id,
+               len(list_intersect(sa.sh, sb.sh)) AS i,
+               len(sa.sh) + len(sb.sh)           AS sab
+        FROM cand
+        JOIN base sa ON sa.doc_id = a_id
+        JOIN base sb ON sb.doc_id = b_id
+    )
+    SELECT a_id, b_id,
+           round((CAST(i AS DOUBLE) / (sab - i)) + 1e-6, 4) AS jaccard
+    FROM p
+    WHERE CAST(i AS DOUBLE) / (sab - i) >= {_MINHASH_JACCARD}
+    """
+
+
+@query("dd02_minhash_lsh_pairs", oracle=_minhash_sql(), ops=("DEDUP-MINHASH-LSH",))
+def dd02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs: 3-word shingles → 16 seeded min
+    hashes → 4 bands of 4 → bucket self-join → exact Jaccard ≥ 0.5
+    verify on candidates only.
+
+    Scale shape: the only O(n²) step runs inside LSH buckets; the
+    signature build is one explode + groupBy (hash computed once per
+    shingle, 16 cheap re-seeds as agg expressions). Band keys shuffle
+    ~K·n small rows; with skewed buckets AQE splits the join."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    ex = base.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "h", hmod(F.col("s"))
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(seeded(F.col("h"), F.lit(j))).alias(f"m{j}") for j in range(_MINHASH_K)]
+    )
+    rows = _MINHASH_K // _MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"m{b * rows + k}").cast("string") for k in range(rows)],
+                        ).alias("key"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    pairs = cand.join(
+        base.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa")), "a_id"
+    ).join(base.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb")), "b_id")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return pairs.filter(jac >= _MINHASH_JACCARD).select(
+        "a_id", "b_id", _r(jac, 4).alias("jaccard")
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT doc_id, unnest({sql_distinct_tokens("text")}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {sql_hmod("tok")} AS h FROM e),
+    v AS (SELECT doc_id, {votes}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query("dd03_simhash", oracle=_simhash_sql(), ops=("DEDUP-SIMHASH",))
+def dd03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-bit ±1 votes over distinct-token
+    hashes, bit set where the vote is positive. Near-dups land on equal
+    (or Hamming-close) simhash values — dedup becomes a groupBy on one
+    BIGINT. One explode + one groupBy; partial aggregation collapses
+    the vote sums map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", hmod(F.col("tok")))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = reduce(
+        add,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+_NGRAM_JACCARD = 0.3
+
+
+@query(
+    "dd04_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+    shi AS (SELECT doc_id, {sql_shingles("t")} AS sh FROM toks),
+    base AS (SELECT doc_id, sh FROM shi WHERE len(sh) > 0),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM base),
+    mh AS (SELECT doc_id, min({sql_hmod("s")}) AS mh FROM e GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM mh a JOIN mh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+    ),
+    p AS (
+        SELECT a_id, b_id,
+               len(list_intersect(sa.sh, sb.sh)) AS i,
+               len(sa.sh) + len(sb.sh)           AS sab
+        FROM cand
+        JOIN base sa ON sa.doc_id = a_id
+        JOIN base sb ON sb.doc_id = b_id
+    )
+    SELECT a_id, b_id,
+           round((CAST(i AS DOUBLE) / (sab - i)) + 1e-6, 4) AS jaccard
+    FROM p
+    WHERE CAST(i AS DOUBLE) / (sab - i) >= {_NGRAM_JACCARD}
+    """,
+    ops=("DEDUP-NGRAM-JACCARD",),
+)
+def dd04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with the cheapest possible candidate
+    filter: docs sharing their single minimum shingle hash (a 1-row
+    MinHash — high recall at Jaccard ≥ 0.3 because min-hash collision
+    probability equals Jaccard similarity). Exact Jaccard verifies."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    mh = (
+        base.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(hmod(F.col("s"))).alias("mh"))
+    )
+    cand = (
+        mh.alias("a")
+        .join(mh.alias("b"), F.col("a.mh") == F.col("b.mh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    pairs = cand.join(
+        base.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa")), "a_id"
+    ).join(base.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb")), "b_id")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return pairs.filter(jac >= _NGRAM_JACCARD).select(
+        "a_id", "b_id", _r(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: shared helpers (bit-identical double folds)
+# ---------------------------------------------------------------------------
+
+
+def _vec_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def _dot(a, b):
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _sql_vec(col: str) -> str:
+    return f"list_transform(range(1, len({col})+1), i -> CAST({col}[i] AS DOUBLE))"
+
+
+def _sql_fold_sum(arr: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {arr}), (a, b) -> a + b)"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _sql_fold_sum(
+        f"list_transform(range(1, len({a})+1), i -> ({a})[i] * ({b})[i])"
+    )
+
+
+def _sql_norm(v: str) -> str:
+    return f"sqrt({_sql_fold_sum(f'list_transform({v}, x -> x * x)')})"
+
+
+import hashlib as _hashlib
+
+_EMB_DIM = 64
+
+
+def _hyperplane_signs(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5(j:i) parity —
+    reproducible constants shared verbatim with the oracle SQL."""
+    return [
+        [
+            1.0 if _hashlib.md5(f"{j}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _bucket_col(vec, signs: list[list[float]]):
+    out = F.lit(0)
+    for j, plane in enumerate(signs):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        out = out + F.when(_dot(vec, lit_plane) > 0, F.lit(1 << j)).otherwise(0)
+    return out
+
+
+def _sql_bucket(vec: str, signs: list[list[float]]) -> str:
+    terms = []
+    for j, plane in enumerate(signs):
+        lit_plane = "[" + ", ".join(f"{s:.1f}" for s in plane) + "]"
+        terms.append(
+            f"CASE WHEN {_sql_dot(vec, lit_plane)} > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_KNN_QUERIES = 10  # vec_id < 10 are the query set
+_KNN_K = 5
+
+
+@query(
+    "nn01_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v
+    ),
+    base AS (SELECT * FROM n WHERE nrm > 0),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base
+          WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               {_sql_dot("c.v", "q.qv")} / (c.nrm * q.qn) AS cos
+        FROM base c CROSS JOIN q
+        WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id, round(cos + 1e-9, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_KNN_K}
+    """,
+    ops=("ANN-BRUTEFORCE",),
+)
+def nn01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, stream the
+    corpus once, rank per query. The corpus side never shuffles — at
+    100 TB this is one scan + a tiny per-partition top-k (the window
+    over q_id partitions is bounded by |queries|·k rows after AQE).
+    Double fold order is pinned so ranks match the oracle exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .filter(F.col("nrm") > 0)
+    )
+    q = base.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
+    )
+
+
+_ANN_PLANES = 8
+_ANN_SIGNS = _hyperplane_signs(_ANN_PLANES)
+_ANN_K = 3
+
+
+@query(
+    "nn02_lsh_ann",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, {_sql_norm("v")} AS nrm,
+               {_sql_bucket("v", _ANN_SIGNS)} AS bucket
+        FROM v
+    ),
+    base AS (SELECT * FROM n WHERE nrm > 0),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM base
+          WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               {_sql_dot("c.v", "q.qv")} / (c.nrm * q.qn) AS cos
+        FROM base c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id, round(cos + 1e-9, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_ANN_K}
+    """,
+    ops=("ANN-LSH",),
+)
+def nn02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): 8 deterministic random-
+    hyperplane sign bits → 256 buckets; candidates = same-bucket rows
+    only, then exact cosine rank within bucket. The bucket column is
+    computed in the scan projection (no shuffle to build the index);
+    the join is an equi-join on a small int key — at 100 TB this is the
+    IVF-style partition-pruned probe, ~1/256th of brute-force work."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .withColumn("bucket", _bucket_col(F.col("v"), _ANN_SIGNS))
+        .filter(F.col("nrm") > 0)
+    )
+    q = base.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ANN_K)
+        .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
+    )
+
+
+_NEARDUP_PLANES = 4
+_NEARDUP_SIGNS = _hyperplane_signs(_NEARDUP_PLANES)
+_NEARDUP_COS = 0.4
+
+
+@query(
+    "dd05_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, {_sql_norm("v")} AS nrm,
+               {_sql_bucket("v", _NEARDUP_SIGNS)} AS bucket
+        FROM v
+    ),
+    base AS (SELECT * FROM n WHERE nrm > 0),
+    p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(cos + 1e-9, 6) AS cosine
+    FROM p WHERE cos >= {_NEARDUP_COS}
+    """,
+    ops=("DEDUP-EMBEDDING",),
+)
+def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-pruned: 4 hyperplane sign
+    bits → 16 buckets; exact cosine only within buckets, keep pairs
+    ≥ 0.4. The pair blow-up is confined to same-bucket groups (~n²/16
+    here, and tunable with more planes at larger corpora)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .withColumn("bucket", _bucket_col(F.col("v"), _NEARDUP_SIGNS))
+        .filter(F.col("nrm") > 0)
+    )
+    a = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_COS)
+        .select("a_id", "b_id", _r(F.col("cos"), 6).alias("cosine"))
+    )
