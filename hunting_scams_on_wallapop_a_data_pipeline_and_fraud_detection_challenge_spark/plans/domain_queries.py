@@ -1,0 +1,401 @@
+"""Domain-operator queries completing the SURVEY §2 inventory.
+
+Risk-score assembly (X15/X16), runtime fields (X21/X23), the multi-emit
+factor normalizer (X22/UD3), gated enrichment (F8), sort/limit (K1/K6),
+stats-table export (A4), the prefix-scan spam truncation (UD1/X9) with
+an exact oracle, and the full spec-extraction pipeline (UD2, rows-only —
+its Java-regex lookaheads are not RE2-expressible, so DuckDB can't
+replay it; parity is covered by the reference-golden unit tests in
+tests/test_domain_golden.py instead).
+
+printf parity rule: ``format_string``/``printf`` only ever format
+values ALREADY rounded via ``_r`` at the same precision — Java
+(HALF_UP) and C (half-even) disagree only on exact half-boundaries,
+which pre-rounded values cannot hit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textprep import SPAM_INDICATORS, truncate_spam
+from ..functions.specs import with_specs
+from .queries import _r, _t, query
+
+# ---------------------------------------------------------------------------
+# X15 + X16 + F4 — additive risk score, clamp, factor-list assembly
+# reference: poller/poller.py:459-482,669-705 (points table README.md:370-400)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x15_risk_assembly",
+    oracle="""
+    WITH z AS (
+        SELECT event_id, user_id, event_type, value,
+               round(((value - 250.0) / 100.0) + 1e-6, 2) AS z
+        FROM events
+    ),
+    pts AS (
+        SELECT event_id, z,
+               (CASE WHEN z < -1.5 THEN 30 ELSE 0 END
+                + CASE WHEN z < -2.5 THEN 40 ELSE 0 END
+                + CASE WHEN event_type = 'error' THEN 30 ELSE 0 END
+                + CASE WHEN value > 400 THEN 15 ELSE 0 END
+                + CASE WHEN user_id % 10 = 0 THEN -30 ELSE 0 END) AS raw,
+               CASE WHEN z < -1.5
+                    THEN printf('Very Low Price vs Market (Z=%.2f)', z) END AS f1,
+               CASE WHEN z < -2.5 THEN 'Extremely Low Price' END AS f2,
+               CASE WHEN event_type = 'error' THEN 'External Contact' END AS f3,
+               CASE WHEN value > 400 THEN 'Suspiciously High Value' END AS f4,
+               CASE WHEN user_id % 10 = 0 THEN 'Trusted Seller' END AS f5
+        FROM z
+    )
+    SELECT event_id,
+           greatest(0, least(100, raw)) AS risk_score,
+           coalesce(array_to_string(
+               list_filter([f1, f2, f3, f4, f5], x -> x IS NOT NULL), '; '), '')
+               AS risk_factors
+    FROM pts
+    """,
+    ops=("X15", "X16", "X20", "F4", "F7"),
+)
+def x15_risk_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive rule points → clamp [0,100] → human-readable factor
+    list (poller.py:459-482,669-705): each rule is a when/otherwise-0
+    column, the factor array is the same conditions emitting formatted
+    strings, compacted and joined. Pure row-local codegen — no shuffle
+    at any scale."""
+    events = _t(spark, sf_dir, "events")
+    z = _r((F.col("value") - 250.0) / 100.0, 2)
+    df = events.select("event_id", "user_id", "event_type", "value", z.alias("z"))
+
+    rules = [
+        (F.col("z") < -1.5, 30, F.format_string("Very Low Price vs Market (Z=%.2f)", F.col("z"))),
+        (F.col("z") < -2.5, 40, F.lit("Extremely Low Price")),
+        (F.col("event_type") == "error", 30, F.lit("External Contact")),
+        (F.col("value") > 400, 15, F.lit("Suspiciously High Value")),
+        (F.col("user_id") % 10 == 0, -30, F.lit("Trusted Seller")),
+    ]
+    raw = None
+    factors = []
+    for cond, pts, label in rules:
+        term = F.when(cond, pts).otherwise(0)
+        raw = term if raw is None else raw + term
+        factors.append(F.when(cond, label))
+    return df.select(
+        "event_id",
+        F.greatest(F.lit(0), F.least(F.lit(100), raw)).alias("risk_score"),
+        F.concat_ws("; ", F.array_compact(F.array(*factors))).alias("risk_factors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X22 / UD3 — multi-emit factor normalization (Painless emit() ≅ explode)
+# reference: kibana/dashboard_export.ndjson:1 (runtime field, ~80 lines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x22_factor_normalize",
+    oracle="""
+    WITH emitted AS (
+        SELECT unnest(
+            CASE WHEN event_type IN ('click', 'view') THEN []::VARCHAR[]
+                 WHEN event_type = 'error' THEN ['Error Event']
+                 WHEN event_type = 'purchase' THEN
+                     ['Purchase',
+                      'amount:' || CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR)]
+                 ELSE ['raw:' || event_type] END) AS factor
+        FROM events
+    )
+    SELECT factor, count(*) AS n FROM emitted GROUP BY factor
+    """,
+    ops=("X22", "UD3"),
+)
+def x22_factor_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-emit normalizer: positives are dropped (emit nothing),
+    known patterns map to canonical labels, one branch emits MULTIPLE
+    values per row, unknowns fall through as raw — the Painless
+    runtime-field shape as explode(when-chain array)."""
+    events = _t(spark, sf_dir, "events")
+    arr = (
+        F.when(F.col("event_type").isin("click", "view"), F.array().cast("array<string>"))
+        .when(F.col("event_type") == "error", F.array(F.lit("Error Event")))
+        .when(
+            F.col("event_type") == "purchase",
+            F.array(
+                F.lit("Purchase"),
+                F.concat(
+                    F.lit("amount:"),
+                    F.floor(F.col("value") / 100).cast("bigint").cast("string"),
+                ),
+            ),
+        )
+        .otherwise(F.array(F.concat(F.lit("raw:"), F.col("event_type"))))
+    )
+    return (
+        events.select(F.explode(arr).alias("factor"))
+        .groupBy("factor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X21 + X23 + X17 — runtime bool (day-difference) + URL templating
+# reference: kibana/dashboard_export.ndjson:1 (Painless runtime fields,
+# fieldFormatMap); elastalert/rules/high_risk.yaml:38-42
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x21_runtime_fields",
+    oracle="""
+    SELECT coalesce(date_diff('day', o_orderdate, l_shipdate) > 1, FALSE)
+               AS shipped_after_one_day,
+           count(*) AS n,
+           min('https://es.wallapop.com/item/'
+               || lower(o_orderstatus) || '-' || CAST(o_orderkey AS VARCHAR))
+               AS sample_url
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    ops=("X21", "X23", "X17"),
+)
+def x21_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe derived boolean (modified_after_one_day ≅ shipped >1
+    day after order) plus the URL-template column — query-time computed
+    columns, zero-cost until referenced (Catalyst prunes them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    flag = F.coalesce(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 1, F.lit(False)
+    )
+    url = F.concat(
+        F.lit("https://es.wallapop.com/item/"),
+        F.lower(F.col("o_orderstatus")),
+        F.lit("-"),
+        F.col("o_orderkey").cast("string"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(flag.alias("shipped_after_one_day"), url.alias("url"))
+        .groupBy("shipped_after_one_day")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("url").alias("sample_url"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — gated enrichment: enrich only suspicious rows, pass others through
+# reference: poller/poller.py:653-663 (manual semi-join pushdown)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f08_gated_enrichment",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           (l.l_extendedprice > 90000 OR l.l_returnflag = 'R') AS gated,
+           s.s_name
+    FROM lineitem l
+    LEFT JOIN supplier s
+      ON (l.l_extendedprice > 90000 OR l.l_returnflag = 'R')
+     AND l.l_suppkey = s.s_suppkey
+    """,
+    ops=("F8", "F3", "F9"),
+)
+def f08_gated_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch expensive enrichment only for rows passing the gate; cheap
+    rows pass through with nulls (poller.py:653-663). Spark shape:
+    filter → broadcast join → union — the gate filter shrinks the join
+    input BEFORE the exchange, exactly the reference's manual semi-join
+    pushdown, and Catalyst pushes the gate into the scan of the hot
+    branch."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "l_returnflag"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    gate = (F.col("l_extendedprice") > 90000) | (F.col("l_returnflag") == "R")
+
+    hot = (
+        li.filter(gate)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+        .select(
+            "l_orderkey", "l_linenumber", F.lit(True).alias("gated"), "s_name"
+        )
+    )
+    cold = li.filter(~gate).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(False).alias("gated"),
+        F.lit(None).cast("string").alias("s_name"),
+    )
+    return hot.unionByName(cold)
+
+
+# ---------------------------------------------------------------------------
+# K1 + K6 — ordered scan with cap (order_by=newest, item limit)
+# reference: poller/poller.py:533,554,59; poller/analist_poller.py:289,310
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k01_newest_first_cap",
+    oracle="""
+    SELECT event_id, ts, event_type, round((value) + 1e-6, 2) AS value
+    FROM events
+    ORDER BY ts DESC, event_id ASC
+    LIMIT 100
+    """,
+    ops=("K1", "K6"),
+)
+def k01_newest_first_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_by=newest + item cap → TakeOrderedAndProject (no global
+    sort materialization: each partition keeps its local top-100, the
+    driver merges — O(n) scan, O(k) memory at any scale)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "event_type", _r(F.col("value"), 2).alias("value"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — stats-table serialization (market_stats.json writer)
+# reference: poller/regex_analyzer.py:1018-1022
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a04_stats_export",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           printf('{"mean":%.2f,"median":%.2f,"stdev":%.2f,"count":%d}',
+                  round((avg(l_extendedprice)) + 1e-6, 2),
+                  round((median(l_extendedprice)) + 1e-6, 2),
+                  round((stddev_samp(l_extendedprice)) + 1e-6, 2),
+                  count(*)) AS stats_json
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) >= 2
+    """,
+    ops=("A4", "X20"),
+)
+def a04_stats_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The market_stats.json serialization: one JSON stats blob per
+    group (regex_analyzer.py:1018-1022). Values are pre-rounded before
+    formatting so both engines print identical strings; the relational
+    dim table (a01) remains the preferred consumption form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.avg("l_extendedprice"), 2).alias("mean"),
+            _r(F.median("l_extendedprice"), 2).alias("median"),
+            _r(F.stddev_samp("l_extendedprice"), 2).alias("stdev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.format_string(
+                '{"mean":%.2f,"median":%.2f,"stdev":%.2f,"count":%d}',
+                F.col("mean"),
+                F.col("median"),
+                F.col("stdev"),
+                F.col("n"),
+            ).alias("stats_json"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UD1 / X9 — prefix-scan spam truncation, exact oracle
+# reference: poller/regex_analyzer.py:248-289
+# ---------------------------------------------------------------------------
+
+
+def _spam_truncate_sql() -> str:
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(l), '{ind}') THEN 1 ELSE 0 END"
+        for ind in SPAM_INDICATORS
+    )
+    return f"""
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || chr(10) || 'rtx gtx amd intel ryzen i7'
+                         || chr(10) || 'hidden tail line'
+                    ELSE text END AS body
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id, body, string_split(body, chr(10)) AS lines FROM synth
+    ),
+    f AS (
+        SELECT doc_id, body, lines,
+               coalesce(list_position(
+                   list_transform(lines, l -> ({hits}) > 3), TRUE), 0) AS fs
+        FROM l
+    )
+    SELECT doc_id,
+           fs > 0 AS truncated,
+           length(CASE WHEN fs > 0
+                       THEN array_to_string(list_slice(lines, 1, fs - 1), chr(10))
+                       ELSE body END) AS kept_chars
+    FROM f
+    """
+
+
+@query("ud1_spam_truncate", oracle=_spam_truncate_sql(), ops=("UD1", "X9"))
+def ud1_spam_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependent prefix-scan truncation (regex_analyzer.py:248-289)
+    verified end-to-end: a spam line is injected into every third doc,
+    and both engines must cut at the same line. Native split/transform/
+    array_position/slice — the UD1 candidate stays out of Python."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\nrtx gtx amd intel ryzen i7\nhidden tail line"),
+        ),
+    ).otherwise(F.col("text"))
+    synth = docs.select("doc_id", body.alias("body"))
+    kept = truncate_spam(F.col("body"))
+    truncated = F.length("body") != F.length(kept)
+    return synth.select(
+        "doc_id",
+        truncated.alias("truncated"),
+        F.length(kept).alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UD2 — full spec-extraction pipeline (rows-only: Java-regex lookaheads)
+# reference: poller/regex_analyzer.py:724-786
+# ---------------------------------------------------------------------------
+
+
+@query("ud2_spec_extraction", oracle=None, ops=("UD2", "X3", "X4", "X5", "X6", "X7", "X8", "X11", "X12"))
+def ud2_spec_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prioritized spec pipeline (sanitize → truncate → title-
+    priority merge → classify → constrain → condition) over synthetic
+    listing text built from documents. No oracle: the RAM regex's
+    negative lookahead isn't RE2-expressible, so DuckDB can't replay it
+    — semantics are pinned by reference-golden fixtures instead
+    (tests/test_domain_golden.py). Rows-only check: stable schema/count."""
+    docs = _t(spark, sf_dir, "documents")
+    listings = docs.select(
+        "doc_id",
+        F.concat(F.lit("Portatil i7 16GB RTX 3060 "), F.substring("text", 1, 80)).alias(
+            "title"
+        ),
+        F.col("text").alias("description"),
+    )
+    out = with_specs(listings, title_col="title", desc_col="description")
+    return out.select("doc_id", "cpu", "ram", "gpu", "category", "condition_regex")

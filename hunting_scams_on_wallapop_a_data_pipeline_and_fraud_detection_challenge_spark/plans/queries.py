@@ -950,3 +950,4 @@ def st01_windowed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sibling registries (same REGISTRY object) — imported last so that any
 # consumer of plans.queries.REGISTRY sees the full inventory.
 from . import training_queries  # noqa: E402,F401  (registers on import)
+from . import domain_queries  # noqa: E402,F401  (registers on import)

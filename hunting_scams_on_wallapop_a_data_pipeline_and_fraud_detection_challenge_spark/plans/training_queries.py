@@ -637,3 +637,36 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _NEARDUP_COS)
         .select("a_id", "b_id", _r(F.col("cos"), 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: Arrow-batched feature extraction over binary payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm01_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))                          AS n_bytes,
+           md5(text)                                           AS digest,
+           CAST(('0x' || substring(md5(text), 1, 2)) AS INT)   AS f0,
+           CAST(('0x' || substring(md5(text), 3, 2)) AS INT)   AS f1,
+           CAST(('0x' || substring(md5(text), 5, 2)) AS INT)   AS f2,
+           CAST(('0x' || substring(md5(text), 7, 2)) AS INT)   AS f3
+    FROM documents
+    """,
+    ops=("MM-FEATURES",),
+)
+def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end: text bytes stand in
+    for opaque media payloads (binary column + typed metadata), the
+    deterministic fake decoder runs inside an Arrow-batched
+    ``mapInPandas`` — the exact plumbing a real codec would use — and
+    the oracle recomputes the md5-derived features relationally.
+    Python here is the honest mapping (UD-class op), batched so the
+    per-row interpreter cost amortizes."""
+    from ..functions.multimodal import documents_as_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
