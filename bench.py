@@ -27,7 +27,8 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 )
 
 # Headline set: the queries that exercise the heavy paths (scan+agg,
-# broadcast-join+fact math, windows, explode+topk, regex extraction).
+# broadcast-join+fact math, windows, explode+topk, regex extraction,
+# hash-based dedup, vector similarity, Arrow-batched Python).
 HEADLINE = [
     "a01_grouped_price_stats",
     "a06_weighted_zscore",
@@ -38,6 +39,14 @@ HEADLINE = [
     "j03_enrichment_join",
     "k03_hidden_price_max",
     "st01_windowed_frequency",
+    "x15_risk_assembly",
+    "dd01_exact_dedup",
+    "dd02_minhash_lsh_pairs",
+    "dd03_simhash",
+    "nn01_cosine_topk",
+    "nn02_lsh_ann",
+    "txt02_quality_scores",
+    "mm01_media_features",
 ]
 
 

@@ -101,11 +101,15 @@ def txt02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-description heuristic (poller/poller.py:474-476) generalized
     to a corpus-filtering score. Embarrassingly parallel map."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter(F.size(tokens(F.col("text"))) > 0).select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("ws_tokens"),
-        bpe_token_count(F.col("text")).alias("bpe_tokens"),
-        _r(quality_score(F.col("text")), 4).alias("quality"),
+    return (
+        docs.select("doc_id", "text", F.size(tokens(F.col("text"))).alias("ws_tokens"))
+        .filter(F.col("ws_tokens") > 0)
+        .select(
+            "doc_id",
+            "ws_tokens",
+            bpe_token_count(F.col("text")).alias("bpe_tokens"),
+            _r(quality_score(F.col("text")), 4).alias("quality"),
+        )
     )
 
 
@@ -211,11 +215,17 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only O(n²) step runs inside LSH buckets; the
     signature build is one explode + groupBy (hash computed once per
     shingle, 16 cheap re-seeds as agg expressions). Band keys shuffle
-    ~K·n small rows; with skewed buckets AQE splits the join."""
+    ~K·n small rows; with skewed buckets AQE splits the join. Tokens
+    materialize as a column BEFORE shingling (see shingles() perf
+    contract) and the shingle table persists across its three
+    consumers instead of recomputing the explode lineage per join."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
 
     ex = base.select("doc_id", F.explode("sh").alias("s")).withColumn(
         "h", hmod(F.col("s"))
@@ -346,9 +356,12 @@ def dd04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash — high recall at Jaccard ≥ 0.3 because min-hash collision
     probability equals Jaccard similarity). Exact Jaccard verifies."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
     mh = (
         base.select("doc_id", F.explode("sh").alias("s"))
         .groupBy("doc_id")
