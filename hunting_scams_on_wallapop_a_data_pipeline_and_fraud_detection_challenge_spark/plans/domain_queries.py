@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.conditions import detect_condition
 from ..functions.textprep import SPAM_INDICATORS, truncate_spam
 from ..functions.specs import with_specs
 from .queries import _r, _t, query
@@ -372,6 +373,181 @@ def ud1_spam_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         truncated.alias("truncated"),
         F.length(kept).alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — condition normalization with fallback precedence API > flag > regex
+# reference: poller/poller.py:248-281,630-634; regex_analyzer.py:320-369
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f06_condition_normalize",
+    oracle="""
+    WITH src AS (
+        SELECT event_id,
+               CASE event_type WHEN 'click' THEN 'new'
+                               WHEN 'view' THEN 'as_good_as_new'
+                               WHEN 'error' THEN 'has_given_it_all'
+                               WHEN 'signup' THEN NULL
+                               ELSE 'good' END AS api_condition,
+               user_id % 7 = 0 AS is_refurbished,
+               CASE WHEN value > 300 THEN 'NEW' ELSE 'USED' END AS text_condition
+        FROM events
+    )
+    SELECT coalesce(
+               CASE WHEN api_condition IS NOT NULL THEN
+                   CASE lower(api_condition)
+                        WHEN 'new' THEN 'NEW'
+                        WHEN 'as_good_as_new' THEN 'LIKE_NEW'
+                        WHEN 'has_given_it_all' THEN 'BROKEN'
+                        ELSE 'USED' END END,
+               CASE WHEN coalesce(is_refurbished, FALSE) THEN 'LIKE_NEW' END,
+               text_condition) AS condition,
+           count(*) AS n
+    FROM src
+    GROUP BY 1
+    """,
+    ops=("F6", "X3"),
+)
+def f06_condition_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition normalization (API term → canonical class) under the
+    fallback precedence API > refurbished-flag > regex text class
+    (poller.py:248-281; regex_analyzer.py:320-369), driven by columns
+    synthesized deterministically from events so every branch fires."""
+    events = _t(spark, sf_dir, "events")
+    api = (
+        F.when(F.col("event_type") == "click", "new")
+        .when(F.col("event_type") == "view", "as_good_as_new")
+        .when(F.col("event_type") == "error", "has_given_it_all")
+        .when(F.col("event_type") == "signup", F.lit(None).cast("string"))
+        .otherwise("good")
+    )
+    refurb = F.col("user_id") % 7 == 0
+    text_cond = F.when(F.col("value") > 300, "NEW").otherwise("USED")
+    return (
+        events.select(
+            detect_condition(api, refurb, text_cond).alias("condition")
+        )
+        .groupBy("condition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4 + K5 — best-candidate selection: max valid RAM / lexicographic max model
+# reference: poller/regex_analyzer.py:549-563,466-470,509-513
+# ---------------------------------------------------------------------------
+
+_VALID_RAM = [4, 6, 8, 12, 16, 32, 64]
+
+
+@query(
+    "k45_best_component",
+    oracle=f"""
+    SELECT doc_id,
+           list_max(list_filter(
+               list_transform(regexp_extract_all(text, '(\\d{{1,3}})', 1),
+                              x -> CAST(x AS INTEGER)),
+               x -> x IN ({", ".join(str(v) for v in _VALID_RAM)}) AND x <= 64))
+               AS best_ram,
+           list_max(regexp_extract_all(lower(text), '([a-z]+[0-9]{{2,4}})', 1))
+               AS best_model
+    FROM documents
+    """,
+    ops=("K4", "K5"),
+)
+def k45_best_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-candidate selection over regex extraction arrays: K4 = max
+    whitelisted RAM value under the category cap
+    (regex_analyzer.py:549-563); K5 = lexicographic max of the deduped
+    model set (sorted(models, reverse=True)[0],
+    regex_analyzer.py:466-470). Pure array_max over filtered
+    regexp_extract_all — no UDF, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    nums = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(r"(\d{1,3})"), 1),
+        lambda x: x.cast("int"),
+    )
+    valid = F.array(*[F.lit(v) for v in _VALID_RAM])
+    best_ram = F.array_max(
+        F.filter(nums, lambda x: F.array_contains(valid, x) & (x <= 64))
+    )
+    models = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"([a-z]+[0-9]{2,4})"), 1)
+    return docs.select(
+        "doc_id",
+        best_ram.alias("best_ram"),
+        F.array_max(models).alias("best_model"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X18 + X19 — badge/type scan over arrays with nulls; geo-point struct
+# reference: poller/poller.py:672-673,712-714
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x18_badge_scan",
+    oracle="""
+    WITH src AS (
+        SELECT event_id,
+               [ 'seller', event_type,
+                 CASE WHEN user_id % 5 = 0 THEN 'TOP10' END ] AS badges,
+               CASE WHEN user_id % 3 = 0 THEN 'pro' ELSE 'individual' END AS type
+        FROM events
+    )
+    SELECT (len(list_filter(badges,
+                b -> b IS NOT NULL AND contains(upper(b), 'TOP'))) > 0
+            OR type = 'pro') AS trusted,
+           count(*) AS n
+    FROM src
+    GROUP BY 1
+    """,
+    ops=("X18",),
+)
+def x18_badge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Badge/type trust scan ('TOP' in str(badges).upper() or type ==
+    'pro', poller.py:672-673): exists() over a null-holding array +
+    equality, as one codegen'd predicate."""
+    events = _t(spark, sf_dir, "events")
+    badges = F.array(
+        F.lit("seller"),
+        F.col("event_type"),
+        F.when(F.col("user_id") % 5 == 0, "TOP10"),
+    )
+    typ = F.when(F.col("user_id") % 3 == 0, "pro").otherwise("individual")
+    trusted = (
+        F.exists(badges, lambda b: b.isNotNull() & F.upper(b).contains("TOP"))
+        | (typ == "pro")
+    )
+    return events.select(trusted.alias("trusted")).groupBy("trusted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "x19_geo_struct",
+    oracle="""
+    SELECT event_id,
+           round((value % 90) + 1e-6, 2)                    AS lat,
+           round((CAST(user_id % 360 AS DOUBLE) - 180) + 1e-6, 2) AS lon
+    FROM events
+    """,
+    ops=("X19",),
+)
+def x19_geo_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-point struct construction (poller.py:712-714): build the
+    nested {geo: {lat, lon}} struct, then project the fields back out
+    (struct round-trip; flat scalars keep the oracle engine-neutral)."""
+    events = _t(spark, sf_dir, "events")
+    geo = F.struct(
+        _r(F.col("value") % 90, 2).alias("lat"),
+        _r((F.col("user_id") % 360).cast("double") - 180, 2).alias("lon"),
+    )
+    return events.select("event_id", geo.alias("geo")).select(
+        "event_id", F.col("geo.lat").alias("lat"), F.col("geo.lon").alias("lon")
     )
 
 
