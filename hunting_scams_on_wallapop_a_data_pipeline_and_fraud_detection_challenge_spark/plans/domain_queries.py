@@ -575,3 +575,62 @@ def ud2_spec_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_specs(listings, title_col="title", desc_col="description")
     return out.select("doc_id", "cpu", "ram", "gpu", "category", "condition_regex")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: §3.2 stats build feeding the §3.1 risk engine (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("rp01_end_to_end_risk", oracle=None, ops=("PIPELINE",))
+def rp01_end_to_end_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full production loop in one plan: synthesize a
+    listing corpus from documents, build the market-stats dims from it
+    (operators/stats.py = §3.2), broadcast them back into the composed
+    risk scorer with gated user enrichment (operators/risk.py = §3.1).
+    Rows-only (regex extraction isn't RE2-expressible); the per-stage
+    semantics are pinned by tests/test_risk_pipeline.py fixtures."""
+    from ..operators.risk import score_listings
+    from ..operators.stats import build_market_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 4
+    title = (
+        F.when(variant == 0, "Portatil gaming i7 rtx 3060 16gb")
+        .when(variant == 1, "Macbook air m2 como nuevo")
+        .when(variant == 2, "Chromebook celeron barato")
+        .otherwise("Portatil basico para oficina")
+    )
+    listings = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        title.alias("title"),
+        F.col("text").alias("description"),
+        ((F.col("n_chars") % 900) + 50.0).alias("price"),
+        F.when(F.col("doc_id") % 5 == 0, "new").alias("api_condition"),
+        (F.col("doc_id") % 7 == 0).alias("is_refurbished"),
+        (F.col("doc_id") % 50).alias("user_id"),
+    )
+    users = (
+        listings.select(F.col("user_id")).distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * 37) % 1000).cast("int").alias("register_days"),
+            F.when(F.col("user_id") % 9 == 0, F.array(F.lit("TOP")))
+            .otherwise(F.array(F.lit("seller"))).alias("badges"),
+            F.when(F.col("user_id") % 3 == 0, "pro").otherwise("individual").alias("user_type"),
+            F.when(F.col("user_id") % 25 == 0, 1).otherwise(0).alias("scam_reports"),
+        )
+    )
+    reviews = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("user_id"),
+        (F.col("value") % 100).alias("scoring"),
+    )
+    specced = with_specs(listings, title_col="title", desc_col="description").persist()
+    prime, comp, _secondary = build_market_stats(specced, specs_ready=True)
+    return score_listings(
+        specced, prime, comp, users=users, reviews=reviews, specs_ready=True
+    ).select(
+        "id", "price", "category", "condition", "fallback_used",
+        "composite_z", "estimated_value", "risk_score", "enriched",
+        F.concat_ws("; ", "risk_factors").alias("risk_factors"),
+    )

@@ -509,24 +509,33 @@ def a11_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("A12", "X22", "K2"),
 )
 def a12_top_terms_other(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Terms agg with Other bucket: explode → count → rank top-20 →
-    union a remainder row (the Painless multi-emit X22 shape: explode of
-    a derived array)."""
+    """Terms agg with Other bucket: explode → count → top-20 → union a
+    remainder row (the Painless multi-emit X22 shape: explode of a
+    derived array).
+
+    Scale shape: top-20 via orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort or
+    single-partition rank window — a row_number() over an unpartitioned
+    window would serialize the whole term dictionary through one task
+    at 100 TB). "Other" = grand total − top-20 total: one extra tiny
+    aggregate of the already-shuffled counts, joined crosswise."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    ranked = counts.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word")))
-    )
-    top = ranked.filter(F.col("rk") <= 20).select("word", "n")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).persist()
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(20)
+    total = counts.agg(F.sum("n").alias("total"))
+    top_total = top.agg(F.sum("n").alias("top_n"))
     other = (
-        ranked.filter(F.col("rk") > 20)
-        .agg(F.sum("n").alias("n"))
-        .select(F.lit("__OTHER__").alias("word"), "n")
+        total.crossJoin(top_total)
+        .select(
+            F.lit("__OTHER__").alias("word"),
+            (F.col("total") - F.col("top_n")).alias("n"),
+        )
+        .filter(F.col("n") > 0)
     )
-    return top.unionByName(other)
+    return top.select("word", "n").unionByName(other)
 
 
 # ---------------------------------------------------------------------------
