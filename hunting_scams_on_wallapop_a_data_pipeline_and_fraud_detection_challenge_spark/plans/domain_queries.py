@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.conditions import detect_condition
+from ..functions.factors import normalize_risk_factors
 from ..functions.textprep import SPAM_INDICATORS, truncate_spam
 from ..functions.specs import with_specs
 from .queries import _r, _t, query
@@ -138,6 +139,103 @@ def x22_factor_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         events.select(F.explode(arr).alias("factor"))
+        .groupBy("factor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X22 full fidelity — the Painless risk_factor_normalized runtime field
+# reference: kibana/dashboard_export.ndjson:1 (~80-line script)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x22_painless_normalizer",
+    oracle="""
+    WITH synth AS (
+        SELECT list_filter([
+            CASE event_type
+                 WHEN 'click' THEN 'Trusted Seller (12+ reviews)'
+                 WHEN 'view' THEN 'Statistically Cheap (Z=-2.10) [USED]'
+                 WHEN 'error' THEN 'External Contact'
+                 WHEN 'purchase' THEN
+                     concat('Suspicious keywords found: [', chr(39), 'estafa',
+                            chr(39), ', ', chr(39), 'urgente', chr(39), ']')
+                 ELSE 'Weird Unmapped Factor' END,
+            CASE WHEN value > 400 THEN 'EXTREME Price Anomaly' END,
+            CASE WHEN user_id % 11 = 0 THEN 'Dormant Account' END
+        ], x -> x IS NOT NULL) AS factors
+        FROM events
+    ),
+    per AS (
+        SELECT unnest(factors) AS f FROM synth
+    ),
+    emitted AS (
+        SELECT unnest(
+            CASE
+            WHEN contains(f, 'Trusted Seller') OR contains(f, 'TOP SELLER')
+                 THEN []::VARCHAR[]
+            WHEN contains(f, 'Price is <40%') THEN ['Critical Price Drop (<40% val.)']
+            WHEN contains(f, 'Statistically Cheap') THEN ['Statistically Cheap (Z-Score)']
+            WHEN contains(f, 'EXTREME Price Anomaly') THEN ['EXTREME Price Anomaly']
+            WHEN contains(f, 'External Contact') THEN ['External Contact Attempt']
+            WHEN contains(f, 'Very Short Description') THEN ['Low Quality Desc.']
+            WHEN contains(f, 'Low Image Count') THEN ['Missing Photos (0-1)']
+            WHEN contains(f, 'Aggressive Title') THEN ['Aggressive Title (CAPS)']
+            WHEN contains(f, 'Risky Payment') THEN ['Risky Payment Method']
+            WHEN contains(f, 'User registered') OR contains(f, 'New User')
+                 THEN ['New User (<48h)']
+            WHEN contains(f, 'User has Scam Reports') THEN ['User Reported as Scam']
+            WHEN contains(f, 'No Reviews') OR contains(f, 'Dormant Account')
+                 THEN ['No Reputation / Dormant']
+            WHEN contains(f, 'Suspicious keywords') OR contains(f, 'Keyword found')
+                 THEN list_transform(
+                     list_filter(
+                         list_transform(
+                             string_split(
+                                 regexp_replace(
+                                     CASE WHEN regexp_matches(f, '\\[.*\\]')
+                                          THEN regexp_extract(f, '\\[(.*)\\]', 1)
+                                          WHEN contains(f, ':')
+                                          THEN regexp_replace(f, '^[^:]*:', '')
+                                          ELSE f END,
+                                     concat('[', chr(39), '"', ']'), '', 'g'),
+                                 ','),
+                             k -> trim(k)),
+                         k -> length(k) > 0),
+                     k -> concat('"', k, '"'))
+            ELSE [f] END) AS factor
+        FROM per
+    )
+    SELECT factor, count(*) AS n FROM emitted GROUP BY factor
+    """,
+    ops=("X22", "UD3"),
+)
+def x22_painless_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful X22: synthesize reference-format factor strings (one
+    per Painless branch class, incl. the quoted-keyword-list payload),
+    normalize with functions/factors.py — positives dropped, canonical
+    labels, keyword multi-emit, raw fallback — explode and count."""
+    events = _t(spark, sf_dir, "events")
+    synth = F.array_compact(
+        F.array(
+            F.when(F.col("event_type") == "click", F.lit("Trusted Seller (12+ reviews)"))
+            .when(F.col("event_type") == "view", F.lit("Statistically Cheap (Z=-2.10) [USED]"))
+            .when(F.col("event_type") == "error", F.lit("External Contact"))
+            .when(
+                F.col("event_type") == "purchase",
+                F.lit("Suspicious keywords found: ['estafa', 'urgente']"),
+            )
+            .otherwise(F.lit("Weird Unmapped Factor")),
+            F.when(F.col("value") > 400, F.lit("EXTREME Price Anomaly")),
+            F.when(F.col("user_id") % 11 == 0, F.lit("Dormant Account")),
+        )
+    )
+    return (
+        events.select(
+            F.explode(normalize_risk_factors(synth)).alias("factor")
+        )
         .groupBy("factor")
         .agg(F.count(F.lit(1)).alias("n"))
     )
