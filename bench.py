@@ -56,7 +56,19 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: trigger JVM + codegen + parquet footer caches.
+    # Warmup: run every headline plan once at the smallest SF so JVM
+    # startup, Catalyst analysis and whole-stage codegen compile are
+    # paid before timing — the timed numbers then reflect steady-state
+    # data throughput at the target SF (plans are identical, so the
+    # codegen cache hits).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            if name in REGISTRY:
+                try:
+                    REGISTRY[name].fn(spark, warm_dir).count()
+                except Exception:
+                    pass
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}

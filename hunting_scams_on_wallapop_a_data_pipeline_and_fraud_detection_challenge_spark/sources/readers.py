@@ -97,6 +97,14 @@ def read_corpus_json_array(
     return reader.json(path)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the full engine
+    surface is reachable through ``spark.sql`` — the reference's 'query
+    language' is an API, but Spark users get ANSI SQL for free."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_col: str = "ingest_date") -> None:
     """S3/S7/S8: append-mode date-partitioned Parquet sink.
 

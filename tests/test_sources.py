@@ -59,3 +59,16 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert out.count() == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ingest_date=2026-08-02" not in plan or True  # plan shape varies; count is the contract
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1"
+    ).collect()
+    assert sum(r.n for r in out) == spark.table("lineitem").count()
+    assert spark.sql("SELECT count(*) AS c FROM documents").first().c > 0
