@@ -45,6 +45,7 @@ HEADLINE = [
     "dd03_simhash",
     "nn01_cosine_topk",
     "nn02_lsh_ann",
+    "nn03_ivf_ann",
     "txt02_quality_scores",
     "mm01_media_features",
 ]

@@ -653,6 +653,100 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: KMeans coarse quantization + probe nearest cells
+# ---------------------------------------------------------------------------
+
+
+_IVF_CELLS = 16
+_IVF_PROBES = 4
+
+
+@query("nn03_ivf_ann", oracle=None, ops=("ANN-IVF",))
+def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, the second scale path next to hyperplane LSH:
+    Spark ML KMeans (fixed seed) builds a 16-cell coarse quantizer; each
+    corpus vector is assigned to its cell (the inverted file), each
+    query probes its 4 nearest centroids, and exact cosine ranks only
+    the probed cells — ~nprobe/ncells of brute-force work.
+
+    Rows-only: KMeans isn't reproducible in DuckDB. Quality is pinned
+    instead by tests/test_ann_recall.py, which measures recall@k against
+    the exact nn01 ranking (≥0.6 at 4/16 probes on the driver corpus).
+
+    At 100 TB: the centroid fit runs on a sample, centroids broadcast,
+    assignment is a map-side transform, and the probe join is an
+    equi-join on a small int cell id — no all-pairs stage anywhere."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .filter(F.col("nrm") > 0)
+        .withColumn("features", array_to_vector(F.col("v")))
+    )
+    km = KMeans(k=_IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(base.select("features"))
+    assigned = model.transform(base).drop("features")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _cell_dists(vec):
+        # squared L2 distance to every centroid, as one array expression
+        return F.array(
+            *[
+                _fold_sum(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    )
+                )
+                for c in centroids
+            ]
+        )
+
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                _cell_dists(F.col("v")),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        ),
+        1,
+        _IVF_PROBES,
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probes).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: Arrow-batched feature extraction over binary payloads
 # ---------------------------------------------------------------------------
 
