@@ -1,0 +1,52 @@
+"""Physical-plan regression gates: the scale properties we designed for
+must stay visible in the executed plan — broadcast joins (facts never
+shuffle for dim math), predicate pushdown into parquet scans, and
+TakeOrdered-style top-k instead of global sorts."""
+
+from __future__ import annotations
+
+import pytest
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+    REGISTRY,
+)
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a06_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a06_weighted_zscore")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, bt, b dims
+    assert "SortMergeJoin" not in plan  # the fact side must never shuffle
+
+
+def test_f08_gate_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "f08_gated_enrichment")
+    assert "PushedFilters: [Or(GreaterThan(l_extendedprice" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_j03_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j03_enrichment_join")
+    # lineitem scan must read only join keys + the aggregated column
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_a11_topk_has_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a11_top_users")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_a12_other_bucket_avoids_rank_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a12_top_terms_other")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # the old single-partition rank is gone
+
+
+def test_nn01_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "nn01_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+    assert "WindowGroupLimit" in plan  # per-partition top-k pushdown
