@@ -81,10 +81,72 @@ def windowed_alert_counts(
 
 
 def deduped_alerts(stream: DataFrame, buffer: str = BUFFER) -> DataFrame:
-    """ST6: one alert per item id within the watermark horizon —
-    the ElastAlert writeback-index realert suppression, scoped (as
-    documented in SURVEY §7) to watermarked dedupe by id."""
+    """ST6 (simple form): one alert per item id within the watermark
+    horizon — watermarked dropDuplicates. See ``realert_suppressed``
+    for the faithful ElastAlert realert semantics."""
     return stream.withWatermark("crawl_timestamp", buffer).dropDuplicates(["id"])
+
+
+#: ElastAlert default realert window (SURVEY §7 hard part 5).
+REALERT_MINUTES = 30
+
+
+def realert_suppressed(
+    stream: DataFrame, realert_minutes: int = REALERT_MINUTES
+) -> DataFrame:
+    """ST6 (faithful form): ElastAlert's writeback-index realert rule —
+    after an alert fires for a key, further matches for the SAME key are
+    suppressed until ``realert`` time has passed, measured in event
+    time; a later match re-fires and restarts the window.
+
+    Custom stateful operator via ``applyInPandasWithState``: state per
+    item id = last fired event-time; each micro-batch emits only rows
+    that clear the window and advances the state. State is tiny (one
+    timestamp per recently-alerted key), partitioned by key, restored
+    from the checkpoint on restart — the distributed twin of the
+    reference's writeback index (``elastalert/config.yaml:11``).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("web_slug", T.StringType()),
+            T.StructField("risk_score", T.IntegerType()),
+            T.StructField("risk_factors", T.ArrayType(T.StringType())),
+            T.StructField("crawl_timestamp", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_fired_us", T.LongType())])
+    realert_us = realert_minutes * 60 * 1_000_000
+
+    def fire(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            for _, row in pdf.sort_values("crawl_timestamp").iterrows():
+                ts_us = int(pd.Timestamp(row["crawl_timestamp"]).value // 1000)
+                if last is None or ts_us - last >= realert_us:
+                    rows.append(row)
+                    last = ts_us
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(rows) if rows else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+        )
+
+    return (
+        stream.groupBy("id")
+        .applyInPandasWithState(
+            fire,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def format_alerts(matches: DataFrame) -> DataFrame:

@@ -91,3 +91,67 @@ def test_windowed_frequency_general_form(spark, tmp_path):
     q.awaitTermination(120)
     out = {r.window_start.minute: r.n for r in spark.sql("select * from winalerts").collect()}
     assert out == {0: 2}  # only the 10:00-10:10 window reaches num_events=2
+
+
+def test_realert_suppression_stateful(spark, tmp_path):
+    """Faithful ST6: same-id matches inside the realert window are
+    suppressed; a match after the window re-fires; state survives a
+    checkpointed restart."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.alerts import (
+        realert_suppressed,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_ndjson(
+        landing / "b1.json",
+        [
+            _listing(1, 90, "2026-08-13T10:00:00"),            # fires
+            _listing(2, 91, "2026-08-13T10:05:00", dup="it1"),  # +5m suppressed
+            _listing(3, 92, "2026-08-13T10:40:00", dup="it1"),  # +40m re-fires
+            _listing(4, 93, "2026-08-13T10:00:00"),            # other key fires
+        ],
+    )
+
+    rows: list[tuple] = []
+
+    def run():
+        stream = read_listing_stream(spark, str(landing))
+
+        def sink(batch_df, batch_id):
+            rows.extend(
+                (r.id, r.crawl_timestamp.isoformat(), r.risk_score)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            realert_suppressed(stream, realert_minutes=30)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(rows) == [
+        ("it1", "2026-08-13T10:00:00", 90),
+        ("it1", "2026-08-13T10:40:00", 92),
+        ("it4", "2026-08-13T10:00:00", 93),
+    ]
+
+    # restart: state restored from checkpoint — 10:50 still inside the
+    # window opened at 10:40 (suppressed), 11:30 re-fires
+    _write_ndjson(
+        landing / "b2.json",
+        [
+            _listing(5, 94, "2026-08-13T10:50:00", dup="it1"),
+            _listing(6, 95, "2026-08-13T11:30:00", dup="it1"),
+        ],
+    )
+    run()
+    fired = [(i, ts) for i, ts, _ in rows]
+    assert ("it1", "2026-08-13T11:30:00") in fired
+    assert ("it1", "2026-08-13T10:50:00") not in fired
