@@ -102,6 +102,33 @@ def a01_grouped_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1 scale path — approximate median for 100 TB aggregation
+# ---------------------------------------------------------------------------
+@query("a01b_approx_stats_scale_path", oracle=None, ops=("A1-APPROX",))
+def a01b_approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of A1: exact ``median`` is a sort-based aggregate
+    whose per-group buffers grow with group size; ``approx_percentile``
+    (KLL-style mergeable sketch, bounded memory, 0.1% accuracy here)
+    keeps the aggregation one-pass map-side-combinable at any scale.
+    Rows-only (DuckDB's approx_quantile is a different sketch);
+    accuracy vs the exact a01 median is gated by
+    tests/test_scale_paths.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.avg("l_extendedprice"), 2).alias("mean_price"),
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+                "approx_median_price"
+            ),
+            _r(F.stddev_samp("l_extendedprice"), 2).alias("stdev_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2 — component-level stats (category × condition × comp_type × comp_name)
 # reference: poller/regex_analyzer.py:954-959,988-998
 # ---------------------------------------------------------------------------

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Regenerate SURVEY.md §8 (the operator coverage map) from the live
+query REGISTRY. Run after adding/removing queries:
+
+    python scripts/gen_coverage.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (  # noqa: E402
+    REGISTRY,
+)
+
+SURVEY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md")
+MARKER = "\n---\n\n## 8. Coverage map"
+
+MANUAL = {
+    "S1": "`sources/readers.py:read_listings_ndjson` + `streaming/alerts.py:read_listing_stream` — tests/test_sources.py, tests/test_streaming_alerts.py",
+    "S2": "pre-fetched side tables + broadcast joins — see J3/J4 queries",
+    "S3": "`sources/readers.py:write_partitioned` — tests/test_multimodal_retention.py",
+    "S4": "Structured Streaming checkpoint — tests/test_streaming_alerts.py (resume case)",
+    "S5": "`sources/readers.py:read_corpus_json_array` — tests/test_sources.py",
+    "S6": "native partitioned scan (free in Spark) — every query; SQL surface via `readers.register_views` (tests/test_sources.py)",
+    "S7": "`sources/readers.py:write_partitioned` + `operators/export.py:to_es_documents` (index_template.json document shape, tests/test_risk_pipeline.py) — tests/test_multimodal_retention.py",
+    "S8": "`operators/retention.py:drop_expired` — tests/test_multimodal_retention.py",
+    "S9": "`streaming/alerts.py:start_alert_query(available_now=True)` — tests/test_streaming_alerts.py",
+    "ST2": "`streaming/alerts.py` trigger(processingTime) / AvailableNow — tests/test_streaming_alerts.py",
+    "ST3": "`streaming/alerts.py:windowed_alert_counts` watermark — tests/test_streaming_alerts.py",
+    "ST4": "`streaming/alerts.py:fresh_only` — tests/test_streaming_alerts.py (stale row dropped)",
+    "ST5": "`streaming/alerts.py:format_alerts` — tests/test_streaming_alerts.py (subject/body asserted)",
+    "ST6": "`streaming/alerts.py:deduped_alerts` (watermarked dedupe) + `realert_suppressed` (faithful ElastAlert realert via applyInPandasWithState, checkpoint-restored state) — tests/test_streaming_alerts.py",
+    "ST7": "checkpointLocation resume — tests/test_streaming_alerts.py (second run, no re-fire)",
+}
+
+ORDER = (
+    [f"S{i}" for i in range(1, 10)]
+    + [f"F{i}" for i in range(1, 10)]
+    + [f"J{i}" for i in range(1, 6)]
+    + [f"A{i}" for i in range(1, 15)]
+    + [f"W{i}" for i in range(1, 4)]
+    + [f"K{i}" for i in range(1, 7)]
+    + [f"U{i}" for i in range(1, 4)]
+    + [f"X{i}" for i in range(1, 24)]
+    + [f"ST{i}" for i in range(1, 8)]
+    + ["UD1", "UD2", "UD3"]
+)
+
+HEADER = """
+---
+
+## 8. Coverage map (implementation session)
+
+Every SURVEY §2 operator id → where it is implemented and verified.
+"query" entries are registered in `__spark_entry__.queries()` and
+hash-checked against their DuckDB `oracle_sql()` at sf0.01 (rows-only
+where marked); module entries are pinned by the named pytest suites.
+The composed production pipelines (§3.1 scoring, §3.2 stats build) live
+in `operators/risk.py` / `operators/stats.py`, fixture-tested in
+tests/test_risk_pipeline.py, registered end-to-end as
+`rp01_end_to_end_risk`, exported to the ES document shape by
+`operators/export.py`, and feeding the Spark ML fraud classifier in
+`operators/ml.py` (tests/test_ml_fraud.py). Approximate operators (ANN,
+sketch aggregates) are quality-gated against their exact twins
+(tests/test_ann_recall.py, tests/test_scale_paths.py).
+
+| op | coverage |
+|---|---|"""
+
+
+def main() -> None:
+    covered: dict[str, list[str]] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        for op in spec.ops:
+            covered.setdefault(op, []).append(
+                name + ("" if spec.oracle else " (rows-only)")
+            )
+    lines = [HEADER]
+    missing = []
+    for op in ORDER:
+        if op in covered:
+            lines.append(f"| {op} | query: {', '.join(f'`{q}`' for q in covered[op])} |")
+        elif op in MANUAL:
+            lines.append(f"| {op} | {MANUAL[op]} |")
+        else:
+            missing.append(op)
+            lines.append(f"| {op} | MISSING |")
+    lines.append(
+        "\nNorth-star training-data + pipeline operators (beyond the reference surface):\n\n| op | coverage |\n|---|---|"
+    )
+    for op in sorted(op for op in covered if op not in ORDER):
+        lines.append(f"| {op} | query: {', '.join(f'`{q}`' for q in covered[op])} |")
+
+    src = open(SURVEY).read()
+    if MARKER in src:
+        src = src[: src.index(MARKER)]
+    open(SURVEY, "w").write(src + "\n".join(lines) + "\n")
+    print(f"coverage map regenerated; MISSING={missing or 'none'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ minutes in analysis for zero extra coverage.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.risk import (
     score_listings,
@@ -180,3 +181,42 @@ def test_stats_builder_roundtrip(spark):
     assert c[("gpu", "NVIDIA RTX 3060")]["count"] == 3
     s = {r.segment: r for r in secondary.collect()}
     assert s["UNCERTAIN"]["count"] == 5 and s["UNCERTAIN"].mean == 2.0
+
+
+def test_es_document_export_schema(spark, scored):
+    """Output contract: the exported document tree carries the ES
+    mapping's field paths (index_template.json:23-82)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        to_es_documents,
+    )
+
+    cols = (
+        "id string, title string, description string, price double, "
+        "user_id long, category string, condition string, cpu string, "
+        "ram string, gpu string, composite_z double, estimated_value double, "
+        "fallback_used boolean, risk_score int, risk_factors array<string>"
+    )
+    data = [
+        (
+            r.id, r.title, r.description, r.price, r.user_id, r.category,
+            r.condition, r.cpu, str(r.ram) if r.ram is not None else None,
+            r.gpu, r.composite_z, r.estimated_value, bool(r.fallback_used),
+            int(r.risk_score), list(r.risk_factors),
+        )
+        for r in scored.values()
+    ]
+    sdf = spark.createDataFrame(data, cols)
+    docs = to_es_documents(sdf)
+    schema = docs.schema
+    assert schema["price"].dataType.fieldNames() == ["amount", "currency"]
+    loc = schema["location"].dataType
+    assert "geo" in loc.fieldNames()
+    assert loc["geo"].dataType.fieldNames() == ["lat", "lon"]
+    enr = schema["enrichment"].dataType
+    assert enr.fieldNames() == ["risk_score", "risk_factors", "market_analysis"]
+    ma = enr["market_analysis"].dataType
+    assert ma["specs_detected"].dataType.fieldNames() == ["cpu", "ram", "gpu"]
+    row = docs.filter(F.col("id") == "a").first()
+    assert row.enrichment.risk_score == 70
+    assert row.enrichment.market_analysis.detected_category == "GAMING"
+    assert row.price.amount == 200.0 and row.price.currency == "EUR"
