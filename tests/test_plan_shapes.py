@@ -50,3 +50,42 @@ def test_nn01_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nn01_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
     assert "WindowGroupLimit" in plan  # per-partition top-k pushdown
+
+
+def test_nested_schema_pruning_on_export(spark, sf_dir, tmp_path):
+    """The exported document tree must support nested-column pruning:
+    selecting one leaf of `enrichment` reads only that leaf from
+    parquet, not the whole struct (critical for dashboard queries over
+    wide documents at scale)."""
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        to_es_documents,
+    )
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    flat = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("t").alias("title"),
+        F.col("text").alias("description"),
+        F.lit(100.0).alias("price"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("GAMING").alias("category"),
+        F.lit("USED").alias("condition"),
+        F.lit("INTEL I7").alias("cpu"),
+        F.lit("16").alias("ram"),
+        F.lit(None).cast("string").alias("gpu"),
+        F.lit(-2.0).alias("composite_z"),
+        F.lit(500.0).alias("estimated_value"),
+        F.lit(False).alias("fallback_used"),
+        F.lit(70).alias("risk_score"),
+        F.array(F.lit("External Contact")).alias("risk_factors"),
+    )
+    path = str(tmp_path / "docs_parquet")
+    to_es_documents(flat).write.parquet(path)
+    scan = spark.read.parquet(path).select(F.col("enrichment.risk_score"))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<enrichment:struct<risk_score:int>>" in plan
