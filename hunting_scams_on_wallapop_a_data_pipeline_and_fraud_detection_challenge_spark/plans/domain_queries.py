@@ -475,6 +475,122 @@ def ud1_spam_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2 (structured path) — hidden-price extraction, first-match semantics
+# reference: poller/regex_analyzer.py:69-76,174-204
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x02_hidden_price_structured",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'vendo por ' || CAST(50 + doc_id % 900 AS VARCHAR)
+                         || ' euros ' || text
+                    WHEN doc_id % 4 = 1
+                    THEN 'precio: ' || CAST(doc_id % 15 AS VARCHAR) || ' eur ' || text
+                    ELSE text END AS body
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       regexp_extract_all(lower(body),
+                           '(?:precio|valor|vende|vendo|pido|oferta)[:\\s]*(?:por)?\\s*(\\d{2,4})(?:[\\.,]\\d{2})?\\s*(?:€|eur|euros)',
+                           1),
+                       x -> CAST(x AS DOUBLE)),
+                   v -> v > 20) AS vals
+        FROM synth
+    )
+    SELECT doc_id, vals[1] AS hidden_price
+    FROM ex WHERE len(vals) > 0
+    """,
+    ops=("X2",),
+)
+def x02_hidden_price_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured hidden-price pattern with FIRST-match-over-20
+    semantics (regex_analyzer.py:174-204) — a deterministic price
+    phrase is injected into some docs ('vendo por N euros' valid,
+    'precio: N eur' below the 20 threshold for most) so both the match
+    and the threshold branches execute."""
+    docs = _t(spark, sf_dir, "documents")
+    body = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("vendo por "),
+                (50 + F.col("doc_id") % 900).cast("string"),
+                F.lit(" euros "),
+                F.col("text"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("precio: "),
+                (F.col("doc_id") % 15).cast("string"),
+                F.lit(" eur "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    pat = (
+        r"(?:precio|valor|vende|vendo|pido|oferta)[:\s]*(?:por)?\s*"
+        r"(\d{2,4})(?:[\.,]\d{2})?\s*(?:€|eur|euros)"
+    )
+    vals = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.lower(body), F.lit(pat), 1),
+            lambda x: x.cast("double"),
+        ),
+        lambda v: v > 20,
+    )
+    return (
+        docs.select("doc_id", F.get(vals, 0).alias("hidden_price"))
+        .filter(F.col("hidden_price").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — nested/dynamic field projection (JSON props access, null-safe)
+# reference: poller/poller.py:626-638 (.get() chains over dynamic fields)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f09_nested_json_projection",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n,
+           round((avg(CAST(json_extract_string(props, '$.k') AS INT))) + 1e-6, 2)
+               AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+    ops=("F9",),
+)
+def f09_nested_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-field access: the reference's .get() chains over
+    semi-structured docs become null-safe JSON path extraction
+    (the ES dynamic-template open world). get_json_object stays
+    codegen'd; for hot paths, from_json with an explicit schema
+    lets Catalyst prune into the parse."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F6 — condition normalization with fallback precedence API > flag > regex
 # reference: poller/poller.py:248-281,630-634; regex_analyzer.py:320-369
 # ---------------------------------------------------------------------------
