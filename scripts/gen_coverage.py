@@ -28,7 +28,7 @@ MANUAL = {
     "S6": "native partitioned scan (free in Spark) — every query; SQL surface via `readers.register_views` (tests/test_sources.py)",
     "S7": "`sources/readers.py:write_partitioned` + `operators/export.py:to_es_documents` (index_template.json document shape, tests/test_risk_pipeline.py) — tests/test_multimodal_retention.py",
     "S8": "`operators/retention.py:drop_expired` — tests/test_multimodal_retention.py",
-    "S9": "`streaming/alerts.py:start_alert_query(available_now=True)` — tests/test_streaming_alerts.py",
+    "S9": "`operators/pipeline.py:run_ingest_batch` (poll→score→export→partitioned write→retention, corrupt-line quarantine) + `streaming/alerts.py:start_alert_query(available_now=True)` — tests/test_risk_pipeline.py, tests/test_streaming_alerts.py",
     "ST2": "`streaming/alerts.py` trigger(processingTime) / AvailableNow — tests/test_streaming_alerts.py",
     "ST3": "`streaming/alerts.py:windowed_alert_counts` watermark — tests/test_streaming_alerts.py",
     "ST4": "`streaming/alerts.py:fresh_only` — tests/test_streaming_alerts.py (stale row dropped)",

@@ -220,3 +220,46 @@ def test_es_document_export_schema(spark, scored):
     assert row.enrichment.risk_score == 70
     assert row.enrichment.market_analysis.detected_category == "GAMING"
     assert row.price.amount == 200.0 and row.price.currency == "EUR"
+
+
+def test_run_ingest_batch_end_to_end(spark, tmp_path):
+    """S9 orchestrator: NDJSON landing (with a corrupt line) → score →
+    ES-shaped date-partitioned parquet → retention drop."""
+    import datetime as dt
+    import json
+    import os
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.pipeline import (
+        run_ingest_batch,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"id": "p1", "title": "Portatil gaming i7 rtx 3060", "description": LONG_DESC,
+         "price": 200.0, "user_id": 9, "latitude": 40.4, "longitude": -3.7},
+        {"id": "p2", "title": "Portatil basico", "description": LONG_DESC,
+         "price": 350.0, "user_id": 9},
+    ]
+    (landing / "d.json").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n{broken json\n"
+    )
+    prime = spark.createDataFrame(
+        [("GAMING", "USED", 500.0, 100.0)],
+        "category string, condition string, mean double, stdev double",
+    )
+    comp = spark.createDataFrame(
+        [], "category string, condition string, comp_type string, comp_name string, mean double, stdev double"
+    )
+    out = str(tmp_path / "lake")
+    # seed an expired partition to prove the cleanup leg runs
+    os.makedirs(os.path.join(out, "ingest_date=2020-01-01"))
+    n = run_ingest_batch(spark, str(landing), prime, comp, out, retain_days=30)
+    assert n == 2
+    lake = spark.read.parquet(out)
+    assert lake.count() == 2
+    r = {x.id: x for x in lake.collect()}
+    assert r["p1"].enrichment.market_analysis.detected_category == "GAMING"
+    assert r["p1"].location.geo.lat == 40.4
+    assert r["p2"].location.geo is None
+    assert not os.path.exists(os.path.join(out, "ingest_date=2020-01-01"))
