@@ -653,6 +653,89 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the MinHash pair graph
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dd02 pair pipeline (same canonical plan → Spark's cache
+    manager shares the persisted shingle table with dd02 runs)."""
+    return dd02_minhash_lsh_pairs(spark, sf_dir)
+
+
+_CC_SQL = f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql().replace("round((CAST(i AS DOUBLE) / (sab - i)) + 1e-6, 4) AS jaccard", "1 AS one")}
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS root FROM nodes
+        UNION
+        SELECT e.b AS node, r.root
+        FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@query("dd06_neardup_clusters", oracle=_CC_SQL, ops=("DEDUP-CLUSTER",))
+def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the verified near-dup
+    pair graph — each doc gets the MINIMUM reachable doc_id as its
+    cluster id (the canonical survivor), so 'keep one per cluster' is a
+    filter on doc_id == cluster_id.
+
+    Spark-first iterative algorithm: label propagation — every node
+    starts as its own label; each round takes the min of its neighbors'
+    labels; stop when no label changes (graph diameter bounds rounds).
+    Each round is one shuffle on the edge list; labels persist between
+    rounds. The oracle replays it as a recursive CTE (transitive
+    closure + min), fine at test scale while the iterative form is the
+    one that survives 100 TB."""
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a_id").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(30):  # diameter bound; tiny graphs converge in 2-4
+        neigh = (
+            edges.join(labels, edges.b_id == labels.node)
+            .groupBy(F.col("a_id").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: KMeans coarse quantization + probe nearest cells
 # ---------------------------------------------------------------------------
 
