@@ -742,38 +742,69 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELLS = 16
 _IVF_PROBES = 4
+_IVF_TRAIN_SAMPLE = 16384  # quantizer fit is sample-bounded (FAISS-style)
+
+
+def _fit_centroids(rows: list) -> list:
+    """Seeded k-means++ + Lloyd on the collected training sample.
+
+    The coarse quantizer of an IVF index is always trained on a bounded
+    sample (FAISS trains on ~39*k..256*k vectors regardless of corpus
+    size), so the fit is a driver-side numpy loop over ≤16k rows — no
+    per-iteration distributed job, which is what made the Spark ML
+    KMeans version pay seconds of scheduler fixed cost for milliseconds
+    of math. Deterministic: seeded rng, fixed iteration cap."""
+    import numpy as np
+
+    X = np.asarray(rows, dtype=np.float64)
+    k, n = _IVF_CELLS, X.shape[0]
+    rng = np.random.default_rng(42)
+    cent = np.empty((k, X.shape[1]))
+    cent[0] = X[int(rng.integers(n))]
+    d2 = ((X - cent[0]) ** 2).sum(1)
+    for i in range(1, k):
+        tot = d2.sum()
+        idx = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.integers(n))
+        cent[i] = X[idx]
+        d2 = np.minimum(d2, ((X - cent[i]) ** 2).sum(1))
+    for _ in range(25):
+        lab = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(2).argmin(1)
+        new = np.stack(
+            [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(k)]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return [list(map(float, c)) for c in cent]
 
 
 @query("nn03_ivf_ann", oracle=None, ops=("ANN-IVF",))
 def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN, the second scale path next to hyperplane LSH:
-    Spark ML KMeans (fixed seed) builds a 16-cell coarse quantizer; each
-    corpus vector is assigned to its cell (the inverted file), each
-    query probes its 4 nearest centroids, and exact cosine ranks only
-    the probed cells — ~nprobe/ncells of brute-force work.
+    a seeded sample-trained 16-cell coarse quantizer; each corpus
+    vector is assigned to its nearest centroid (the inverted file),
+    each query probes its 4 nearest centroids, and exact cosine ranks
+    only the probed cells — ~nprobe/ncells of brute-force work.
 
-    Rows-only: KMeans isn't reproducible in DuckDB. Quality is pinned
-    instead by tests/test_ann_recall.py, which measures recall@k against
-    the exact nn01 ranking (≥0.6 at 4/16 probes on the driver corpus).
+    Rows-only: the seeded k-means fit isn't reproducible in DuckDB.
+    Quality is pinned instead by tests/test_ann_recall.py, which
+    measures recall@k against the exact nn01 ranking.
 
-    At 100 TB: the centroid fit runs on a sample, centroids broadcast,
-    assignment is a map-side transform, and the probe join is an
-    equi-join on a small int cell id — no all-pairs stage anywhere."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    At 100 TB: the centroid fit runs on a bounded sample (one sorted
+    TAKE, driver-side numpy — see _fit_centroids), centroids broadcast
+    as literals, assignment is a map-side argmin expression inside
+    codegen, and the probe join is an equi-join on a small int cell id
+    — no all-pairs stage and no iterative distributed job anywhere."""
     emb = _t(spark, sf_dir, "embeddings")
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
         .filter(F.col("nrm") > 0)
-        .withColumn("features", array_to_vector(F.col("v")))
     )
-    km = KMeans(k=_IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(base.select("features"))
-    assigned = model.transform(base).drop("features")
-
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    sample = (
+        base.sort("vec_id").select("v").limit(_IVF_TRAIN_SAMPLE).collect()
+    )
+    centroids = _fit_centroids([r.v for r in sample])
 
     def _cell_dists(vec):
         # squared L2 distance to every centroid, as one array expression
@@ -790,16 +821,16 @@ def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    probes = F.slice(
-        F.array_sort(
+    def _ranked_cells(vec):
+        return F.array_sort(
             F.transform(
-                _cell_dists(F.col("v")),
+                _cell_dists(vec),
                 lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
             )
-        ),
-        1,
-        _IVF_PROBES,
-    )
+        )
+
+    assigned = base.withColumn("cell", F.element_at(_ranked_cells(F.col("v")), 1)["cell"])
+    probes = F.slice(_ranked_cells(F.col("v")), 1, _IVF_PROBES)
     q = (
         assigned.filter(F.col("vec_id") < _KNN_QUERIES)
         .select(
