@@ -438,7 +438,8 @@ def _hyperplane_signs(n_planes: int, dim: int = _EMB_DIM) -> list[list[float]]:
 def _bucket_col(vec, signs: list[list[float]]):
     out = F.lit(0)
     for j, plane in enumerate(signs):
-        lit_plane = F.array(*[F.lit(s) for s in plane])
+        # one parsed literal per plane, not dim F.lit() py4j round-trips
+        lit_plane = F.expr("array(" + ",".join(f"{s:.1f}D" for s in plane) + ")")
         out = out + F.when(_dot(vec, lit_plane) > 0, F.lit(1 << j)).otherwise(0)
     return out
 
@@ -753,10 +754,16 @@ def _fit_centroids(rows: list) -> list:
     size), so the fit is a driver-side numpy loop over ≤16k rows — no
     per-iteration distributed job, which is what made the Spark ML
     KMeans version pay seconds of scheduler fixed cost for milliseconds
-    of math. Deterministic: seeded rng, fixed iteration cap."""
+    of math. Deterministic: seeded rng, fixed iteration cap.
+
+    Zero vectors are dropped here (they carry no direction for cosine
+    ANN and would only pin a dead centroid). Distances go through the
+    ||x||^2 - 2<x,c> + ||c||^2 expansion so each Lloyd step is one
+    matmul instead of an n*k*d broadcast temp."""
     import numpy as np
 
     X = np.asarray(rows, dtype=np.float64)
+    X = X[(X**2).sum(1) > 0]
     k, n = _IVF_CELLS, X.shape[0]
     rng = np.random.default_rng(42)
     cent = np.empty((k, X.shape[1]))
@@ -767,8 +774,9 @@ def _fit_centroids(rows: list) -> list:
         idx = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.integers(n))
         cent[i] = X[idx]
         d2 = np.minimum(d2, ((X - cent[i]) ** 2).sum(1))
+    x2 = (X**2).sum(1)[:, None]
     for _ in range(25):
-        lab = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(2).argmin(1)
+        lab = (x2 - 2.0 * X @ cent.T + (cent**2).sum(1)[None, :]).argmin(1)
         new = np.stack(
             [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(k)]
         )
@@ -791,34 +799,39 @@ def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures recall@k against the exact nn01 ranking.
 
     At 100 TB: the centroid fit runs on a bounded sample (one sorted
-    TAKE, driver-side numpy — see _fit_centroids), centroids broadcast
-    as literals, assignment is a map-side argmin expression inside
-    codegen, and the probe join is an equi-join on a small int cell id
-    — no all-pairs stage and no iterative distributed job anywhere."""
+    TAKE of raw vectors, driver-side numpy — see _fit_centroids), the
+    centroid table ships as ONE constant-folded array<array<double>>
+    literal consumed by a transform() lambda (k*d scalar literals would
+    balloon the expression tree and recompile codegen per fit), and the
+    probe join is an equi-join on a small int cell id — no all-pairs
+    stage and no iterative distributed job anywhere."""
     emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    centroids = _fit_centroids([r.embedding for r in sample])
+    # one Literal after constant folding, not k*d scalar nodes; built as
+    # a single SQL string because k*d F.lit() py4j round-trips cost
+    # ~0.5s of driver time (repr() round-trips doubles exactly)
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
         .filter(F.col("nrm") > 0)
     )
-    sample = (
-        base.sort("vec_id").select("v").limit(_IVF_TRAIN_SAMPLE).collect()
-    )
-    centroids = _fit_centroids([r.v for r in sample])
 
     def _cell_dists(vec):
-        # squared L2 distance to every centroid, as one array expression
-        return F.array(
-            *[
-                _fold_sum(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    )
-                )
-                for c in centroids
-            ]
+        # squared L2 distance to every centroid: the centroid matrix is
+        # a single folded literal, so this stays O(1) plan nodes
+        return F.transform(
+            cent_arr,
+            lambda c: _fold_sum(F.zip_with(vec, c, lambda a, b: (a - b) * (a - b))),
         )
 
     def _ranked_cells(vec):
