@@ -697,7 +697,16 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one shuffle on the edge list; labels persist between
     rounds. The oracle replays it as a recursive CTE (transitive
     closure + min), fine at test scale while the iterative form is the
-    one that survives 100 TB."""
+    one that survives 100 TB.
+
+    Iteration hygiene (the classic iterative-algorithm failure mode at
+    scale): each round unpersists the superseded label table once its
+    successor is materialized, the lineage chain is cut with a
+    localCheckpoint every 5 rounds (otherwise an executor loss late in
+    the run replays every prior round), and the final result is
+    checkpointed so every intermediate cache — including the edge
+    list — can be released before returning. Net cached footprint on
+    exit: the one checkpointed label table."""
     pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -707,33 +716,41 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(30):  # diameter bound; tiny graphs converge in 2-4
+    for i in range(30):  # diameter bound; tiny graphs converge in 2-4
         neigh = (
             edges.join(labels, edges.b_id == labels.node)
             .groupBy(F.col("a_id").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .persist()
+        new_labels = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
         )
+        if (i + 1) % 5 == 0:
+            # cut lineage: checkpoint materializes to block storage and
+            # drops the join-groupBy chain accumulated so far
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
-            .count()
+            .count()  # also materializes new_labels' cache
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # checkpoint the result so the caches it was built from can be freed
+    # before the caller ever consumes it
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,23 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 )
 
 
+def test_dd06_releases_iteration_caches(spark, sf_dir):
+    """dd06 label propagation must not leak one cached table per round:
+    after the query is consumed, the only surviving cache entries are
+    the final checkpointed label table (1) and dd02's deliberately
+    shared shingle cache (1) — never the per-round label persists or
+    the edge list."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    out = REGISTRY["dd06_neardup_clusters"].fn(spark, sf_dir)
+    assert out.count() > 0
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (
+        f"dd06 leaked cached RDDs: {before} -> {after} "
+        "(per-round persists must be released)"
+    )
+
+
 def test_approx_median_within_tolerance(spark, sf_dir):
     exact = {
         (r.l_returnflag, r.l_linestatus): r.median_price
