@@ -92,7 +92,9 @@ REALERT_MINUTES = 30
 
 
 def realert_suppressed(
-    stream: DataFrame, realert_minutes: int = REALERT_MINUTES
+    stream: DataFrame,
+    realert_minutes: int = REALERT_MINUTES,
+    buffer: str = BUFFER,
 ) -> DataFrame:
     """ST6 (faithful form): ElastAlert's writeback-index realert rule —
     after an alert fires for a key, further matches for the SAME key are
@@ -101,11 +103,21 @@ def realert_suppressed(
 
     Custom stateful operator via ``applyInPandasWithState``: state per
     item id = last fired event-time; each micro-batch emits only rows
-    that clear the window and advances the state. State is tiny (one
-    timestamp per recently-alerted key), partitioned by key, restored
-    from the checkpoint on restart — the distributed twin of the
-    reference's writeback index (``elastalert/config.yaml:11``).
+    that clear the window and advances the state. State is partitioned
+    by key and restored from the checkpoint on restart — the
+    distributed twin of the reference's writeback index
+    (``elastalert/config.yaml:11``).
+
+    State is BOUNDED: every update registers an event-time timeout at
+    ``last_fired + realert`` — once the watermark passes that point the
+    key can no longer suppress anything (any on-time event would clear
+    the window anyway), so the entry is dropped. This mirrors ElastAlert
+    aging entries out of its writeback index; without it the state store
+    grows monotonically with distinct item ids over the job's lifetime.
+    The per-group fire scan is a searchsorted walk over the sorted
+    timestamp array — O(fired) steps, no per-row Python loop.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -122,29 +134,52 @@ def realert_suppressed(
     state_schema = T.StructType([T.StructField("last_fired_us", T.LongType())])
     realert_us = realert_minutes * 60 * 1_000_000
 
-    def fire(key, pdf_iter, state: GroupState):
-        last = state.get[0] if state.exists else None
-        rows = []
-        for pdf in pdf_iter:
-            for _, row in pdf.sort_values("crawl_timestamp").iterrows():
-                ts_us = int(pd.Timestamp(row["crawl_timestamp"]).value // 1000)
-                if last is None or ts_us - last >= realert_us:
-                    rows.append(row)
-                    last = ts_us
-        if last is not None:
-            state.update((last,))
-        yield pd.DataFrame(rows) if rows else pd.DataFrame(
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in out_schema.fields}
         )
 
+    def fire(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_fired + realert: the key can't
+            # suppress any on-time event anymore — age it out
+            state.remove()
+            yield _empty()
+            return
+        last = state.get[0] if state.exists else None
+        pdfs = [p for p in pdf_iter if len(p)]
+        fired = None
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            pdf = pdf.sort_values("crawl_timestamp", kind="stable").reset_index(drop=True)
+            ts = pdf["crawl_timestamp"].astype("int64").to_numpy() // 1000  # µs
+            idx: list[int] = []
+            i = 0 if last is None else int(np.searchsorted(ts, last + realert_us))
+            while i < len(ts):
+                idx.append(i)
+                last = int(ts[i])
+                i = int(np.searchsorted(ts, last + realert_us))
+            if idx:
+                fired = pdf.iloc[idx]
+        if last is not None:
+            state.update((int(last),))
+            # event-time timeouts must be re-registered per invocation
+            # and sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max(last // 1000 + realert_minutes * 60 * 1000,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        yield fired if fired is not None else _empty()
+
     return (
-        stream.groupBy("id")
+        stream.withWatermark("crawl_timestamp", buffer)
+        .groupBy("id")
         .applyInPandasWithState(
             fire,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -155,3 +155,59 @@ def test_realert_suppression_stateful(spark, tmp_path):
     fired = [(i, ts) for i, ts, _ in rows]
     assert ("it1", "2026-08-13T11:30:00") in fired
     assert ("it1", "2026-08-13T10:50:00") not in fired
+
+
+def test_realert_state_ages_out(spark, tmp_path):
+    """Bounded state (the 100-TB posture): once the watermark passes
+    last_fired + realert for a key, its state-store entry is dropped —
+    the store must NOT grow monotonically with distinct item ids."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.alerts import (
+        realert_suppressed,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows: list[str] = []
+    state_totals: list[int] = []
+
+    def run():
+        stream = read_listing_stream(spark, str(landing))
+
+        def sink(batch_df, batch_id):
+            rows.extend(r.id for r in batch_df.collect())
+
+        q = (
+            realert_suppressed(stream, realert_minutes=30)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        if totals:
+            state_totals.append(totals[-1])
+
+    # two keys fire at 10:00 -> state entries with timeouts at 10:30
+    _write_ndjson(
+        landing / "a.json",
+        [_listing(1, 90, "2026-08-13T10:00:00"), _listing(2, 90, "2026-08-13T10:00:00")],
+    )
+    run()
+    # a fresh key at 11:30 advances the watermark to 11:15 (> 10:30)
+    _write_ndjson(landing / "b.json", [_listing(3, 90, "2026-08-13T11:30:00")])
+    run()
+    # next batch evaluates timeouts under wm=11:15: it1/it2 age out
+    _write_ndjson(landing / "c.json", [_listing(4, 90, "2026-08-13T11:40:00")])
+    run()
+
+    assert sorted(rows) == ["it1", "it2", "it3", "it4"]  # each fired once
+    assert state_totals[-1] <= 2, (
+        f"state grew monotonically: {state_totals} (expected it1/it2 aged out)"
+    )
