@@ -52,6 +52,19 @@ def build_market_stats(
         "segment",
         market_segment(F.lower(F.col("title")), F.col("price"), F.col("condition")),
     )
+    # reference routing quirk (regex_analyzer.py:939-941): after the JUNK
+    # drop, any item with NO cpu AND NO ram goes to the UNCERTAIN bucket —
+    # even if its segment was PRIME, BROKEN or ACCESSORY
+    df = df.withColumn(
+        "segment",
+        F.when(F.col("segment") == "JUNK", "JUNK")
+        .when(
+            (F.col("segment") == "UNCERTAIN")
+            | (F.col("cpu").isNull() & F.col("ram").isNull()),
+            "UNCERTAIN",
+        )
+        .otherwise(F.col("segment")),
+    )
     df = df.filter(F.col("segment") != "JUNK").persist()
 
     prime_src = df.filter(F.col("segment") == "PRIME")
@@ -96,3 +109,42 @@ def build_market_stats(
         .filter(F.col("count") > 3)
     )
     return prime, comp, secondary
+
+
+def market_stats_tree(
+    prime: DataFrame, comp: DataFrame, secondary: DataFrame
+) -> dict:
+    """Assemble the reference's nested market_stats.json document
+    (CATEGORY → CONDITION → {mean, median, stdev, count, components:
+    {cpu, ram, gpu}}, plus flat {mean, count} secondary-segment nodes —
+    /root/reference/market_stats.json, built at
+    regex_analyzer.py:968-1016) from the flat dim tables.
+
+    Every condition node carries ALL THREE component-type keys (the
+    reference initializes its specs dict eagerly), empty dicts where no
+    component name reached the ≥2 cutoff. The dims are broadcast-sized
+    by construction (low-cardinality group keys), so the collect here
+    is the same driver-side materialization the risk engine's broadcast
+    joins already pay."""
+    tree: dict = {}
+    for r in prime.collect():
+        tree.setdefault(r["category"], {})[r["condition"]] = {
+            "mean": r["mean"],
+            "median": r["median"],
+            "stdev": r["stdev"],
+            "count": r["count"],
+            "components": {"cpu": {}, "ram": {}, "gpu": {}},
+        }
+    for r in comp.collect():
+        node = tree.get(r["category"], {}).get(r["condition"])
+        if node is None:
+            continue  # comp group outlived its prime node (can't happen: ≥2 comp rows imply ≥2 node rows)
+        node["components"][r["comp_type"]][r["comp_name"]] = {
+            "mean": r["mean"],
+            "median": r["median"],
+            "stdev": r["stdev"],
+            "count": r["count"],
+        }
+    for r in secondary.collect():
+        tree[r["segment"]] = {"mean": r["mean"], "count": r["count"]}
+    return tree
