@@ -48,6 +48,10 @@ HEADLINE = [
     "nn03_ivf_ann",
     "txt02_quality_scores",
     "mm01_media_features",
+    # the composed production pipeline and the iterative clustering loop:
+    # the two most expensive real paths, tracked round-over-round
+    "rp01_end_to_end_risk",
+    "dd06_neardup_clusters",
 ]
 
 

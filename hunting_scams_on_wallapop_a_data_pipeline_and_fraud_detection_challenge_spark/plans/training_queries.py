@@ -519,9 +519,65 @@ def nn01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_PLANES = 8
-_ANN_SIGNS = _hyperplane_signs(_ANN_PLANES)
+_ANN_BITS = 4  # sign bits per hash table (2^bits buckets/table)
+_ANN_TABLES = 8  # independent hash tables (banding, à la MinHash bands)
 _ANN_K = 3
+
+
+def _table_signs(bits: int, tables: int) -> list[list[list[float]]]:
+    """``tables`` disjoint slices of ``bits`` deterministic hyperplanes
+    (table t uses global plane indices t*bits..t*bits+bits-1, so the
+    tables are independent and shared verbatim with the oracle SQL)."""
+    all_signs = _hyperplane_signs(bits * tables)
+    return [all_signs[t * bits : (t + 1) * bits] for t in range(tables)]
+
+
+def _bucket_array(vec, bits: int, tables: int):
+    """array<int> of per-table bucket ids.
+
+    The whole bits×tables plane matrix ships as ONE parsed literal and
+    the sign bits come from a single transform over it — not
+    bits×tables separate dot-product subtrees, which made Catalyst
+    analysis+codegen the dominant cost (build 1.5s + exec 2.2s at
+    sf0.1 for the naive tree). The bit array is bound as a lambda var
+    (``element_at(transform(array(x), f), 1)``) so the per-bucket
+    aggregate can't re-inline the 32-dot producer per element.
+    ``bits==0`` / ``tables==0`` degenerate to a constant all-matching
+    bucket — the recall gate's exact brute-force baseline."""
+    if not tables or not bits:
+        return F.expr("array(" + ",".join(["0"] * max(tables, 1)) + ")")
+    all_signs = _hyperplane_signs(bits * tables)
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s:.1f}D" for s in p) + ")" for p in all_signs
+        )
+        + ")"
+    )
+    weights = F.expr("array(" + ",".join(str(1 << j) for j in range(bits)) + ")")
+    bitvals = F.transform(mat, lambda p: F.when(_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)))
+
+    def to_buckets(bv):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda t: F.aggregate(
+                F.zip_with(F.slice(bv, t * bits + 1, bits), weights, lambda x, w: x * w),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(bitvals), to_buckets), 1)
+
+
+def _sql_table_buckets(vec: str, bits: int, tables: int) -> list[str]:
+    tsigns = _table_signs(bits, tables)
+    return [_sql_bucket(vec, s) if s else "(0)" for s in tsigns] or ["(0)"]
+
+
+def _sql_or_same_bucket(a: str, b: str, tables: int) -> str:
+    n = max(tables, 1)
+    return "(" + " OR ".join(f"{a}.b{t} = {b}.b{t}" for t in range(n)) + ")"
 
 
 @query(
@@ -532,16 +588,17 @@ _ANN_K = 3
     ),
     n AS (
         SELECT vec_id, v, {_sql_norm("v")} AS nrm,
-               {_sql_bucket("v", _ANN_SIGNS)} AS bucket
+               {", ".join(f"{e} AS b{t}" for t, e in enumerate(_sql_table_buckets("v", _ANN_BITS, _ANN_TABLES)))}
         FROM v
     ),
     base AS (SELECT * FROM n WHERE nrm > 0),
-    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM base
-          WHERE vec_id < {_KNN_QUERIES}),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+                 {", ".join(f"b{t}" for t in range(_ANN_TABLES))}
+          FROM base WHERE vec_id < {_KNN_QUERIES}),
     scored AS (
         SELECT q.q_id, c.vec_id,
                {_sql_dot("c.v", "q.qv")} / (c.nrm * q.qn) AS cos
-        FROM base c JOIN q ON c.bucket = q.bucket
+        FROM base c JOIN q ON {_sql_or_same_bucket("c", "q", _ANN_TABLES)}
         WHERE c.vec_id <> q.q_id
     ),
     ranked AS (
@@ -555,45 +612,69 @@ _ANN_K = 3
     """,
     ops=("ANN-LSH",),
 )
-def nn02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (the scale path): 8 deterministic random-
-    hyperplane sign bits → 256 buckets; candidates = same-bucket rows
-    only, then exact cosine rank within bucket. The bucket column is
-    computed in the scan projection (no shuffle to build the index);
-    the join is an equi-join on a small int key — at 100 TB this is the
-    IVF-style partition-pruned probe, ~1/256th of brute-force work."""
+def nn02_lsh_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bits: int = _ANN_BITS,
+    tables: int = _ANN_TABLES,
+    k: int = _ANN_K,
+) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN (the scale path): ``tables``
+    independent hash tables of ``bits`` sign bits each (the cosine
+    analogue of MinHash banding); a candidate is any corpus row sharing
+    a bucket with the query in ANY table, then exact cosine ranks the
+    candidates. Single-table LSH has vanishing recall for moderate-
+    similarity neighbors (P[all bits agree] = (1-θ/π)^bits decays fast);
+    the table union fixes recall at 1-(1-p^bits)^tables while keeping
+    the candidate set ~tables/2^bits of the corpus.
+
+    Scale shape: bucket ids are computed in the scan projection (no
+    shuffle to build the index); the corpus side posexplodes to
+    (table, bucket) rows and the probe is an equi-join on that small
+    int pair against the broadcast query side — per-table this is the
+    IVF-style partition-pruned probe. Duplicate candidates (same pair
+    found by several tables) collapse in a map-side-combinable groupBy
+    before ranking. Tune ``bits`` up with corpus size (recall gate:
+    tests/test_ann_recall.py; ``bits=0, tables=1`` degenerates to
+    exact brute force, the gate's baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .withColumn("bucket", _bucket_col(F.col("v"), _ANN_SIGNS))
+        .withColumn("buckets", _bucket_array(F.col("v"), bits, tables))
         .filter(F.col("nrm") > 0)
+    )
+    corpus = base.select(
+        "vec_id", "v", "nrm", F.posexplode("buckets").alias("t", "bucket")
     )
     q = base.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        "bucket",
+        F.posexplode("buckets").alias("t", "bucket"),
     )
     scored = (
-        base.join(F.broadcast(q), "bucket")
+        corpus.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
             (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
         )
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _ANN_K)
+        .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
     )
 
 
-_NEARDUP_PLANES = 4
-_NEARDUP_SIGNS = _hyperplane_signs(_NEARDUP_PLANES)
+_NEARDUP_BITS = 4  # sign bits per table
+_NEARDUP_TABLES = 8  # independent tables unioned (banding)
 _NEARDUP_COS = 0.4
 
 
@@ -605,7 +686,7 @@ _NEARDUP_COS = 0.4
     ),
     n AS (
         SELECT vec_id, v, {_sql_norm("v")} AS nrm,
-               {_sql_bucket("v", _NEARDUP_SIGNS)} AS bucket
+               {", ".join(f"{e} AS b{t}" for t, e in enumerate(_sql_table_buckets("v", _NEARDUP_BITS, _NEARDUP_TABLES)))}
         FROM v
     ),
     base AS (SELECT * FROM n WHERE nrm > 0),
@@ -613,42 +694,65 @@ _NEARDUP_COS = 0.4
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                {_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
         FROM base a JOIN base b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          ON a.vec_id < b.vec_id
+         AND {_sql_or_same_bucket("a", "b", _NEARDUP_TABLES)}
     )
     SELECT a_id, b_id, round(cos + 1e-9, 6) AS cosine
     FROM p WHERE cos >= {_NEARDUP_COS}
     """,
     ops=("DEDUP-EMBEDDING",),
 )
-def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-pruned: 4 hyperplane sign
-    bits → 16 buckets; exact cosine only within buckets, keep pairs
-    ≥ 0.4. The pair blow-up is confined to same-bucket groups (~n²/16
-    here, and tunable with more planes at larger corpora)."""
+def dd05_embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bits: int = _NEARDUP_BITS,
+    tables: int = _NEARDUP_TABLES,
+    threshold: float = _NEARDUP_COS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, multi-table LSH-pruned:
+    ``tables`` independent hash tables of ``bits`` hyperplane sign bits
+    each; a pair is a candidate if it collides in ANY table (banding —
+    recall 1-(1-p^bits)^tables instead of the p^bits cliff of one
+    table), then exact cosine keeps pairs ≥ ``threshold``. The pair
+    blow-up stays confined to same-(table, bucket) groups (~tables ·
+    n²/2^bits) and duplicates collapse in a map-side-combinable
+    groupBy. Tune ``bits`` up with the corpus; ``bits=0, tables=1`` is
+    the exact all-pairs baseline the recall gate measures against."""
     emb = _t(spark, sf_dir, "embeddings")
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .withColumn("bucket", _bucket_col(F.col("v"), _NEARDUP_SIGNS))
+        .withColumn("buckets", _bucket_array(F.col("v"), bits, tables))
         .filter(F.col("nrm") > 0)
     )
-    a = base.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    base = base.persist()
+    exploded = base.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    # candidate ids first, ONE row per distinct pair — the interpreted
+    # 64-element cosine fold is the dominant per-row cost, so it must
+    # run once per pair, not once per colliding table (~1.3x fewer at
+    # the default 8 tables, and the dedupe shuffle carries only two ids)
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["t", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        )
+        .distinct()
     )
-    b = base.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    av = base.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    bv = base.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.select("a_id", "b_id", cos.alias("cos"))
-        .filter(F.col("cos") >= _NEARDUP_COS)
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", _r(F.col("cos"), 6).alias("cosine"))
     )
 
@@ -763,7 +867,7 @@ _IVF_PROBES = 4
 _IVF_TRAIN_SAMPLE = 16384  # quantizer fit is sample-bounded (FAISS-style)
 
 
-def _fit_centroids(rows: list) -> list:
+def _fit_centroids(rows: list, k: int = _IVF_CELLS) -> list:
     """Seeded k-means++ + Lloyd on the collected training sample.
 
     The coarse quantizer of an IVF index is always trained on a bounded
@@ -781,7 +885,7 @@ def _fit_centroids(rows: list) -> list:
 
     X = np.asarray(rows, dtype=np.float64)
     X = X[(X**2).sum(1) > 0]
-    k, n = _IVF_CELLS, X.shape[0]
+    n = X.shape[0]
     rng = np.random.default_rng(42)
     cent = np.empty((k, X.shape[1]))
     cent[0] = X[int(rng.integers(n))]
@@ -804,12 +908,20 @@ def _fit_centroids(rows: list) -> list:
 
 
 @query("nn03_ivf_ann", oracle=None, ops=("ANN-IVF",))
-def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nn03_ivf_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cells: int = _IVF_CELLS,
+    probes: int = _IVF_PROBES,
+    k: int = _KNN_K,
+) -> DataFrame:
     """IVF-style ANN, the second scale path next to hyperplane LSH:
-    a seeded sample-trained 16-cell coarse quantizer; each corpus
-    vector is assigned to its nearest centroid (the inverted file),
-    each query probes its 4 nearest centroids, and exact cosine ranks
-    only the probed cells — ~nprobe/ncells of brute-force work.
+    a seeded sample-trained ``cells``-cell coarse quantizer; each
+    corpus vector is assigned to its nearest centroid (the inverted
+    file), each query probes its ``probes`` nearest centroids, and
+    exact cosine ranks only the probed cells — ~nprobe/ncells of
+    brute-force work. Size ``cells`` ~sqrt(corpus) at real scale.
 
     Rows-only: the seeded k-means fit isn't reproducible in DuckDB.
     Quality is pinned instead by tests/test_ann_recall.py, which
@@ -824,7 +936,7 @@ def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage and no iterative distributed job anywhere."""
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
-    centroids = _fit_centroids([r.embedding for r in sample])
+    centroids = _fit_centroids([r.embedding for r in sample], k=cells)
     # one Literal after constant folding, not k*d scalar nodes; built as
     # a single SQL string because k*d F.lit() py4j round-trips cost
     # ~0.5s of driver time (repr() round-trips doubles exactly)
@@ -860,14 +972,14 @@ def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assigned = base.withColumn("cell", F.element_at(_ranked_cells(F.col("v")), 1)["cell"])
-    probes = F.slice(_ranked_cells(F.col("v")), 1, _IVF_PROBES)
+    probe_cells = F.slice(_ranked_cells(F.col("v")), 1, probes)
     q = (
         assigned.filter(F.col("vec_id") < _KNN_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.explode(probes).alias("p"),
+            F.explode(probe_cells).alias("p"),
         )
         .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
@@ -885,7 +997,7 @@ def nn03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _KNN_K)
+        .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
     )
 
