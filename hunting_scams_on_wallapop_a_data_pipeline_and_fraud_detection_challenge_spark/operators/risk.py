@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.conditions import map_api_condition
 from ..functions.prices import clean_price, corrected_price
 from ..functions.specs import with_specs
+from .skew import salted_join
 
 #: Composite-Z weights (poller.py:69-74; README.md:389-397).
 WEIGHTS = {"cpu": 0.5, "gpu": 0.3, "ram": 0.1, "category": 0.1}
@@ -64,6 +65,7 @@ def score_listings(
     users: DataFrame | None = None,
     reviews: DataFrame | None = None,
     specs_ready: bool = False,
+    user_join: str = "broadcast",
 ) -> DataFrame:
     """Full §3.1 scoring pipeline. Returns the input plus:
     price (corrected), price_corrected, category, condition,
@@ -75,6 +77,15 @@ def score_listings(
     with a build_market_stats pass) — the extraction expression tree is
     by far the largest part of the plan, so sharing it roughly halves
     driver analysis time for composed pipelines.
+
+    ``user_join`` picks the strategy for the user/review dim joins on
+    user_id: ``"broadcast"`` (default — the dims are small relative to
+    the fact side) or ``"salted"`` for the 100 TB posture where the
+    user dim outgrows the broadcast threshold AND seller keys are
+    skewed (power sellers): the fact side is salted into 8 sub-keys and
+    the dim replicated per salt, so the hot seller's reducer work
+    spreads 8 ways (operators/skew.py; row-identical to the broadcast
+    path, pinned by tests/test_skew.py).
     """
     # -- X1/X2/F4 price normalization + hidden-price correction --------------
     df = listings.withColumn("__pc", corrected_price(
@@ -232,18 +243,19 @@ def score_listings(
     adj = F.lit(0)
     scam = F.lit(False)
     if users is not None:
+
+        def dim_join(fact: DataFrame, dim: DataFrame) -> DataFrame:
+            if user_join == "salted":
+                return salted_join(fact, dim, "user_id", n_salts=8, how="left")
+            return fact.join(F.broadcast(dim), "user_id", "left")
+
         u = users.select(
-            F.col("user_id").alias("__uid"),
-            "register_days",
-            "badges",
-            "user_type",
-            "scam_reports",
+            "user_id", "register_days", "badges", "user_type", "scam_reports"
         )
-        df = df.join(F.broadcast(u), df["user_id"] == F.col("__uid"), "left").drop("__uid")
+        df = dim_join(df, u)
         rv = review_stats(reviews) if reviews is not None else None
         if rv is not None:
-            rv = rv.select(F.col("user_id").alias("__rid"), "sales", "avg_stars")
-            df = df.join(F.broadcast(rv), df["user_id"] == F.col("__rid"), "left").drop("__rid")
+            df = dim_join(df, rv.select("user_id", "sales", "avg_stars"))
         else:
             df = df.withColumn("sales", F.lit(None).cast("long")).withColumn(
                 "avg_stars", F.lit(None).cast("double")

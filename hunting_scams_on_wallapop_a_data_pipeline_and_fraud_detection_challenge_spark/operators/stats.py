@@ -42,6 +42,16 @@ def build_market_stats(
     df = listings.withColumn("price", clean_price(F.col("price")))
     if not specs_ready:
         df = with_specs(df, title_col="title", desc_col="description")
+        # Cut the plan under the extraction: the with_specs tree is huge
+        # (~1M nodes after CollapseProject) and BOTH the segment logic
+        # below and each of the three aggregate consumers re-reference
+        # its outputs — without a materialization boundary every
+        # reference duplicates the tree and analysis OOMs an 8g driver.
+        # Lazy local checkpoint: computed once at the first action,
+        # downstream plans see a leaf scan. At cluster scale this is the
+        # natural place to materialize anyway — one extraction pass
+        # feeding every aggregate.
+        df = df.localCheckpoint(eager=False)
     api = F.col("api_condition") if "api_condition" in listings.columns else F.lit(None).cast("string")
     refurb = (
         F.col("is_refurbished") if "is_refurbished" in listings.columns else F.lit(None).cast("boolean")
@@ -54,16 +64,21 @@ def build_market_stats(
     )
     # reference routing quirk (regex_analyzer.py:939-941): after the JUNK
     # drop, any item with NO cpu AND NO ram goes to the UNCERTAIN bucket —
-    # even if its segment was PRIME, BROKEN or ACCESSORY
+    # even if its segment was PRIME, BROKEN or ACCESSORY. Written with the
+    # minimum references to computed columns (segment ×2, cpu/ram ×1):
+    # every reference duplicates its producer expression when Catalyst
+    # collapses projections, and segment/cpu/ram sit on top of the huge
+    # with_specs extraction tree (an extra segment copy here OOM'd an 8g
+    # driver during analysis). A segment already UNCERTAIN falls through
+    # to otherwise(segment) unchanged, so the explicit test is redundant.
     df = df.withColumn(
         "segment",
-        F.when(F.col("segment") == "JUNK", "JUNK")
-        .when(
-            (F.col("segment") == "UNCERTAIN")
-            | (F.col("cpu").isNull() & F.col("ram").isNull()),
+        F.when(
+            (F.col("segment") != "JUNK")
+            & F.col("cpu").isNull()
+            & F.col("ram").isNull(),
             "UNCERTAIN",
-        )
-        .otherwise(F.col("segment")),
+        ).otherwise(F.col("segment")),
     )
     df = df.filter(F.col("segment") != "JUNK").persist()
 
