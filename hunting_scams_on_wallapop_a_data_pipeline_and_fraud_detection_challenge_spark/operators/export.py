@@ -16,8 +16,14 @@ replaces the ILM rollover (S8).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Write alias the reference's bulk action lines target
+#: (``ingestion/bulk_ingest.py:171-190``, ``ingestion/index_alias.json:1-8``).
+INDEX_ALIAS = "lab10310.wallapop"
 
 
 def _opt(df: DataFrame, name: str, typ: str):
@@ -72,3 +78,77 @@ def to_es_documents(scored: DataFrame, currency: str = "EUR") -> DataFrame:
             market_analysis.alias("market_analysis"),
         ).alias("enrichment"),
     )
+
+
+def _nonfinite(c):
+    return c.isNotNull() & (F.isnan(c) | (F.abs(c) == F.lit(float("inf"))))
+
+
+def split_for_bulk(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-document sink-failure tolerance for the export path.
+
+    The reference's bulk indexer tolerates per-document failures inside a
+    batch — ES reports ``errors: true`` and the run continues
+    (``ingestion/bulk_ingest.py:50-108``: "Los errores parciales ... se
+    reportan pero no interrumpen el procesamiento"). Engine-side the
+    committer is all-or-nothing, so the tolerance moves BEFORE the sink:
+    classify each document against the rejections the index mapping
+    (``ingestion/index_template.json:23-82``) would raise, route cleans to
+    the lake and rejects to a dead-letter output with the reason attached.
+
+    Checks (each maps to a real per-doc bulk failure):
+
+    - ``geo_out_of_range`` — ``location.geo`` outside lat [-90, 90] /
+      lon [-180, 180]: ES ``geo_point`` mapper_parsing_exception.
+    - ``nonfinite_number`` — NaN/±Inf in ``price.amount`` or the float
+      enrichment metrics: not representable in the JSON bulk body.
+    - ``null_doc_id`` — reference actions auto-id (no ``_id`` in
+      ``bulk_ingest.py:174``), but engine re-ingest is idempotent per
+      listing id; a null id can neither key the index action nor dedupe.
+
+    Pure narrow projection — one mask column, zero shuffles; at 100 TB the
+    split adds no stage boundary. Returns ``(valid, rejects)``; rejects
+    carry ``reject_reasons array<string>``. Callers re-reading an expensive
+    upstream should persist ``docs`` across the two consumers.
+    """
+    lat = F.col("location.geo.lat")
+    lon = F.col("location.geo.lon")
+    ma = "enrichment.market_analysis"
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("id").isNull(), "null_doc_id"),
+            F.when(
+                F.col("location.geo").isNotNull()
+                & ((F.abs(lat) > 90) | (F.abs(lon) > 180)),
+                "geo_out_of_range",
+            ),
+            F.when(
+                _nonfinite(F.col("price.amount"))
+                | _nonfinite(F.col(f"{ma}.composite_z_score"))
+                | _nonfinite(F.col(f"{ma}.estimated_market_value")),
+                "nonfinite_number",
+            ),
+        )
+    )
+    tagged = docs.withColumn("reject_reasons", reasons)
+    valid = tagged.filter(F.size("reject_reasons") == 0).drop("reject_reasons")
+    rejects = tagged.filter(F.size("reject_reasons") > 0)
+    return valid, rejects
+
+
+def to_bulk_ndjson(docs: DataFrame, index_alias: str = INDEX_ALIAS) -> DataFrame:
+    """ES Bulk-API NDJSON body (``ingestion/bulk_ingest.py:171-190``).
+
+    One output row per document: the action line and the document line
+    joined by ``\\n``, so ``df.write.text`` emits exactly the alternating
+    action/doc stream ``send_batch`` posts (the text sink appends the
+    row-terminating newline, including the bulk body's mandatory trailing
+    one). Batching is the writer's concern — reference chunks at 1000 docs
+    (``bulk_ingest.py:42``); Spark-side the natural unit is the partition.
+
+    ``to_json`` omits null fields, matching the dynamic-mapping open-world
+    contract (absent field ≡ null in ES).
+    """
+    action = json.dumps({"index": {"_index": index_alias}})
+    doc = F.to_json(F.struct(*[F.col(c) for c in docs.columns]))
+    return docs.select(F.concat(F.lit(action + "\n"), doc).alias("value"))

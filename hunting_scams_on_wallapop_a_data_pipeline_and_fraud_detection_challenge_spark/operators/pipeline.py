@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.readers import read_listings_ndjson, write_partitioned
-from .export import to_es_documents
+from .export import split_for_bulk, to_es_documents
 from .retention import drop_expired
 from .risk import score_listings
 
@@ -49,12 +49,16 @@ def run_ingest_batch(
     reviews: DataFrame | None = None,
     retain_days: int = 30,
     today: dt.date | None = None,
+    rejects_path: str | None = None,
 ) -> int:
-    """One poll→score→ingest→cleanup cycle. Returns rows written.
+    """One poll→score→ingest→cleanup cycle. Returns valid rows written.
 
-    Corrupt landing lines are quarantined (dropped from scoring but
-    counted) rather than failing the batch — the ES dynamic-template
-    open-world behavior.
+    Two tolerance layers, mirroring the reference's never-fail-the-batch
+    posture (``bulk_ingest.py:50-108``): corrupt landing LINES are
+    quarantined at read (dropped from scoring, not fatal), and documents
+    the index mapping would reject per-doc (``split_for_bulk``) are routed
+    to ``rejects_path`` (dead-letter parquet with ``reject_reasons``) when
+    given, silently dropped otherwise — either way the batch completes.
     """
     raw = read_listings_ndjson(spark, landing_dir, schema=LISTING_SCHEMA)
     listings = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
@@ -64,7 +68,16 @@ def run_ingest_batch(
     docs = to_es_documents(scored).withColumn(
         "ingest_date", F.date_format(F.current_date(), "yyyy-MM-dd")
     )
-    n = docs.count()
-    write_partitioned(docs, out_path)
+    # count + lake write + reject write all re-read the scored docs —
+    # persist so the (expensive) extraction/scoring plan runs once
+    docs = docs.persist()
+    try:
+        valid, rejects = split_for_bulk(docs)
+        n = valid.count()
+        write_partitioned(valid, out_path)
+        if rejects_path is not None:
+            rejects.write.mode("append").parquet(rejects_path)
+    finally:
+        docs.unpersist()
     drop_expired(out_path, retain_days=retain_days, today=today)
     return n

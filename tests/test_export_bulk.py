@@ -1,0 +1,136 @@
+"""ES bulk sink parity: per-document failure tolerance + NDJSON body.
+
+Reference ``ingestion/bulk_ingest.py:50-108`` tolerates per-doc failures
+inside a bulk batch (ES ``errors: true`` is reported, the run continues)
+and ``:171-190`` builds the alternating action/doc NDJSON lines against
+the write alias. Engine twins: ``split_for_bulk`` (classify-and-route
+before the all-or-nothing committer) and ``to_bulk_ndjson``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+    INDEX_ALIAS,
+    split_for_bulk,
+    to_bulk_ndjson,
+    to_es_documents,
+)
+
+_SCORED_COLS = (
+    "id string, title string, description string, price double, user_id long, "
+    "category string, condition string, cpu string, ram string, gpu string, "
+    "composite_z double, estimated_value double, fallback_used boolean, "
+    "risk_score int, risk_factors array<string>, latitude double, longitude double"
+)
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _docs(spark, rows):
+    return to_es_documents(spark.createDataFrame(rows, _SCORED_COLS))
+
+
+_GOOD = ("ok", "Portatil i7", "desc", 200.0, 9, "GAMING", "USED", "INTEL I7",
+         "16", None, -1.2, 500.0, False, 70, ["PRICE_ANOMALY"], 40.4, -3.7)
+
+
+def test_split_routes_sink_rejectable_docs(spark):
+    rows = [
+        _GOOD,
+        # geo_point out of range -> mapper_parsing_exception at the index
+        ("bad_geo",) + _GOOD[1:15] + (999.0, -3.7),
+        # NaN composite_z -> unrepresentable in the JSON bulk body
+        ("bad_nan", "t", "d", 200.0, 9, "GAMING", "USED", None, None, None,
+         NAN, 500.0, False, 10, [], None, None),
+        # Inf price amount
+        ("bad_inf", "t", "d", INF, 9, "GAMING", "USED", None, None, None,
+         -1.0, 500.0, False, 10, [], None, None),
+        # null id: engine-side idempotent re-ingest cannot key the action
+        (None, "t", "d", 200.0, 9, "GAMING", "USED", None, None, None,
+         -1.0, 500.0, False, 10, [], None, None),
+    ]
+    valid, rejects = split_for_bulk(_docs(spark, rows))
+    assert [r.id for r in valid.collect()] == ["ok"]
+    got = {r.id: list(r.reject_reasons) for r in rejects.collect()}
+    assert got == {
+        "bad_geo": ["geo_out_of_range"],
+        "bad_nan": ["nonfinite_number"],
+        "bad_inf": ["nonfinite_number"],
+        None: ["null_doc_id"],
+    }
+    # rejects keep the full document (dead-letter is replayable after fix)
+    assert "enrichment" in rejects.columns
+
+
+def test_split_accumulates_multiple_reasons(spark):
+    rows = [(None, "t", "d", NAN, 9, "GAMING", "USED", None, None, None,
+             -1.0, 500.0, False, 10, [], 95.0, 0.0)]
+    valid, rejects = split_for_bulk(_docs(spark, rows))
+    assert valid.count() == 0
+    assert list(rejects.first().reject_reasons) == [
+        "null_doc_id", "geo_out_of_range", "nonfinite_number"
+    ]
+
+
+def test_split_is_shuffle_free(spark):
+    valid, rejects = split_for_bulk(_docs(spark, [_GOOD]))
+    for df in (valid, rejects):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_bulk_ndjson_body(spark):
+    lines = []
+    for row in to_bulk_ndjson(_docs(spark, [_GOOD])).collect():
+        lines.extend(row.value.split("\n"))
+    # alternating action/doc pairs, exactly as send_batch posts them
+    assert len(lines) == 2
+    action, doc = (json.loads(x) for x in lines)
+    assert action == {"index": {"_index": INDEX_ALIAS}}
+    assert doc["id"] == "ok"
+    assert doc["price"] == {"amount": 200.0, "currency": "EUR"}
+    assert doc["location"]["geo"] == {"lat": 40.4, "lon": -3.7}
+    assert doc["enrichment"]["risk_score"] == 70
+    # null fields omitted (dynamic-mapping open world: absent == null)
+    assert "gpu" not in doc["enrichment"]["market_analysis"]["specs_detected"]
+
+
+def test_ingest_batch_dead_letters_rejects(spark, tmp_path):
+    """End-to-end: a batch containing a sink-rejectable doc completes,
+    writes the clean docs, and dead-letters the reject with its reason."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.pipeline import (
+        run_ingest_batch,
+    )
+
+    desc = "Portatil gaming en perfecto estado con garantia incluida " * 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"id": "p1", "title": "Portatil gaming i7", "description": desc,
+         "price": 200.0, "user_id": 9, "latitude": 40.4, "longitude": -3.7},
+        {"id": "p2", "title": "Portatil gaming i7", "description": desc,
+         "price": 210.0, "user_id": 9, "latitude": 400.0, "longitude": -3.7},
+    ]
+    (landing / "d.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    prime = spark.createDataFrame(
+        [("GAMING", "USED", 500.0, 100.0)],
+        "category string, condition string, mean double, stdev double",
+    )
+    comp = spark.createDataFrame(
+        [], "category string, condition string, comp_type string, "
+            "comp_name string, mean double, stdev double",
+    )
+    out = str(tmp_path / "lake")
+    dead = str(tmp_path / "rejects")
+    n = run_ingest_batch(spark, str(landing), prime, comp, out, rejects_path=dead)
+    assert n == 1
+    assert [r.id for r in spark.read.parquet(out).collect()] == ["p1"]
+    rej = spark.read.parquet(dead).collect()
+    assert [(r.id, list(r.reject_reasons)) for r in rej] == [
+        ("p2", ["geo_out_of_range"])
+    ]
