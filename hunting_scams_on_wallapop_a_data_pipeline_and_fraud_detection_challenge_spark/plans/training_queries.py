@@ -803,6 +803,18 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure + min), fine at test scale while the iterative form is the
     one that survives 100 TB.
 
+    Shuffle discipline (the part that survives 100 TB): the symmetrized
+    edge list is hash-partitioned on ``b_id`` ONCE and cached — the
+    cached relation keeps that partitioning, so every round's
+    edge-label join needs no new exchange on the (big) edge side, and
+    the label side arrives partitioned on ``node`` from the previous
+    round's groupBy. Round 1 is fused: against identity labels the
+    propagation is just ``min(b_id) per a_id`` — no join at all. Later
+    rounds pass messages as join → union-own-label → groupBy-min (one
+    exchange per round, carrying edge-count rows), with the pre-round
+    label carried through the aggregate so the convergence check is a
+    filter on the same materialized table, not a new-vs-old join.
+
     Iteration hygiene (the classic iterative-algorithm failure mode at
     scale): each round unpersists the superseded label table once its
     successor is materialized, the lineage chain is cut with a
@@ -812,25 +824,37 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     list — can be released before returning. Net cached footprint on
     exit: the one checkpointed label table."""
     pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).persist()
-    labels = (
-        edges.select(F.col("a_id").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+    edges = (
+        pairs.union(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .repartition("b_id")
         .persist()
     )
+    # round 1 fused: labels are identity, so min-of-neighbor-labels is
+    # min(b_id); every node appears as a_id (edges are symmetrized)
+    labels = (
+        edges.groupBy(F.col("a_id").alias("node"))
+        .agg(F.min("b_id").alias("nmin"))
+        .select("node", F.least("node", F.col("nmin")).alias("label"))
+        .persist()
+    )
+    # the frame actually holding the round's cache — `labels` itself may
+    # be a projection of it, and unpersist() only releases the exact
+    # plan it is called on
+    mat = labels
     for i in range(30):  # diameter bound; tiny graphs converge in 2-4
-        neigh = (
-            edges.join(labels, edges.b_id == labels.node)
-            .groupBy(F.col("a_id").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
+        msgs = edges.join(labels, edges.b_id == labels.node).select(
+            F.col("a_id").alias("node"), "label", F.lit(False).alias("own")
         )
-        new_labels = labels.join(neigh, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                "label"
-            ),
+        new_labels = (
+            msgs.union(labels.withColumn("own", F.lit(True)))
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one own row per node -> its pre-round label
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old"),
+            )
         )
         if (i + 1) % 5 == 0:
             # cut lineage: checkpoint materializes to block storage and
@@ -839,20 +863,19 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             new_labels = new_labels.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("old"))
             .limit(1)
             .count()  # also materializes new_labels' cache
         )
-        labels.unpersist()
-        labels = new_labels
+        mat.unpersist()
+        mat = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     # checkpoint the result so the caches it was built from can be freed
     # before the caller ever consumes it
     final = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    mat.unpersist()
     edges.unpersist()
     return final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
