@@ -630,40 +630,44 @@ def nn02_lsh_ann(
     the candidate set ~tables/2^bits of the corpus.
 
     Scale shape: bucket ids are computed in the scan projection (no
-    shuffle to build the index); the corpus side posexplodes to
-    (table, bucket) rows and the probe is an equi-join on that small
-    int pair against the broadcast query side — per-table this is the
-    IVF-style partition-pruned probe. Duplicate candidates (same pair
-    found by several tables) collapse in a map-side-combinable groupBy
-    before ranking. Tune ``bits`` up with corpus size (recall gate:
+    shuffle to build the index) and stay ON the row as an array whose
+    entries are tagged with their table index (bucket + t·2^bits, so
+    cross-table equality cannot collide); the probe is a broadcast
+    nested-loop join gated by ``arrays_overlap`` — the corpus never
+    explodes, never shuffles, the cheap ``tables``-int overlap check
+    gates the expensive cosine fold, and every (query, candidate) pair
+    scores exactly once (multi-table collisions of the same pair are
+    absorbed inside the overlap predicate, so no dedupe groupBy).
+    Tune ``bits`` up with corpus size (recall gate:
     tests/test_ann_recall.py; ``bits=0, tables=1`` degenerates to
     exact brute force, the gate's baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
+    tagged = F.transform(
+        _bucket_array(F.col("v"), bits, tables),
+        lambda b, i: b + i * F.lit(1 << bits),
+    )
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .withColumn("buckets", _bucket_array(F.col("v"), bits, tables))
+        .withColumn("buckets", tagged)
         .filter(F.col("nrm") > 0)
-    )
-    corpus = base.select(
-        "vec_id", "v", "nrm", F.posexplode("buckets").alias("t", "bucket")
     )
     q = base.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.posexplode("buckets").alias("t", "bucket"),
+        F.col("buckets").alias("qbuckets"),
     )
     scored = (
-        corpus.join(F.broadcast(q), ["t", "bucket"])
+        base.join(
+            F.broadcast(q), F.arrays_overlap(F.col("buckets"), F.col("qbuckets"))
+        )
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
             (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
         )
-        .groupBy("q_id", "vec_id")
-        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
