@@ -41,6 +41,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
-    }
+    out = {}
+    for name, spec in REGISTRY.items():
+        sql = spec.oracle_text()
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -31,9 +31,17 @@ from ..sources.readers import load_table
 @dataclass
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: DuckDB-equivalent SQL; a zero-arg callable defers generation to
+    #: first use (for oracles whose constants replay a deterministic
+    #: fit over the correctness-SF data, e.g. nn03's centroids)
+    oracle: str | Callable[[], str] | None
     ops: list[str] = field(default_factory=list)
     doc: str = ""
+
+    def oracle_text(self) -> str | None:
+        if callable(self.oracle):
+            self.oracle = self.oracle()
+        return self.oracle
 
 
 REGISTRY: dict[str, QuerySpec] = {}

@@ -934,7 +934,84 @@ def _fit_centroids(rows: list, k: int = _IVF_CELLS) -> list:
     return [list(map(float, c)) for c in cent]
 
 
-@query("nn03_ivf_ann", oracle=None, ops=("ANN-IVF",))
+def _oracle_sf_emb() -> str:
+    """Parquet file the oracle's replayed quantizer fit must read: the
+    SAME table the oracle SQL's ``embeddings`` view serves. The driver's
+    correctness gate runs at sf0.01; the local pytest twin exports its
+    (possibly different) SF via SPARK_GRAFT_TESTDATA (tests/conftest.py)
+    before the lazy oracle is first resolved."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.01")
+    return f"{sf_dir}/embeddings.parquet"
+
+
+def _nn03_oracle() -> str:
+    """Exact DuckDB oracle for the IVF ANN, generated lazily.
+
+    The quantizer fit is deterministic (sorted bounded sample, seeded
+    k-means in driver-side numpy), so the oracle replays it: read the
+    correctness-SF embeddings via pyarrow, run the SAME ``_fit_centroids``,
+    and fold the resulting centroids into the SQL as literals — the same
+    constants-shared-verbatim pattern the hyperplane-LSH oracles use,
+    just computed instead of hard-coded. ``repr(float)`` round-trips
+    doubles exactly, and every distance/cosine is the pinned
+    left-to-right double fold, so assignment, probe selection and
+    ranking are bit-identical across engines (ties break on the lower
+    cell index in both: Spark's struct array_sort vs. first-position
+    ``list_position`` of the min)."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cents = _fit_centroids(emb, k=_IVF_CELLS)
+    cell_lists = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + f"] AS c{j}"
+        for j, c in enumerate(cents)
+    )
+    d_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(v)+1), i -> (v[i] - c{j}[i]) * (v[i] - c{j}[i]))"
+        )
+        for j in range(_IVF_CELLS)
+    )
+    return f"""
+    WITH cents AS (SELECT {cell_lists}),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT * FROM n WHERE nrm > 0),
+    d AS (SELECT vec_id, v, nrm, [{d_exprs}] AS dl FROM base CROSS JOIN cents),
+    a AS (SELECT vec_id, v, nrm,
+                 list_position(dl, list_aggregate(dl, 'min')) - 1 AS cell,
+                 list_transform(
+                     list_sort(list_transform(range(1, {_IVF_CELLS} + 1),
+                         i -> {{'d': dl[i], 'cell': i - 1}}))[1:{_IVF_PROBES}],
+                     s -> s.cell) AS pcells
+          FROM d),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, pcells
+          FROM a WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               {_sql_dot("c.v", "q.qv")} / (c.nrm * q.qn) AS cos
+        FROM a c JOIN q ON list_contains(q.pcells, c.cell)
+                       AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id, round(cos + 1e-9, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_KNN_K}
+    """
+
+
+@query("nn03_ivf_ann", oracle=_nn03_oracle, ops=("ANN-IVF",))
 def nn03_ivf_ann(
     spark: SparkSession,
     sf_dir: str,
@@ -950,9 +1027,11 @@ def nn03_ivf_ann(
     exact cosine ranks only the probed cells — ~nprobe/ncells of
     brute-force work. Size ``cells`` ~sqrt(corpus) at real scale.
 
-    Rows-only: the seeded k-means fit isn't reproducible in DuckDB.
-    Quality is pinned instead by tests/test_ann_recall.py, which
-    measures recall@k against the exact nn01 ranking.
+    Fully oracle-checked: the seeded sample fit is deterministic, so
+    ``_nn03_oracle`` replays it in numpy over the correctness-SF
+    parquet and pins assignment + probe + ranking bit-for-bit in
+    DuckDB. Retrieval quality is separately gated by
+    tests/test_ann_recall.py (recall@k vs the exact nn01 ranking).
 
     At 100 TB: the centroid fit runs on a bounded sample (one sorted
     TAKE of raw vectors, driver-side numpy — see _fit_centroids), the
@@ -1018,8 +1097,8 @@ def nn03_ivf_ann(
             "vec_id",
             (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
         )
-        .groupBy("q_id", "vec_id")
-        .agg(F.max("cos").alias("cos"))
+        # no dedupe pass: probe cells are distinct, so a candidate's one
+        # cell matches at most one probe row per query
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

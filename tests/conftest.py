@@ -17,6 +17,9 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 )
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+# lazily-generated oracles (nn03's replayed quantizer fit) must read the
+# same SF this session's oracle views serve
+os.environ["SPARK_GRAFT_TESTDATA"] = TESTDATA
 
 
 @pytest.fixture(scope="session")

@@ -20,7 +20,7 @@ ROWS_ONLY_QUERIES = sorted(name for name, spec in REGISTRY.items() if not spec.o
 def test_query_matches_oracle(name, spark, sf_dir, ddb):
     spec = REGISTRY[name]
     actual = spec.fn(spark, sf_dir).toPandas()
-    expected = ddb.execute(spec.oracle).fetchdf()
+    expected = ddb.execute(spec.oracle_text()).fetchdf()
     assert_frames_match(actual, expected, name)
 
 
