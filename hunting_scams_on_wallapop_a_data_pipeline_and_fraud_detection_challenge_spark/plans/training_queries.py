@@ -772,7 +772,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd02_minhash_lsh_pairs(spark, sf_dir)
 
 
-_CC_SQL = f"""
+_CC_CTES = f"""
     WITH RECURSIVE pairs AS ({_minhash_sql().replace("round((CAST(i AS DOUBLE) / (sab - i)) + 1e-6, 4) AS jaccard", "1 AS one")}
     ),
     edges AS (
@@ -786,10 +786,14 @@ _CC_SQL = f"""
         UNION
         SELECT e.b AS node, r.root
         FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(root) AS cluster_id
+        FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, min(root) AS cluster_id
-    FROM reach GROUP BY node
     """
+
+_CC_SQL = _CC_CTES + "SELECT doc_id, cluster_id FROM clusters"
 
 
 @query("dd06_neardup_clusters", oracle=_CC_SQL, ops=("DEDUP-CLUSTER",))
@@ -882,6 +886,113 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat.unpersist()
     edges.unpersist()
     return final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+_DD07_SQL = (
+    _CC_CTES
+    + f""",
+    alld AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               {sql_quality_score("text")} AS q
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        WHERE len({sql_tokens("text")}) > 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+        FROM alld
+    )
+    SELECT cluster_id,
+           min(CASE WHEN rn = 1 THEN doc_id END)                    AS keep_id,
+           count(*)                                                 AS n_members,
+           round(min(CASE WHEN rn = 1 THEN q END) + 1e-6, 4)        AS best_quality
+    FROM r GROUP BY cluster_id
+    """
+)
+
+
+@query("dd07_cluster_survivors", oracle=_DD07_SQL, ops=("DEDUP-CLUSTER", "TXT-QUALITY"))
+def dd07_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection per near-dup cluster — the
+    standard training-data dedup policy (cluster near-dups, keep the
+    best-quality member, drop the rest): every document joins its dd06
+    cluster (singletons cluster as themselves), the highest
+    quality-score member wins (ties to the lowest doc_id), and the
+    output is one row per cluster with the kept id and member count.
+    "Drop the dupes" downstream is a semi-join on keep_id.
+
+    Scale shape: the quality score is a codegen'd projection on the
+    scan; survivor choice is one window + groupBy on cluster_id (both
+    shuffle the compact (id, cluster, double) projection, never the
+    text); the cluster map arrives checkpointed from dd06. Ordering
+    parity with the oracle holds because the quality doubles are
+    bit-identical (pinned fold order) so the rank cut cannot diverge."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd06_neardup_clusters(spark, sf_dir)
+    scored = (
+        docs.select("doc_id", "text", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            _r(F.min(F.when(F.col("rn") == 1, F.col("q"))), 4).alias("best_quality"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+#: percent of each language stratum kept (absent strata keep 100)
+_DS_RATES = {"en": 35, "es": 60}
+
+
+def _ds_rate_case(col: str) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _DS_RATES.items())
+    return f"(CASE {col} {whens} ELSE 100 END)"
+
+
+@query(
+    "ds01_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ({sql_hmod("CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+    FROM documents
+    WHERE ({sql_hmod("CAST(doc_id AS VARCHAR)")} % 100) < {_ds_rate_case("lang")}
+    """,
+    ops=("DS-SAMPLE",),
+)
+def ds01_stratified_sample(
+    spark: SparkSession, sf_dir: str, *, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling — the data-mixing
+    primitive of a training corpus (keep X% of each language/source/
+    quality stratum). The keep decision is ``hash(doc_id) % 100 <
+    rate[stratum]``, NOT ``rand()``: reproducible across runs and
+    engines, stable under re-partitioning, and incremental (a re-run
+    over a grown corpus keeps exactly its previous picks). Pure
+    codegen'd filter on the scan — zero shuffles at any scale; changing
+    the mix is a literal edit, not a new materialization."""
+    rates = _DS_RATES if rates is None else rates
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hmod(F.col("doc_id").cast("string")) % 100
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(100),
+    )
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
 
 
 # ---------------------------------------------------------------------------
