@@ -996,6 +996,201 @@ def ds01_stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) — distributed prefix sums
+# ---------------------------------------------------------------------------
+
+#: tokens per packed training sequence
+_PACK_BUDGET = 512
+#: docs per prefix-sum range bucket (contiguous in doc_id order)
+_PACK_BUCKET = 4096
+
+
+@query(
+    "ds02_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT *, CAST(sum(n_tok) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           (run - n_tok) // {_PACK_BUDGET} AS pack_id,
+           (run - n_tok) % {_PACK_BUDGET}  AS pack_offset
+    FROM c
+    """,
+    ops=("DS-PACK",),
+)
+def ds02_sequence_packing(
+    spark: SparkSession, sf_dir: str, *, budget: int = _PACK_BUDGET
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining layout step:
+    documents are concatenated per language stratum in stable doc_id
+    order and cut into fixed token-budget sequences; each doc gets the
+    pack it starts in and its token offset inside that pack (a doc may
+    straddle into pack_id+1 — that's the semantics of chunked packing).
+
+    Scale shape: the naive plan is one window per stratum — a SINGLE
+    task per language at 100 TB, the classic prefix-sum trap. Instead
+    the prefix sum is distributed: contiguous doc_id range buckets get
+    local running sums (window over (lang, bucket) — thousands of
+    parallel tasks), bucket totals roll up in a tiny per-lang window,
+    and the per-bucket base offsets broadcast back. Exact same integer
+    arithmetic as the oracle's global window, but no serial stratum
+    scan; all shuffled keys are (lang, bucket_id) ints."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.expr(f"doc_id DIV {_PACK_BUCKET}").alias("b"),
+    )
+    local_w = (
+        Window.partitionBy("lang", "b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_run", F.sum("n_tok").over(local_w))
+    # per-bucket totals are one row per (lang, bucket) — tiny at any SF;
+    # the exclusive prefix over buckets is the only serial step and it
+    # runs over ~corpus/4096 rows, then broadcasts back to the facts
+    bucket_w = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        local.groupBy("lang", "b")
+        .agg(F.sum("n_tok").alias("btot"))
+        .withColumn("base", F.coalesce(F.sum("btot").over(bucket_w), F.lit(0)))
+        .select("lang", "b", "base")
+    )
+    run = F.col("base") + F.col("local_run")
+    start = run - F.col("n_tok")
+    return local.join(F.broadcast(bases), ["lang", "b"]).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(start / budget).alias("pack_id"),
+        (start % budget).alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: n-gram overlap between train and eval splits
+# ---------------------------------------------------------------------------
+
+#: the held-out "benchmark" slice of the corpus
+_EVAL_SOURCE = "src0"
+#: shingle width for the overlap check
+_CT_N = 5
+
+
+@query(
+    "ct01_benchmark_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               {sql_hmod("s")} AS hs
+        FROM (SELECT doc_id, source,
+                     unnest({sql_shingles(sql_tokens("text"), _CT_N)}) AS s
+              FROM documents)
+    ),
+    e AS (SELECT DISTINCT hs FROM sh WHERE source = '{_EVAL_SOURCE}')
+    SELECT sh.doc_id, count(*) AS n_shared
+    FROM sh JOIN e USING (hs)
+    WHERE sh.source <> '{_EVAL_SOURCE}'
+    GROUP BY sh.doc_id
+    """,
+    ops=("CT-CONTAM",),
+)
+def ct01_benchmark_contamination(
+    spark: SparkSession, sf_dir: str, *, n: int = _CT_N
+) -> DataFrame:
+    """Benchmark-contamination scan — flag training documents sharing
+    any word {n}-gram with the held-out eval split (the decontamination
+    step every pretraining corpus needs; {n}-gram overlap is the
+    standard published criterion). Output: per contaminated train doc,
+    how many distinct eval shingles it shares.
+
+    Scale shape: shingles hash to compact int64s before anything
+    shuffles (the raw n-gram strings never leave the scan stage); the
+    eval side collapses to DISTINCT hashes — a small fraction of the
+    corpus — and the overlap is one equi-join on ints that AQE
+    broadcasts when the eval set fits; per-doc shingles are already
+    distinct so the final count is a plain map-side-combinable sum."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(tokens(F.col("text")), n)).alias("s"),
+    ).select("doc_id", "source", hmod(F.col("s")).alias("hs"))
+    ev = (
+        sh.filter(F.col("source") == _EVAL_SOURCE).select("hs").distinct()
+    )
+    return (
+        sh.filter(F.col("source") != _EVAL_SOURCE)
+        .join(ev, "hs")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition scores
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rep01_repetition_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                          AS n_tok,
+           count(*)                                        AS n_distinct,
+           round(max(c) / sum(c) + 1e-6, 4)                AS top_share,
+           round(1.0 - count(*) / sum(c) + 1e-6, 4)        AS dup_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    ops=("TXT-REPETITION",),
+)
+def rep01_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics — the filter that catches
+    boilerplate/spam pages in a pretraining corpus: most-frequent-token
+    share and duplicate-token ratio per document (the published
+    repetition-removal heuristics use exactly these token-level
+    signals).
+
+    Scale shape: one explode + two-level aggregation, both levels
+    partial-aggregate on the map side, keys are (doc_id, token) then
+    doc_id — no window, no join; the double division happens once per
+    doc after the counts collapse, so cross-engine float parity is a
+    single-op round."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        _r(F.max("c") / F.sum("c"), 4).alias("top_share"),
+        _r(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: KMeans coarse quantization + probe nearest cells
 # ---------------------------------------------------------------------------
 

@@ -40,16 +40,22 @@ TESTDATA_TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-provided Parquet table (TESTDATA.md).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's Parquet
-    reader rejects; read it as long nanos (legacy conf) and floor-divide
+    ``events.parquet``'s ``ts`` column has shipped in two physical forms
+    across driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+    Parquet reader rejects outright) and plain TIMESTAMP(MICROS) NTZ.
+    Adapt by inspecting the read schema: a micros file needs nothing; a
+    nanos file is re-read as long nanos (legacy conf) and floor-divided
     to microseconds — exact integer math, matching DuckDB's nanos→µs
-    truncation so oracle comparisons agree.
+    truncation so oracle comparisons agree either way.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as _T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if not isinstance(df.schema["ts"].dataType, _T.LongType):
+            return df  # already TIMESTAMP — nothing to normalize
         # Nanos → NTZ micros via pure interval arithmetic: independent of
         # the session timezone (an LTZ→NTZ cast would shift under a
         # non-UTC driver session). Seconds and sub-second micros are
