@@ -1191,6 +1191,53 @@ def rep01_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing: ordered pattern redaction, cross-engine verifiable
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from ..functions.pii import PII_PATTERNS, sql_redact, sql_redaction_count
+
+    count_cols = ",\n           ".join(
+        f"CAST({sql_redaction_count('props', tag)} AS BIGINT) AS n_{tag.lower()}"
+        for tag, _ in PII_PATTERNS
+    )
+    return f"""
+    SELECT event_id,
+           {sql_redact("props")} AS clean,
+           {count_cols}
+    FROM events
+    """
+
+
+@query("pii01_redact_props", oracle=_pii_oracle(), ops=("PII-SCRUB",))
+def pii01_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the event payloads — ordered email → phone →
+    digit-run redaction with per-class match counts (the pre-training
+    privacy pass; counts feed the scrub-rate monitoring a production
+    pipeline alarms on). Patterns are RE2-safe so Spark's Java regex
+    and the DuckDB oracle match bit-for-bit; the application ORDER is
+    part of the contract (emails redact before the digit pass can chew
+    their local parts).
+
+    Scale shape: pure per-row projection — codegen'd regex on the scan,
+    no shuffle at any corpus size; column pruning reaches the Parquet
+    reader (only event_id + props are read)."""
+    from ..functions.pii import PII_PATTERNS, redact, redaction_counts
+
+    ev = _t(spark, sf_dir, "events")
+    counts = redaction_counts(F.col("props"))
+    return ev.select(
+        "event_id",
+        redact(F.col("props")).alias("clean"),
+        *[
+            counts[tag].cast("bigint").alias(f"n_{tag.lower()}")
+            for tag, _ in PII_PATTERNS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: KMeans coarse quantization + probe nearest cells
 # ---------------------------------------------------------------------------
 

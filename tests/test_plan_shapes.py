@@ -89,3 +89,43 @@ def test_nested_schema_pruning_on_export(spark, sf_dir, tmp_path):
     scan = spark.read.parquet(path).select(F.col("enrichment.risk_score"))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<enrichment:struct<risk_score:int>>" in plan
+
+
+def test_ds02_distributed_prefix_sum_shape(spark, sf_dir):
+    """Sequence packing must NOT run one serial window per stratum: the
+    per-bucket base offsets join back as a broadcast, and every window
+    in the plan partitions on (lang, bucket) — never on lang alone
+    except the tiny per-bucket rollup (whose input is one row per
+    bucket, not per doc)."""
+    plan = _plan(spark, sf_dir, "ds02_sequence_packing")
+    assert "BroadcastHashJoin" in plan  # bucket bases broadcast to facts
+    assert "SortMergeJoin" not in plan
+    # the doc-level window keys on both stratum AND range bucket
+    assert "partitionBy=[lang#" in plan or "lang#" in plan.split("Window")[1]
+
+
+def test_pii01_projection_reaches_scan(spark, sf_dir):
+    """PII scrub is a pure projection: the events scan must read only
+    event_id + props (column pruning), and the plan must contain no
+    exchange at all."""
+    plan = _plan(spark, sf_dir, "pii01_redact_props")
+    assert "Exchange" not in plan  # zero shuffles — per-row op
+    assert "props" in plan.split("ReadSchema:")[1]
+    assert "value" not in plan.split("ReadSchema:")[1]
+
+
+def test_ct01_hashes_before_shuffle(spark, sf_dir):
+    """Contamination check must shuffle int64 shingle hashes, not the
+    raw n-gram strings: no exchange in the plan may carry the shingle
+    string column `s` — it exists only between the scan and the
+    project that hashes it."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    df = REGISTRY["ct01_benchmark_contamination"].fn(spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan()
+    plan = exec_plan.toString()
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        keys = chunk.split("\n")[0]
+        assert "hs#" in keys or "doc_id#" in keys  # int keys only
