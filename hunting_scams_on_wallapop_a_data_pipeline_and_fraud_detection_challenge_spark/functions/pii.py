@@ -35,9 +35,9 @@ def redact(col: Column) -> Column:
 
 
 def redaction_counts(col: Column) -> dict[str, Column]:
-    """Per-tag match counts on the ORIGINAL text, counted against the
-    progressively-redacted intermediate (so a phone inside an email is
-    counted once, as the email) — mirrors the redaction order."""
+    """Per-tag match counts against the progressively-redacted
+    intermediate (so a phone inside an email is counted once, as the
+    email) — mirrors the redaction order of :func:`redact`."""
     counts: dict[str, Column] = {}
     cur = col
     for tag, pat in PII_PATTERNS:

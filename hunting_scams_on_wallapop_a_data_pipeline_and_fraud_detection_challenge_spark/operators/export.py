@@ -136,6 +136,46 @@ def split_for_bulk(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, rejects
 
 
+def parse_bulk_response(
+    response: dict, doc_ids: list[str | None]
+) -> tuple[list[str | None], list[tuple[str | None, str]]]:
+    """Per-item tolerance for the sink's bulk response — NEVER raises.
+
+    Mirrors ``ingestion/bulk_ingest.py:96-108``: when ES answers 200 with
+    ``errors: true`` the reference reports and continues — individual
+    document failures never interrupt the run. This is the engine twin a
+    ``foreachPartition`` writer calls per posted batch: ES's ``items``
+    array is in request order, so item *i* correlates to ``doc_ids[i]``.
+
+    Returns ``(acked_ids, failed)`` where ``failed`` pairs each rejected
+    doc id with ``"<error.type>: <error.reason>"`` — the dead-letter
+    payload (the pre-sink classifier :func:`split_for_bulk` catches the
+    *predictable* rejects; this catches whatever the live mapping still
+    refuses). A malformed/partial response fails the WHOLE batch as
+    retryable rather than guessing per-doc outcomes.
+    """
+    items = response.get("items")
+    if not isinstance(items, list) or len(items) != len(doc_ids):
+        return [], [(d, "batch_retryable: malformed bulk response") for d in doc_ids]
+    acked: list[str | None] = []
+    failed: list[tuple[str | None, str]] = []
+    for doc_id, item in zip(doc_ids, items):
+        # one action per item: {"index": {...}} (or create/update)
+        action = next(iter(item.values())) if isinstance(item, dict) and item else {}
+        status = action.get("status", 0) if isinstance(action, dict) else 0
+        if isinstance(status, int) and 200 <= status < 300:
+            acked.append(doc_id)
+        else:
+            err = action.get("error", {}) if isinstance(action, dict) else {}
+            reason = (
+                f"{err.get('type', 'unknown')}: {err.get('reason', 'unknown')}"
+                if isinstance(err, dict)
+                else str(err)
+            )
+            failed.append((doc_id, reason))
+    return acked, failed
+
+
 def to_bulk_ndjson(docs: DataFrame, index_alias: str = INDEX_ALIAS) -> DataFrame:
     """ES Bulk-API NDJSON body (``ingestion/bulk_ingest.py:171-190``).
 

@@ -995,3 +995,56 @@ def st01_windowed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consumer of plans.queries.REGISTRY sees the full inventory.
 from . import training_queries  # noqa: E402,F401  (registers on import)
 from . import domain_queries  # noqa: E402,F401  (registers on import)
+
+# ---------------------------------------------------------------------------
+# Driver-visibility rotation.
+#
+# The driver's correctness gate records rows for the FIRST 50 registry
+# entries in iteration order; the registry holds 59. The 9 entries past the
+# window still run in tests/test_oracle_parity.py (the local twin of the
+# gate), but get no CORRECTNESS_r{N}.json row that round. To guarantee every
+# entry has at least one fully-green driver row across rounds, the tail is a
+# deliberate, documented choice — not import-order accident.
+#
+# Schedule (window = slots 0-49, tail = slots 50-58):
+#   round 1  tail: ud1, x02, f09, f06, k45, x18, x19, ud2, rp01 (registry had
+#            50 entries at r01 verify time; the 9 landed later that round —
+#            ud1/x02/f09/f06/k45/x18 got green r01 rows, the last 3 none)
+#   round 2  tail: same 9 (import-order accident) → x19/ud2/rp01 still unseen
+#   round 3  tail: u12, w03, a13, a03, a08, a09, a10, a12, w02 — all nine are
+#            double-green (r01 AND r02), so parking them costs no union
+#            coverage while ud1..rp01 (incl. the three never-driver-verified)
+#            rotate into the window.
+#   round 4+ rotate a different 9 double-greens back; keep x19/ud2/rp01 and
+#            any entry with <2 green rows inside the window until it has two.
+#
+# Union after round 3: every oracle-backed entry has ≥1 green row in
+# r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
+# hash). `python scripts/gen_coverage.py --union` verifies this from the
+# CORRECTNESS_r*.json files.
+#
+# Window cost of the rotation (sf0.01, local[8], scripts/driver_sim.py):
+# ud2_spec_extraction 10.0 s (full regex pipeline), rp01_end_to_end_risk
+# 3.0 s (composed production pipeline), x19_geo_struct 0.2 s; the nine
+# parked entries summed to ~2 s, so the window grows ~11 s — well inside
+# the driver's per-run budget (r02's window ran ~90 s total).
+_ROTATION_TAIL = [
+    "u12_token_set_ops",
+    "w03_global_share",
+    "a13_minmax_metrics",
+    "a03_secondary_segment_stats",
+    "a08_price_histogram",
+    "a09_risk_buckets",
+    "a10_heatmap_share",
+    "a12_top_terms_other",
+    "w02_topk_by_last_value",
+]
+
+
+def _apply_rotation(tail: list[str]) -> None:
+    """Move `tail` entries to the end of the (insertion-ordered) REGISTRY."""
+    for name in tail:
+        REGISTRY[name] = REGISTRY.pop(name)
+
+
+_apply_rotation(_ROTATION_TAIL)

@@ -1070,14 +1070,18 @@ def ds02_sequence_packing(
         .withColumn("base", F.coalesce(F.sum("btot").over(bucket_w), F.lit(0)))
         .select("lang", "b", "base")
     )
-    run = F.col("base") + F.col("local_run")
-    start = run - F.col("n_tok")
-    return local.join(F.broadcast(bases), ["lang", "b"]).select(
-        "doc_id",
-        "lang",
-        "n_tok",
-        F.floor(start / budget).alias("pack_id"),
-        (start % budget).alias("pack_offset"),
+    # integer DIV, not floor(double-div): the oracle uses // and the two
+    # only coincide for power-of-two budgets / sums below 2^53
+    return (
+        local.join(F.broadcast(bases), ["lang", "b"])
+        .withColumn("start", F.col("base") + F.col("local_run") - F.col("n_tok"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.expr(f"start DIV {budget}").alias("pack_id"),
+            (F.col("start") % budget).alias("pack_offset"),
+        )
     )
 
 

@@ -72,6 +72,41 @@ sketch aggregates) are quality-gated against their exact twins
 |---|---|"""
 
 
+def union_check() -> int:
+    """Verify every oracle-backed registry entry has ≥1 fully-green driver
+    row across all CORRECTNESS_r*.json rounds (VERDICT r02 item 2).
+
+    Entries registered without an oracle (rows-only by design) are reported
+    separately — they can never hash-match.
+    """
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    seen_rows: set[str] = set()
+    rounds = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    for path in rounds:
+        for name, row in json.load(open(path)).items():
+            seen_rows.add(name)
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                green.add(name)
+    oracle_backed = {n for n, s in REGISTRY.items() if s.oracle_text() is not None}
+    rows_only = set(REGISTRY) - oracle_backed
+    missing_green = sorted(oracle_backed - green)
+    never_seen = sorted(set(REGISTRY) - seen_rows)
+    print(f"rounds inspected: {[os.path.basename(p) for p in rounds]}")
+    print(f"registry entries: {len(REGISTRY)} ({len(oracle_backed)} oracle-backed, "
+          f"{len(rows_only)} rows-only by design: {sorted(rows_only)})")
+    print(f"driver-green (union): {len(green & oracle_backed)}/{len(oracle_backed)}")
+    print(f"never in any driver file: {never_seen or 'none'}")
+    if missing_green:
+        print(f"MISSING a green driver row: {missing_green}")
+        return 1
+    print("OK: every oracle-backed entry has >=1 fully-green driver row")
+    return 0
+
+
 def main() -> None:
     covered: dict[str, list[str]] = {}
     for name, spec in sorted(REGISTRY.items()):
@@ -103,4 +138,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--union" in sys.argv:
+        raise SystemExit(union_check())
     main()

@@ -100,6 +100,55 @@ def test_bulk_ndjson_body(spark):
     assert "gpu" not in doc["enrichment"]["market_analysis"]["specs_detected"]
 
 
+def test_bulk_response_partial_failure_tolerated():
+    """Reference bulk_ingest.py:96-108: ES answers 200 + ``errors: true``
+    when SOME docs in the batch fail — the run reports and continues.
+    The parser must land the good docs and quarantine the bad ones with
+    their mapper reasons, without raising."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        parse_bulk_response,
+    )
+
+    resp = {
+        "took": 12,
+        "errors": True,
+        "items": [
+            {"index": {"_index": INDEX_ALIAS, "status": 201}},
+            {"index": {"status": 400, "error": {
+                "type": "mapper_parsing_exception",
+                "reason": "failed to parse field [location.geo]"}}},
+            {"index": {"_index": INDEX_ALIAS, "status": 200}},
+            {"index": {"status": 429, "error": {
+                "type": "es_rejected_execution_exception",
+                "reason": "thread pool queue full"}}},
+        ],
+    }
+    acked, failed = parse_bulk_response(resp, ["d1", "d2", "d3", "d4"])
+    assert acked == ["d1", "d3"]
+    assert failed == [
+        ("d2", "mapper_parsing_exception: failed to parse field [location.geo]"),
+        ("d4", "es_rejected_execution_exception: thread pool queue full"),
+    ]
+
+
+def test_bulk_response_all_green_and_malformed():
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        parse_bulk_response,
+    )
+
+    ok = {"errors": False, "items": [{"index": {"status": 201}}] * 2}
+    assert parse_bulk_response(ok, ["a", "b"]) == (["a", "b"], [])
+    # HTTP-level / truncated response: whole batch retryable, no raise
+    acked, failed = parse_bulk_response({"error": "http 503"}, ["a", "b"])
+    assert acked == []
+    assert [d for d, _ in failed] == ["a", "b"]
+    assert all("batch_retryable" in r for _, r in failed)
+    # item missing status / empty item dict -> failed, not crashed
+    weird = {"items": [{}, {"index": {}}]}
+    acked, failed = parse_bulk_response(weird, ["a", "b"])
+    assert acked == [] and len(failed) == 2
+
+
 def test_ingest_batch_dead_letters_rejects(spark, tmp_path):
     """End-to-end: a batch containing a sink-rejectable doc completes,
     writes the clean docs, and dead-letters the reject with its reason."""

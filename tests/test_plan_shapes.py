@@ -100,8 +100,30 @@ def test_ds02_distributed_prefix_sum_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds02_sequence_packing")
     assert "BroadcastHashJoin" in plan  # bucket bases broadcast to facts
     assert "SortMergeJoin" not in plan
-    # the doc-level window keys on both stratum AND range bucket
-    assert "partitionBy=[lang#" in plan or "lang#" in plan.split("Window")[1]
+    # Parse every physical Window node: `Window [exprs], [partSpec],
+    # [orderSpec]`. The doc-level window (the one ordered by doc_id)
+    # must partition on BOTH lang and the range bucket b; a lang-only
+    # partition is allowed only for the per-bucket rollup (ordered by b).
+    windows = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if stripped.startswith("Window "):
+            chunks = stripped.rstrip("]").split("], [")
+            assert len(chunks) >= 3, f"unparseable Window node: {line}"
+            windows.append((chunks[-2], chunks[-1]))  # (partSpec, orderSpec)
+    assert windows, "no Window nodes found in ds02 plan"
+    doc_level = [(p, o) for p, o in windows if "doc_id#" in o]
+    assert doc_level, "doc-level window (ordered by doc_id) missing"
+    for part, _ in doc_level:
+        assert "lang#" in part and "b#" in part, (
+            f"doc-level window must partition on (lang, b), got [{part}]"
+        )
+    for part, order in windows:
+        if "lang#" in part and "b#" not in part:
+            assert "b#" in order, (
+                f"lang-only Window must be the bucket rollup (ordered by b), "
+                f"got partition [{part}] order [{order}]"
+            )
 
 
 def test_pii01_projection_reaches_scan(spark, sf_dir):
