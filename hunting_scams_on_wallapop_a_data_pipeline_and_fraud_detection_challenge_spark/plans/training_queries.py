@@ -33,7 +33,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -820,8 +820,10 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation is just ``min(b_id) per a_id`` — no join at all. Later
     rounds pass messages as join → union-own-label → groupBy-min (one
     exchange per round, carrying edge-count rows), with the pre-round
-    label carried through the aggregate so the convergence check is a
-    filter on the same materialized table, not a new-vs-old join.
+    label carried through the aggregate and the changed-row count
+    attached as an ``observe()`` metric — convergence is read from the
+    one job that materializes the round's cache, not a dedicated
+    driver-side action.
 
     Iteration hygiene (the classic iterative-algorithm failure mode at
     scale): each round unpersists the superseded label table once its
@@ -855,6 +857,12 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = edges.join(labels, edges.b_id == labels.node).select(
             F.col("a_id").alias("node"), "label", F.lit(False).alias("own")
         )
+        # convergence metric rides the materializing job via observe()
+        # (CollectMetrics): no dedicated filter-scan action per round,
+        # and the single count() materializes the WHOLE cache (the old
+        # limit(1) short-circuited, deferring the rest of the
+        # materialization into the next round's join)
+        obs = Observation(f"dd06_round_{i}")
         new_labels = (
             msgs.union(labels.withColumn("own", F.lit(True)))
             .groupBy("node")
@@ -863,18 +871,17 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # exactly one own row per node -> its pre-round label
                 F.min(F.when(F.col("own"), F.col("label"))).alias("old"),
             )
+            .observe(obs, F.sum((F.col("label") != F.col("old")).cast("int")).alias("n"))
+            .persist()
         )
+        new_labels.count()  # one job: cache + convergence metric
+        changed = obs.get["n"] or 0
         if (i + 1) % 5 == 0:
-            # cut lineage: checkpoint materializes to block storage and
+            # cut lineage: checkpoint reads from the fresh cache and
             # drops the join-groupBy chain accumulated so far
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()  # also materializes new_labels' cache
-        )
+            ckpt = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = ckpt
         mat.unpersist()
         mat = new_labels
         labels = new_labels.select("node", "label")

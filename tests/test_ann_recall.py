@@ -60,6 +60,42 @@ def test_nn03_ivf_recall(spark, sf):
     assert recall >= 0.45, f"nn03 recall@5={recall:.2f} < 0.45 at {sf}"
 
 
+def test_ann_operating_point_tradeoff(spark):
+    """The documented banding law (training_queries.py: recall fixed at
+    1-(1-p^bits)^tables) must MOVE when the operating point moves:
+    bits=6/tables=4 (longer signatures, fewer tables) prunes harder
+    than the default 4/8, so recall drops toward — but not below — a
+    floor, and the surviving near-dup pair set shrinks and stays nested
+    inside the exact answer. Deterministic hyperplanes → no flake."""
+    sf = SF_DIRS[0]
+    exact = _topk(nn02_lsh_ann(spark, sf, bits=0, tables=1))
+    default = _recall(_topk(nn02_lsh_ann(spark, sf)), exact)
+    tight = _recall(_topk(nn02_lsh_ann(spark, sf, bits=6, tables=4)), exact)
+    assert tight <= default, (
+        f"harder pruning raised recall?! default(4,8)={default:.2f} "
+        f"tight(6,4)={tight:.2f}"
+    )
+    assert tight >= 0.25, f"nn02 recall collapsed at (6,4): {tight:.2f}"
+
+    exact_pairs = {
+        (r.a_id, r.b_id)
+        for r in dd05_embedding_neardup(spark, sf, bits=0, tables=1).collect()
+    }
+    dflt_pairs = {
+        (r.a_id, r.b_id) for r in dd05_embedding_neardup(spark, sf).collect()
+    }
+    tight_pairs = {
+        (r.a_id, r.b_id)
+        for r in dd05_embedding_neardup(spark, sf, bits=6, tables=4).collect()
+    }
+    assert tight_pairs <= exact_pairs, "approx pair outside the exact set"
+    assert len(tight_pairs) <= len(dflt_pairs), (
+        f"candidate set grew under harder pruning: "
+        f"{len(tight_pairs)} > {len(dflt_pairs)}"
+    )
+    assert len(tight_pairs) >= 1, "pruning at (6,4) lost every pair"
+
+
 @pytest.mark.parametrize("sf", SF_DIRS)
 def test_dd05_neardup_pair_recall(spark, sf):
     exact = {

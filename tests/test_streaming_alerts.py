@@ -186,13 +186,11 @@ def test_realert_state_ages_out(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        totals = [
+        state_totals.extend(
             p["stateOperators"][0]["numRowsTotal"]
             for p in q.recentProgress
             if p.get("stateOperators")
-        ]
-        if totals:
-            state_totals.append(totals[-1])
+        )
 
     # two keys fire at 10:00 -> state entries with timeouts at 10:30
     _write_ndjson(
@@ -208,6 +206,16 @@ def test_realert_state_ages_out(spark, tmp_path):
     run()
 
     assert sorted(rows) == ["it1", "it2", "it3", "it4"]  # each fired once
+    # the proof the store SHRINKS: some batch holds it1+it2 (timeouts
+    # at 10:30) plus it3 → 3 rows; the following timeout pass under
+    # watermark 11:15 drops it1/it2 — numRowsTotal must DECREASE
+    # across consecutive progress reports, not merely end small
+    assert any(
+        a >= 3 and b < a for a, b in zip(state_totals, state_totals[1:])
+    ), (
+        f"state row-count never decreased after watermark passage: "
+        f"{state_totals} (expected it1/it2 aged out at >=3 -> fewer)"
+    )
     assert state_totals[-1] <= 2, (
         f"state grew monotonically: {state_totals} (expected it1/it2 aged out)"
     )
