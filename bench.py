@@ -48,10 +48,12 @@ HEADLINE = [
     "nn03_ivf_ann",
     "txt02_quality_scores",
     "mm01_media_features",
-    # the composed production pipeline and the iterative clustering loop:
-    # the two most expensive real paths, tracked round-over-round
+    # the composed production pipeline, the iterative clustering loop and
+    # the full regex spec-extraction pipeline: the three most expensive
+    # real paths, tracked round-over-round
     "rp01_end_to_end_risk",
     "dd06_neardup_clusters",
+    "ud2_spec_extraction",
 ]
 
 

@@ -108,9 +108,10 @@ def score_listings(
     verified = F.when(
         F.coalesce(F.col("is_refurbished"), F.lit(False)), F.lit("LIKE_NEW")
     ).otherwise(api_cond)
-    df = df.withColumn("__verified_cond", verified).withColumn(
-        "condition", F.coalesce(verified, F.col("condition_regex"))
-    )
+    df = df.withColumns({
+        "__verified_cond": verified,
+        "condition": F.coalesce(verified, F.col("condition_regex")),
+    })
 
     # -- J1: stats node with fallback precedence -----------------------------
     def node(suffix: str, cond_col: Column):
@@ -144,14 +145,13 @@ def score_listings(
         .when(F.col("mean_f1").isNotNull(), _map_lit(F.col("condition"), _FB1))
         .when(F.col("mean_f2").isNotNull(), _map_lit(F.col("condition"), _FB2))
     )
-    df = (
-        df.withColumn("fallback_used", fallback_used)
-        .withColumn("__node_mean", node_mean)
-        .withColumn("__node_sd", node_sd)
-        .withColumn("__rescond", resolved_cond)
-        .drop("__cat_e", "__cond_e", "__cat_f1", "__cond_f1", "__cat_f2", "__cond_f2",
-              "mean_e", "sd_e", "mean_f1", "sd_f1", "mean_f2", "sd_f2")
-    )
+    df = df.withColumns({
+        "fallback_used": fallback_used,
+        "__node_mean": node_mean,
+        "__node_sd": node_sd,
+        "__rescond": resolved_cond,
+    }).drop("__cat_e", "__cond_e", "__cat_f1", "__cond_f1", "__cat_f2", "__cond_f2",
+            "mean_e", "sd_e", "mean_f1", "sd_f1", "mean_f2", "sd_f2")
 
     # -- J2: component stats under the RESOLVED node (poller.py:305-326) ----
     for comp in ("cpu", "gpu", "ram"):
@@ -206,11 +206,11 @@ def score_listings(
 
     # -- F4 symbolic-price short-circuit (poller.py:394-409) -----------------
     symbolic = price < 5.0
-    df = (
-        df.withColumn("composite_z", F.round(F.when(symbolic, 0.0).otherwise(final_z), 2))
-        .withColumn("estimated_value", F.round(F.when(symbolic, 0.0).otherwise(est_val), 2))
-        .withColumn("category", F.when(symbolic, "UNCERTAIN_PRICE").otherwise(F.col("category")))
-    )
+    df = df.withColumns({
+        "composite_z": F.round(F.when(symbolic, 0.0).otherwise(final_z), 2),
+        "estimated_value": F.round(F.when(symbolic, 0.0).otherwise(est_val), 2),
+        "category": F.when(symbolic, "UNCERTAIN_PRICE").otherwise(F.col("category")),
+    })
 
     # -- X13–X16: base score + factor strings (poller.py:459-495) ------------
     z = F.col("composite_z")
@@ -257,9 +257,10 @@ def score_listings(
         if rv is not None:
             df = dim_join(df, rv.select("user_id", "sales", "avg_stars"))
         else:
-            df = df.withColumn("sales", F.lit(None).cast("long")).withColumn(
-                "avg_stars", F.lit(None).cast("double")
-            )
+            df = df.withColumns({
+                "sales": F.lit(None).cast("long"),
+                "avg_stars": F.lit(None).cast("double"),
+            })
         sales = F.coalesce(F.col("sales"), F.lit(0))
         stars = F.coalesce(F.col("avg_stars"), F.lit(0.0))
         is_top = F.exists(
@@ -284,8 +285,10 @@ def score_listings(
     score = F.when(scam, 100).otherwise(base_score + adj)
     score = F.greatest(F.lit(0), F.least(F.lit(100), score))  # poller.py:705
     return (
-        df.withColumn("risk_score", score)
-        .withColumn("risk_factors", F.array_compact(F.array(*factor_cols)))
+        df.withColumns({
+            "risk_score": score,
+            "risk_factors": F.array_compact(F.array(*factor_cols)),
+        })
         .drop(
             "__verified_cond", "__rescond", "__node_mean", "__node_sd",
             *[c for comp in ("cpu", "gpu", "ram") for c in (f"__m_{comp}", f"__s_{comp}")],

@@ -1463,6 +1463,13 @@ def rp01_end_to_end_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     specced = listings.persist()
     prime, comp, _secondary = build_market_stats(specced, specs_ready=True)
+    # the stats dims are broadcast-sized aggregates that appear 3× each
+    # in the scorer's join tree; cutting their logical plans here keeps
+    # every downstream analysis pass from re-traversing the aggregate-
+    # over-corpus subtree (at cluster scale they'd be materialized
+    # before broadcast anyway)
+    prime = prime.localCheckpoint(eager=False)
+    comp = comp.localCheckpoint(eager=False)
     return score_listings(
         specced, prime, comp, users=users, reviews=reviews, specs_ready=True
     ).select(

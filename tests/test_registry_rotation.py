@@ -1,0 +1,57 @@
+"""Driver-visibility rotation invariants (plans/queries.py tail schedule).
+
+The driver records correctness rows for the FIRST 50 registry entries in
+iteration order. These tests pin the round-3 rotation contract: the
+three never-driver-verified queries sit inside the window, the parked
+tail is exactly the documented double-green set, and the registry's
+iteration order is what ``__spark_entry__.queries()`` will expose.
+"""
+
+from __future__ import annotations
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+    REGISTRY,
+    _ROTATION_TAIL,
+)
+
+#: Entries that had no driver row in ANY round before round 3 — they must
+#: stay inside the 50-slot window until they have a green row.
+NEVER_VERIFIED = {"ud2_spec_extraction", "rp01_end_to_end_risk", "x19_geo_struct"}
+
+#: Former tail (r01/r02 import-order accident) — all should be in-window now.
+FORMER_TAIL = {
+    "ud1_spam_truncate", "x02_hidden_price_structured",
+    "f09_nested_json_projection", "f06_condition_normalize",
+    "k45_best_component", "x18_badge_scan",
+} | NEVER_VERIFIED
+
+
+def test_window_contains_never_verified_entries():
+    window = set(list(REGISTRY)[:50])
+    assert NEVER_VERIFIED <= window, (
+        f"never-driver-verified entries outside the 50-slot window: "
+        f"{NEVER_VERIFIED - window}"
+    )
+    assert FORMER_TAIL <= window
+
+
+def test_tail_is_the_documented_rotation():
+    assert list(REGISTRY)[50:] == _ROTATION_TAIL
+
+
+def test_tail_entries_all_have_oracles():
+    # parked entries must be oracle-backed (their greenness came from
+    # hash-matched driver rows, not rows-only checks)
+    for name in _ROTATION_TAIL:
+        assert REGISTRY[name].oracle_text() is not None, name
+
+
+def test_entry_contract_exposes_rotated_order():
+    import __spark_entry__ as mod
+
+    assert list(mod.queries()) == list(REGISTRY)
+    oracles = mod.oracle_sql()
+    # every windowed entry except the by-design rows-only one is checked
+    window = list(REGISTRY)[:50]
+    missing = [n for n in window if n not in oracles]
+    assert missing == ["a01b_approx_stats_scale_path"], missing
