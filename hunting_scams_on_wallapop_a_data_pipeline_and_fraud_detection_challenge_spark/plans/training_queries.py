@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import hmod, seeded, sql_hmod, sql_seeded
+from ..functions.hashing import M31, hmod, seeded, sql_hmod, sql_seeded
 from ..functions.textstats import (
     bpe_token_count,
     distinct_tokens,
@@ -1503,3 +1503,162 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split, deterministic training order, decontaminated train
+# ---------------------------------------------------------------------------
+
+#: split cutpoints over the 100 hash buckets: [0,90) train, [90,95) val
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 5
+
+
+@query(
+    "ds03_leakage_safe_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ({sql_hmod("lower(trim(text))")} % 100) AS bucket,
+           CASE WHEN {sql_hmod("lower(trim(text))")} % 100 < {_SPLIT_TRAIN_PCT}
+                    THEN 'train'
+                WHEN {sql_hmod("lower(trim(text))")} % 100
+                     < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT}
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    ops=("DS-SPLIT",),
+)
+def ds03_leakage_safe_split(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    train_pct: int = _SPLIT_TRAIN_PCT,
+    val_pct: int = _SPLIT_VAL_PCT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the holdout primitive
+    of a training corpus. The bucket is hashed from the NORMALIZED TEXT
+    (not the doc id), so byte-identical duplicates can never straddle a
+    split boundary — the cheapest form of leakage safety; near-dup-safe
+    splits key on dd06's cluster_id instead (same one-line change,
+    priced at one clustering pass). Hash-based like ds01, and for the
+    same reasons: reproducible across runs/engines, stable under
+    repartitioning, incremental over a grown corpus. Pure codegen'd
+    projection on the scan — zero shuffles at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hmod(F.lower(F.trim(F.col("text")))) % 100
+    t = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+#: contiguous hash-range buckets for the distributed global rank
+_SHUF_BUCKETS = 256
+_SHUF_WIDTH = M31 // _SHUF_BUCKETS + 1
+
+
+@query(
+    "ds04_training_order",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {sql_seeded(sql_hmod("CAST(doc_id AS VARCHAR)"), "0")} AS h
+        FROM documents
+    )
+    SELECT doc_id, h,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_rank
+    FROM t
+    """,
+    ops=("DS-SHUFFLE",),
+)
+def ds04_training_order(
+    spark: SparkSession, sf_dir: str, *, epoch: int = 0
+) -> DataFrame:
+    """Deterministic global training order (epoch shuffle): every doc
+    gets a dense rank in seeded-hash order — the reproducible
+    alternative to rand() shuffling, re-keyed per epoch via the seeded
+    hash family.
+
+    Scale shape: a naive global row_number() is ONE task at 100 TB.
+    Here the hash space is cut into {_SHUF_BUCKETS} contiguous ranges:
+    local ranks come from per-range windows (parallel), range counts
+    roll up in a tiny global window over {_SHUF_BUCKETS} rows, and the
+    per-range base offsets broadcast back — the same two-level prefix
+    pattern as ds02's packing. The oracle replays the single global
+    window, exact at correctness SF."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        seeded(hmod(F.col("doc_id").cast("string")), F.lit(epoch)).alias("h"),
+    ).withColumn("b", F.expr(f"h DIV {_SHUF_WIDTH}"))
+    local_w = Window.partitionBy("b").orderBy("h", "doc_id")
+    local = t.withColumn("lr", F.row_number().over(local_w))
+    bucket_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        t.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("base", F.coalesce(F.sum("n").over(bucket_w), F.lit(0)))
+        .select("b", "base")
+    )
+    return local.join(F.broadcast(bases), "b").select(
+        "doc_id",
+        "h",
+        (F.col("base") + F.col("lr")).cast("bigint").alias("shuffle_rank"),
+    )
+
+
+#: distinct shared eval shingles at which a train doc is dropped
+_CT_DROP_SHARED = 1
+
+
+@query(
+    "ct02_decontaminated_train",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               {sql_hmod("s")} AS hs
+        FROM (SELECT doc_id, source,
+                     unnest({sql_shingles(sql_tokens("text"), _CT_N)}) AS s
+              FROM documents)
+    ),
+    e AS (SELECT DISTINCT hs FROM sh WHERE source = '{_EVAL_SOURCE}'),
+    bad AS (
+        SELECT sh.doc_id
+        FROM sh JOIN e USING (hs)
+        WHERE sh.source <> '{_EVAL_SOURCE}'
+        GROUP BY sh.doc_id
+        HAVING count(*) >= {_CT_DROP_SHARED}
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.source <> '{_EVAL_SOURCE}'
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    ops=("CT-CONTAM",),
+)
+def ct02_decontaminated_train(
+    spark: SparkSession, sf_dir: str, *, min_shared: int = _CT_DROP_SHARED
+) -> DataFrame:
+    """The decontamination ACTION on top of ct01's scan: emit the train
+    split with every document sharing >= ``min_shared`` distinct eval
+    {_CT_N}-grams removed (any-overlap by default — the published
+    conservative criterion). Same hash-before-shuffle discipline as
+    ct01; the removal itself is a LEFT ANTI join on doc_id, which AQE
+    broadcasts whenever the contaminated set is small (it is, at any
+    scale — that's the point of decontamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    bad = ct01_benchmark_contamination(spark, sf_dir).filter(
+        F.col("n_shared") >= min_shared
+    )
+    return (
+        docs.filter(F.col("source") != _EVAL_SOURCE)
+        .join(bad.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

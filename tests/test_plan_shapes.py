@@ -17,6 +17,25 @@ def _plan(spark, sf_dir, name) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _parse_windows(plan: str) -> list[tuple[str, str]]:
+    """Physical Window nodes as (partitionSpec, orderSpec) strings.
+
+    Partitioned nodes print `Window [exprs], [part], [order]`; an
+    unpartitioned (single-task) node prints only `Window [exprs],
+    [order]` — its partition spec is returned as ''."""
+    out = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if stripped.startswith("Window "):
+            chunks = stripped.rstrip("]").split("], [")
+            assert len(chunks) >= 2, f"unparseable Window node: {line}"
+            if len(chunks) == 2:
+                out.append(("", chunks[-1]))
+            else:
+                out.append((chunks[-2], chunks[-1]))
+    return out
+
+
 def test_a06_broadcasts_all_dims(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a06_weighted_zscore")
     assert plan.count("BroadcastHashJoin") >= 3  # part, bt, b dims
@@ -100,17 +119,10 @@ def test_ds02_distributed_prefix_sum_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds02_sequence_packing")
     assert "BroadcastHashJoin" in plan  # bucket bases broadcast to facts
     assert "SortMergeJoin" not in plan
-    # Parse every physical Window node: `Window [exprs], [partSpec],
-    # [orderSpec]`. The doc-level window (the one ordered by doc_id)
-    # must partition on BOTH lang and the range bucket b; a lang-only
-    # partition is allowed only for the per-bucket rollup (ordered by b).
-    windows = []
-    for line in plan.splitlines():
-        stripped = line.lstrip(" +-:*")
-        if stripped.startswith("Window "):
-            chunks = stripped.rstrip("]").split("], [")
-            assert len(chunks) >= 3, f"unparseable Window node: {line}"
-            windows.append((chunks[-2], chunks[-1]))  # (partSpec, orderSpec)
+    # The doc-level window (the one ordered by doc_id) must partition
+    # on BOTH lang and the range bucket b; a lang-only partition is
+    # allowed only for the per-bucket rollup (ordered by b).
+    windows = _parse_windows(plan)
     assert windows, "no Window nodes found in ds02 plan"
     doc_level = [(p, o) for p, o in windows if "doc_id#" in o]
     assert doc_level, "doc-level window (ordered by doc_id) missing"
@@ -151,3 +163,33 @@ def test_ct01_hashes_before_shuffle(spark, sf_dir):
     for chunk in plan.split("Exchange hashpartitioning")[1:]:
         keys = chunk.split("\n")[0]
         assert "hs#" in keys or "doc_id#" in keys  # int keys only
+
+
+def test_ds03_split_is_shuffle_free(spark, sf_dir):
+    """Split assignment is a pure projection: no exchange anywhere, and
+    the documents scan reads only the columns the split needs."""
+    plan = _plan(spark, sf_dir, "ds03_leakage_safe_split")
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read and "lang" in read
+    assert "source" not in read
+
+
+def test_ds04_distributed_global_rank_shape(spark, sf_dir):
+    """The epoch shuffle must NOT rank through one global window: the
+    doc-level window partitions on the hash-range bucket b (parallel),
+    and the only unpartitioned window is the 256-row range rollup
+    (ordered by b). Same parse as the ds02 gate."""
+    plan = _plan(spark, sf_dir, "ds04_training_order")
+    assert "BroadcastHashJoin" in plan  # range bases broadcast back
+    assert "SortMergeJoin" not in plan
+    windows = _parse_windows(plan)
+    doc_level = [(p, o) for p, o in windows if "doc_id#" in o]
+    assert doc_level, "doc-level window (ordered by h, doc_id) missing"
+    for part, _ in doc_level:
+        assert "b#" in part, f"doc-level window must partition on b, got [{part}]"
+    for part, order in windows:
+        if "b#" not in part:  # the unpartitioned rollup
+            assert "b#" in order.split(",")[0], (
+                f"global Window must be the 256-row range rollup, got [{order}]"
+            )
