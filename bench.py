@@ -56,6 +56,14 @@ HEADLINE = [
     "ud2_spec_extraction",
 ]
 
+# Implementation variants of registered queries (name -> (registry name,
+# kwargs)): timed alongside HEADLINE so alternate scale paths get
+# round-over-round numbers too (nn01's Arrow path is equivalence-gated
+# against the SQL form in tests/test_scale_paths.py).
+VARIANTS = {
+    "nn01_cosine_topk_arrow": ("nn01_cosine_topk", {"impl": "arrow"}),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,23 +78,26 @@ def main() -> None:
     # codegen cache hits).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            if name in REGISTRY:
-                try:
-                    REGISTRY[name].fn(spark, warm_dir).count()
-                except Exception:
-                    pass
+        warm = [(n, {}) for n in HEADLINE if n in REGISTRY] + [
+            (reg, kw) for reg, kw in VARIANTS.values() if reg in REGISTRY
+        ]
+        for name, kw in warm:
+            try:
+                REGISTRY[name].fn(spark, warm_dir, **kw).count()
+            except Exception:
+                pass
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = [(name, name, {}) for name in HEADLINE if name in REGISTRY] + [
+        (label, reg, kw) for label, (reg, kw) in VARIANTS.items() if reg in REGISTRY
+    ]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in REGISTRY:
-            continue
-        fn = REGISTRY[name].fn
+    for label, reg, kw in runs:
+        fn = REGISTRY[reg].fn
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = fn(spark, sf_dir, **kw)
         n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[label] = round(time.perf_counter() - t0, 3)
         _ = n
     total = round(sum(timings.values()), 3)
     print(

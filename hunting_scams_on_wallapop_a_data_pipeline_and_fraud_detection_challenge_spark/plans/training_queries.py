@@ -487,12 +487,27 @@ _KNN_K = 5
     """,
     ops=("ANN-BRUTEFORCE",),
 )
-def nn01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nn01_cosine_topk(
+    spark: SparkSession, sf_dir: str, *, impl: str = "sql"
+) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, stream the
     corpus once, rank per query. The corpus side never shuffles — at
     100 TB this is one scan + a tiny per-partition top-k (the window
     over q_id partitions is bounded by |queries|·k rows after AQE).
-    Double fold order is pinned so ranks match the oracle exactly."""
+    Double fold order is pinned so ranks match the oracle exactly.
+
+    ``impl="arrow"`` switches to the vectorized scale path: the same
+    scan-once/partial-top-k shape, but the per-pair math runs as one
+    numpy matmul per Arrow batch inside ``mapInPandas`` instead of
+    interpreted SQL ``aggregate()`` folds (higher-order functions are
+    CodegenFallback — each 384-dim dot is a per-element boxed loop).
+    Results are rank-identical with float64 cosines agreeing to ~1e-15
+    relative (pairwise vs sequential summation), so the exactness-
+    pinned SQL form stays the oracle subject and the Arrow form is
+    equivalence-gated in tests/test_scale_paths.py and timed in
+    bench.py — the 100 TB recommendation."""
+    if impl == "arrow":
+        return _nn01_arrow(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
@@ -515,6 +530,72 @@ def nn01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KNN_K)
+        .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
+    )
+
+
+def _nn01_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KNN_K,
+    n_queries: int = _KNN_QUERIES,
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k (see nn01 docstring).
+
+    Shape: the bounded query block is collected once and closes over
+    the executor function (it ships with the task, the Arrow batches
+    stream the corpus); each batch contributes a PARTIAL top-k per
+    query (≤ batches·queries·k rows ever shuffle), and one tiny window
+    merges the partials. Per batch the cosine block is a single
+    (n×d)@(d×q) float64 matmul — the per-pair cost a real 100 TB
+    embedding sweep needs."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()  # bounded by n_queries — same contract as the IVF fit
+    )
+    Q = np.asarray([r.embedding for r in qrows], dtype=np.float64)
+    q_ids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(1))
+    keep = qn > 0
+    Qn, q_ids = Q[keep] / qn[keep, None], q_ids[keep]
+
+    def part(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.sqrt((V * V).sum(1))
+            ok = nrm > 0
+            V, ids, nrm = V[ok], ids[ok], nrm[ok]
+            if not len(V):
+                continue
+            C = (V / nrm[:, None]) @ Qn.T  # n×q cosine block
+            out = []
+            for qi in range(C.shape[1]):
+                mask = ids != q_ids[qi]
+                cm, im = C[:, qi][mask], ids[mask]
+                if not len(cm):
+                    continue
+                top = np.lexsort((im, -cm))[: min(k, len(cm))]
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "vec_id": im[top], "cos": cm[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, "q_id bigint, vec_id bigint, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
     )
 

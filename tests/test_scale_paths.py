@@ -37,3 +37,26 @@ def test_approx_median_within_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, m in exact.items():
         assert abs(approx[k] - m) / m <= 0.01, (k, approx[k], m)
+
+
+def test_nn01_arrow_path_matches_sql_path(spark, sf_dir):
+    """The vectorized (numpy-matmul mapInPandas) brute-force path must
+    be rank-identical to the exactness-pinned SQL-fold path, with
+    cosines agreeing far below the 6dp rounding the oracle checks."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn01_cosine_topk,
+    )
+
+    sql_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.cosine)
+        for r in nn01_cosine_topk(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.cosine)
+        for r in nn01_cosine_topk(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows.keys() == arrow_rows.keys()
+    for key, (vec_id, cos) in sql_rows.items():
+        a_vec, a_cos = arrow_rows[key]
+        assert a_vec == vec_id, f"rank mismatch at {key}"
+        assert abs(a_cos - cos) < 1e-6, f"cosine drift at {key}"
