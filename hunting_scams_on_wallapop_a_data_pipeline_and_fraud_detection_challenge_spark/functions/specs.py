@@ -308,33 +308,37 @@ def with_specs(
             t + "gpu_d": extract_gpu(dh),
         }
     )
+    # The per-field coalesces and the title-keyword category overrides
+    # land in ONE pass: the coalesce expressions are cheap references to
+    # the extraction ATTRIBUTES above, so inlining them into category
+    # (same-batch expressions can't see same-batch columns) duplicates
+    # only a coalesce node, not the extraction trees — and every
+    # analysis pass saved here re-traverses the whole with_specs plan
+    # (regex_analyzer.py:763-772).
+    cpu0_e = F.coalesce(F.col(t + "cpu_t"), F.col(t + "cpu_d"))
+    gpu_e = F.coalesce(F.col(t + "gpu_t"), F.col(t + "gpu_d"))
     step = step.withColumns(
         {
-            t + "cpu0": F.coalesce(F.col(t + "cpu_t"), F.col(t + "cpu_d")),
+            t + "cpu0": cpu0_e,
             t + "ram0": F.coalesce(F.col(t + "ram_t"), F.col(t + "ram_d")),
-            p + "gpu": F.coalesce(F.col(t + "gpu_t"), F.col(t + "gpu_d")),
+            p + "gpu": gpu_e,
+            p + "category": F.when(tl.contains("chromebook"), "CHROMEBOOK")
+            .when(contains_any(tl, ["macbook", "mac air", "mac pro", "imac"]), "APPLE")
+            .when(tl.contains("surface"), "SURFACE")
+            .otherwise(classify_prime_category(ft, cpu0_e, gpu_e)),
         }
     )
-    cpu0, ram0, gpu = F.col(t + "cpu0"), F.col(t + "ram0"), F.col(p + "gpu")
-
-    # Title-keyword overrides, else the decision tree (regex_analyzer.py:763-772)
-    step = step.withColumn(
-        p + "category",
-        F.when(tl.contains("chromebook"), "CHROMEBOOK")
-        .when(contains_any(tl, ["macbook", "mac air", "mac pro", "imac"]), "APPLE")
-        .when(tl.contains("surface"), "SURFACE")
-        .otherwise(classify_prime_category(ft, cpu0, gpu)),
-    )
+    cpu0, ram0 = F.col(t + "cpu0"), F.col(t + "ram0")
     category = F.col(p + "category")
 
     # X12: category constraints — RAM over cap → re-extract from the FULL
     # text under the cap; CHROMEBOOK+I7 → Celeron/Pentium override
-    # (regex_analyzer.py:376-419).
+    # (regex_analyzer.py:376-419). The cap when-chain references only the
+    # category attribute, so it inlines into its two consumers below
+    # (another full-tree analysis pass saved).
     limit = F.lit(RAM_LIMIT_DEFAULT)
     for cat_name, cap in RAM_LIMITS.items():
         limit = F.when(category == cat_name, F.lit(cap)).otherwise(limit)
-    step = step.withColumn(t + "ram_limit", limit)
-    limit = F.col(t + "ram_limit")
     ram_int = F.coalesce(
         F.nullif(F.regexp_replace(F.coalesce(ram0, F.lit("")), "[^0-9]", ""), F.lit("")).cast(
             "int"

@@ -176,6 +176,59 @@ def parse_bulk_response(
     return acked, failed
 
 
+def bulk_deliver(
+    docs: DataFrame,
+    post,
+    index_alias: str = INDEX_ALIAS,
+    chunk: int = 1000,
+) -> DataFrame:
+    """Distributed bulk delivery with per-document outcomes — the engine
+    twin of the reference's ``send_batch`` loop (``ingestion/
+    bulk_ingest.py:50-108,171-190``): each partition slices its docs
+    into ``chunk``-sized bulk bodies (reference chunks at 1000), POSTs
+    via the pluggable ``post(body) -> response dict`` (requests in
+    production, a fake in tests), and classifies every doc from the
+    response through :func:`parse_bulk_response` — partial failures
+    never interrupt the run.
+
+    Returns ``DataFrame[doc_id, status]`` with ``status='acked'`` or
+    the per-item failure reason — the caller writes the non-acked rows
+    to the dead-letter path. ``mapPartitions`` is the honest executor
+    here (imperative per-partition I/O, the one RDD-API use case);
+    delivery state never converges on the driver, so the fan-out scales
+    with executors exactly like the committer it replaces."""
+    action = json.dumps({"index": {"_index": index_alias}})
+    payload = docs.select(
+        F.col("id").cast("string").alias("_doc_id"),
+        F.to_json(F.struct(*[F.col(c) for c in docs.columns])).alias("_doc"),
+    )
+
+    def run(rows):
+        ids: list[str | None] = []
+        lines: list[str] = []
+
+        def flush():
+            if not ids:
+                return
+            resp = post("\n".join(lines) + "\n")
+            acked, failed = parse_bulk_response(resp, list(ids))
+            ids.clear()
+            lines.clear()
+            for doc_id in acked:
+                yield (doc_id, "acked")
+            for doc_id, reason in failed:
+                yield (doc_id, reason)
+
+        for row in rows:
+            ids.append(row._doc_id)
+            lines.extend((action, row._doc))
+            if len(ids) >= chunk:
+                yield from flush()
+        yield from flush()
+
+    return payload.rdd.mapPartitions(run).toDF(["doc_id", "status"])
+
+
 def to_bulk_ndjson(docs: DataFrame, index_alias: str = INDEX_ALIAS) -> DataFrame:
     """ES Bulk-API NDJSON body (``ingestion/bulk_ingest.py:171-190``).
 

@@ -183,3 +183,56 @@ def test_ingest_batch_dead_letters_rejects(spark, tmp_path):
     assert [(r.id, list(r.reject_reasons)) for r in rej] == [
         ("p2", ["geo_out_of_range"])
     ]
+
+
+def test_bulk_deliver_per_doc_outcomes(spark):
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        bulk_deliver,
+    )
+
+    # defined INSIDE the test so cloudpickle ships it by value (the
+    # tests dir is not importable on executors). Deterministic ES
+    # stand-in: parses the bulk NDJSON body and rejects any doc whose
+    # title contains 'poison' — items in request order, like ES.
+    def fake_es_post(body: str) -> dict:
+        import json as _json
+
+        lines = [ln for ln in body.split("\n") if ln]
+        items = []
+        for i in range(0, len(lines), 2):
+            action, doc = _json.loads(lines[i]), _json.loads(lines[i + 1])
+            assert "index" in action
+            if "poison" in (doc.get("title") or ""):
+                items.append({"index": {"status": 400, "error": {
+                    "type": "mapper_parsing_exception", "reason": "bad doc"}}})
+            else:
+                items.append({"index": {"status": 201}})
+        return {"errors": any(i["index"]["status"] >= 300 for i in items),
+                "items": items}
+
+    rows = [_GOOD]
+    for i in range(7):
+        title = "poison apple" if i % 3 == 0 else f"Portatil {i}"
+        rows.append((f"d{i}", title) + _GOOD[2:])
+    out = bulk_deliver(_docs(spark, rows), fake_es_post, chunk=3)
+    got = {r.doc_id: r.status for r in out.collect()}
+    assert len(got) == 8
+    assert got["ok"] == "acked"
+    for i in range(7):
+        if i % 3 == 0:
+            assert got[f"d{i}"] == "mapper_parsing_exception: bad doc"
+        else:
+            assert got[f"d{i}"] == "acked"
+
+
+def test_bulk_deliver_tolerates_broken_endpoint(spark):
+    """An endpoint answering garbage fails the batch as retryable — it
+    must never raise out of the job (reference send_batch catches all)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        bulk_deliver,
+    )
+
+    out = bulk_deliver(_docs(spark, [_GOOD]), lambda body: {"oops": True})
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].status.startswith("batch_retryable")
