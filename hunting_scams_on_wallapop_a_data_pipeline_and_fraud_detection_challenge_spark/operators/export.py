@@ -226,7 +226,13 @@ def bulk_deliver(
                 yield from flush()
         yield from flush()
 
-    return payload.rdd.mapPartitions(run).toDF(["doc_id", "status"])
+    # explicit schema: toDF([names]) infers via rdd.first(), an EAGER job
+    # that would run partition 0's side-effecting POSTs once at
+    # construction time (then again at the real action — duplicate
+    # documents under auto-id) and crash outright on an empty batch
+    return docs.sparkSession.createDataFrame(
+        payload.rdd.mapPartitions(run), "doc_id string, status string"
+    )
 
 
 def to_bulk_ndjson(docs: DataFrame, index_alias: str = INDEX_ALIAS) -> DataFrame:

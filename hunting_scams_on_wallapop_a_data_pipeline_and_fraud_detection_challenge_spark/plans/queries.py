@@ -1006,7 +1006,8 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # entry has at least one fully-green driver row across rounds, the tail is a
 # deliberate, documented choice — not import-order accident.
 #
-# Schedule (window = slots 0-49, tail = slots 50-58):
+# Schedule (window = slots 0-49, tail = everything past slot 49 — 9 slots
+# in r01/r02's 59-entry registry, 12 in round 3's 62):
 #   round 1  tail: ud1, x02, f09, f06, k45, x18, x19, ud2, rp01 (registry had
 #            50 entries at r01 verify time; the 9 landed later that round —
 #            ud1/x02/f09/f06/k45/x18 got green r01 rows, the last 3 none)

@@ -553,8 +553,11 @@ def _nn01_arrow(
     import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings")
+    # NULL embeddings are dropped exactly like the SQL path's nrm > 0
+    # filter drops them (NULL vector -> NULL norm)
     qrows = (
         emb.filter(F.col("vec_id") < n_queries)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .collect()  # bounded by n_queries — same contract as the IVF fit
     )
@@ -566,6 +569,9 @@ def _nn01_arrow(
 
     def part(batches):
         for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             nrm = np.sqrt((V * V).sum(1))

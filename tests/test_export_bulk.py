@@ -236,3 +236,41 @@ def test_bulk_deliver_tolerates_broken_endpoint(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0].status.startswith("batch_retryable")
+
+
+def test_bulk_deliver_posts_each_doc_exactly_once(spark, tmp_path):
+    """Regression: toDF-with-names schema inference ran an eager job
+    that re-executed partition 0's POSTs — every body must reach the
+    endpoint exactly once, and an EMPTY batch must deliver nothing
+    (and not crash)."""
+    import uuid
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        bulk_deliver,
+    )
+
+    outdir = tmp_path / "posts"
+    outdir.mkdir()
+    path = str(outdir)
+
+    def recording_post(body: str) -> dict:
+        import json as _json
+        import uuid as _uuid
+
+        with open(f"{path}/{_uuid.uuid4().hex}", "w") as fh:
+            fh.write(body)
+        n = sum(1 for ln in body.split("\n") if ln) // 2
+        return {"errors": False, "items": [{"index": {"status": 201}}] * n}
+
+    _ = uuid  # imported for parity with executor-side use
+    rows = [_GOOD] + [(f"d{i}",) + _GOOD[1:] for i in range(5)]
+    out = bulk_deliver(_docs(spark, rows), recording_post, chunk=2)
+    assert sorted(r.status for r in out.collect()) == ["acked"] * 6
+    posted = 0
+    for f in outdir.iterdir():
+        body = f.read_text()
+        posted += sum(1 for ln in body.split("\n") if ln) // 2
+    assert posted == 6, f"docs posted {posted} times total, expected 6"
+
+    empty = bulk_deliver(_docs(spark, rows).limit(0), recording_post)
+    assert empty.count() == 0

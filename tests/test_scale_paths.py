@@ -60,3 +60,24 @@ def test_nn01_arrow_path_matches_sql_path(spark, sf_dir):
         a_vec, a_cos = arrow_rows[key]
         assert a_vec == vec_id, f"rank mismatch at {key}"
         assert abs(a_cos - cos) < 1e-6, f"cosine drift at {key}"
+
+
+def test_nn01_arrow_path_drops_null_embeddings(spark, sf_dir, tmp_path):
+    """Regression: a NULL embedding row must be dropped (like the SQL
+    path's nrm > 0 filter), not crash the numpy stack."""
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn01_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    null_row = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    emb.unionByName(null_row).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = nn01_cosine_topk(spark, str(tmp_path), impl="arrow").collect()
+    assert len(out) > 0
+    assert all(r.vec_id != 1_000_000 for r in out)
