@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.readers import read_listings_ndjson, write_partitioned
-from .export import split_for_bulk, to_es_documents
+from .export import bulk_deliver, split_for_bulk, to_es_documents
 from .retention import drop_expired
 from .risk import score_listings
 
@@ -50,15 +50,20 @@ def run_ingest_batch(
     retain_days: int = 30,
     today: dt.date | None = None,
     rejects_path: str | None = None,
+    post=None,
 ) -> int:
     """One poll→score→ingest→cleanup cycle. Returns valid rows written.
 
-    Two tolerance layers, mirroring the reference's never-fail-the-batch
+    Three tolerance layers, mirroring the reference's never-fail-the-batch
     posture (``bulk_ingest.py:50-108``): corrupt landing LINES are
-    quarantined at read (dropped from scoring, not fatal), and documents
+    quarantined at read (dropped from scoring, not fatal); documents
     the index mapping would reject per-doc (``split_for_bulk``) are routed
     to ``rejects_path`` (dead-letter parquet with ``reject_reasons``) when
-    given, silently dropped otherwise — either way the batch completes.
+    given, silently dropped otherwise; and when ``post`` is given the
+    clean docs are ALSO bulk-delivered through it (``bulk_deliver``) with
+    sink-side per-item failures appended to ``rejects_path`` as
+    ``(doc_id, status)`` under ``<rejects_path>_sink`` — either way the
+    batch completes.
     """
     raw = read_listings_ndjson(spark, landing_dir, schema=LISTING_SCHEMA)
     listings = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
@@ -77,6 +82,13 @@ def run_ingest_batch(
         write_partitioned(valid, out_path)
         if rejects_path is not None:
             rejects.write.mode("append").parquet(rejects_path)
+        if post is not None:
+            outcomes = bulk_deliver(valid.drop("ingest_date"), post)
+            failed = outcomes.filter(F.col("status") != "acked")
+            if rejects_path is not None:
+                failed.write.mode("append").parquet(rejects_path + "_sink")
+            else:
+                failed.count()  # still drive the delivery to completion
     finally:
         docs.unpersist()
     drop_expired(out_path, retain_days=retain_days, today=today)

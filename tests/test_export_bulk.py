@@ -274,3 +274,57 @@ def test_bulk_deliver_posts_each_doc_exactly_once(spark, tmp_path):
 
     empty = bulk_deliver(_docs(spark, rows).limit(0), recording_post)
     assert empty.count() == 0
+
+
+def test_ingest_batch_delivers_and_dead_letters_sink_failures(spark, tmp_path):
+    """End-to-end with a live-sink stand-in: docs that pass pre-sink
+    classification but are rejected by the endpoint land in the
+    sink dead-letter with their per-item reason; the batch completes."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.pipeline import (
+        run_ingest_batch,
+    )
+
+    desc = "Portatil gaming en perfecto estado con garantia incluida " * 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"id": "p1", "title": "Portatil gaming i7", "description": desc,
+         "price": 200.0, "user_id": 9, "latitude": 40.4, "longitude": -3.7},
+        {"id": "p3", "title": "Portatil gaming i7", "description": desc,
+         "price": 250.0, "user_id": 9, "latitude": 40.4, "longitude": -3.7},
+    ]
+    (landing / "d.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    prime = spark.createDataFrame(
+        [("GAMING", "USED", 500.0, 100.0)],
+        "category string, condition string, mean double, stdev double",
+    )
+    comp = spark.createDataFrame(
+        [], "category string, condition string, comp_type string, "
+            "comp_name string, mean double, stdev double",
+    )
+
+    def post_rejecting_p3(body: str) -> dict:
+        import json as _json
+
+        lines = [ln for ln in body.split("\n") if ln]
+        items = []
+        for i in range(1, len(lines), 2):
+            if _json.loads(lines[i]).get("id") == "p3":
+                items.append({"index": {"status": 400, "error": {
+                    "type": "version_conflict_engine_exception",
+                    "reason": "p3 already versioned"}}})
+            else:
+                items.append({"index": {"status": 201}})
+        return {"errors": True, "items": items}
+
+    out = str(tmp_path / "lake")
+    dead = str(tmp_path / "rejects")
+    n = run_ingest_batch(
+        spark, str(landing), prime, comp, out,
+        rejects_path=dead, post=post_rejecting_p3,
+    )
+    assert n == 2  # both docs are lake-valid; sink rejection is separate
+    sink_dead = spark.read.parquet(dead + "_sink").collect()
+    assert [(r.doc_id, r.status) for r in sink_dead] == [
+        ("p3", "version_conflict_engine_exception: p3 already versioned")
+    ]
