@@ -146,12 +146,15 @@ def quality_components(text: Column) -> dict[str, Column]:
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    mean_wlen = F.length(F.concat_ws("", toks)) / n_toks
+    # token-less / empty text: every ratio is DEFINED as 0 (ANSI Spark
+    # raises on x/0, DuckDB yields NaN — both sides guard identically)
     return {
         "n_tokens": n_toks,
-        "stop_ratio": n_stop / n_toks,
-        "punct_ratio": n_punct / n_chars,
-        "mean_wlen": mean_wlen,
+        "stop_ratio": F.when(n_toks > 0, n_stop / n_toks).otherwise(0.0),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0),
+        "mean_wlen": F.when(
+            n_toks > 0, F.length(F.concat_ws("", toks)) / n_toks
+        ).otherwise(0.0),
     }
 
 
@@ -176,11 +179,23 @@ def sql_quality_score(expr: str) -> str:
     n_stop = f"len(list_filter({toks}, x -> x IN ({en})))"
     n_chars = f"length({expr})"
     n_punct = f"({n_chars} - length(regexp_replace({expr}, '[^\\w\\s]', '', 'g')))"
-    mean_wlen = f"(length(array_to_string({toks}, '')) / {n_toks})"
+    mean_wlen = (
+        f"(CASE WHEN {n_toks} > 0 THEN "
+        f"length(array_to_string({toks}, '')) / CAST({n_toks} AS DOUBLE) "
+        f"ELSE 0.0 END)"
+    )
+    punct_ratio = (
+        f"(CASE WHEN {n_chars} > 0 THEN "
+        f"{n_punct} / CAST({n_chars} AS DOUBLE) ELSE 0.0 END)"
+    )
+    stop_ratio = (
+        f"(CASE WHEN {n_toks} > 0 THEN "
+        f"{n_stop} / CAST({n_toks} AS DOUBLE) ELSE 0.0 END)"
+    )
     return (
         f"(0.25 * least({n_toks} / 100.0, 1.0)"
-        f" + 0.25 * (1.0 - least(({n_punct} / CAST({n_chars} AS DOUBLE)) * 10.0, 1.0))"
-        f" + 0.30 * least(({n_stop} / CAST({n_toks} AS DOUBLE)) * 5.0, 1.0)"
+        f" + 0.25 * (1.0 - least({punct_ratio} * 10.0, 1.0))"
+        f" + 0.30 * least({stop_ratio} * 5.0, 1.0)"
         f" + 0.20 * least({mean_wlen} / 8.0, 1.0))"
     )
 

@@ -68,3 +68,61 @@ def spark_prop(spark):
     con = duckdb.connect()
     yield spark, con
     con.close()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_text_analysis_parity(spark_prop, texts):
+    """quality_score, predicted_lang, bpe_token_count and shingles must
+    agree cross-engine on adversarial text — these primitives feed the
+    txt01/txt02/dd07 and every shingle-based dedup oracle."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.functions.textstats import (
+        bpe_token_count,
+        distinct_tokens,
+        predicted_lang,
+        quality_score,
+        shingles,
+        sql_bpe_token_count,
+        sql_distinct_tokens,
+        sql_predicted_lang,
+        sql_quality_score,
+        sql_shingles,
+        sql_tokens,
+    )
+
+    spark, con = spark_prop
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: (
+            round(r.q, 6) if r.q is not None else None,
+            r.lang,
+            r.bpe,
+            tuple(r.sh) if r.sh is not None else None,
+        )
+        for r in df.select(
+            "i",
+            quality_score(F.col("t")).alias("q"),
+            predicted_lang(distinct_tokens(F.col("t"))).alias("lang"),
+            bpe_token_count(F.col("t")).alias("bpe"),
+            shingles(tokens(F.col("t"))).alias("sh"),
+        ).collect()
+    }
+    con.execute("DROP TABLE IF EXISTS props2")
+    con.execute("CREATE TABLE props2(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO props2 VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        r[0]: (
+            round(r[1], 6) if r[1] is not None else None,
+            r[2],
+            r[3],
+            tuple(r[4]) if r[4] is not None else None,
+        )
+        for r in con.execute(
+            f"""SELECT i, {sql_quality_score('t')},
+                       {sql_predicted_lang(sql_distinct_tokens('t'))},
+                       {sql_bpe_token_count('t')},
+                       {sql_shingles(sql_tokens('t'))}
+                FROM props2"""
+        ).fetchall()
+    }
+    assert got == want
