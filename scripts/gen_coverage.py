@@ -107,6 +107,37 @@ def union_check() -> int:
     return 0
 
 
+def propose_tail() -> int:
+    """Propose the next round's _ROTATION_TAIL (plans/queries.py).
+
+    Rule: the tail (entries past the driver's 50-slot window) must be
+    the oracle-backed entries with the MOST fully-green driver rows —
+    never park anything with <2 green rows while a 2+-green candidate
+    exists. Ties break toward entries parked least recently (stable
+    registry order) so greens spread across rounds.
+    """
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: dict[str, int] = {n: 0 for n in REGISTRY}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            if name in greens and row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                greens[name] += 1
+    n_tail = max(0, len(REGISTRY) - 50)
+    oracle_backed = [n for n, s in REGISTRY.items() if s.oracle_text() is not None]
+    ranked = sorted(oracle_backed, key=lambda n: -greens[n])
+    tail = ranked[:n_tail]
+    if any(greens[n] < 2 for n in tail):
+        print("WARNING: not enough 2+-green entries to fill the tail — "
+              "keep low-green entries in the window anyway:")
+    print(f"# proposed _ROTATION_TAIL for the NEXT round ({n_tail} entries):")
+    for n in tail:
+        print(f'    "{n}",  # {greens[n]} green rows')
+    return 0
+
+
 def main() -> None:
     covered: dict[str, list[str]] = {}
     for name, spec in sorted(REGISTRY.items()):
@@ -140,4 +171,6 @@ def main() -> None:
 if __name__ == "__main__":
     if "--union" in sys.argv:
         raise SystemExit(union_check())
+    if "--propose-tail" in sys.argv:
+        raise SystemExit(propose_tail())
     main()
