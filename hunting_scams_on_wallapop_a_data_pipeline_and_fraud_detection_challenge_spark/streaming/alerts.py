@@ -218,6 +218,7 @@ def start_alert_query(
     sink,
     trigger_interval: str | None = "1 minute",
     available_now: bool = False,
+    realert_minutes: int | None = None,
 ):
     """Wire the full ST1–ST6 pipeline and start it.
 
@@ -225,9 +226,20 @@ def start_alert_query(
     fresh alerts per micro-batch (the reference emails here; tests
     collect). ``available_now=True`` gives the cron-style catch-up run
     (S9); otherwise a processing-time trigger gives ST2's cadence.
-    """
+
+    ``realert_minutes`` selects the suppression layer: ``None`` gives
+    the simple one-alert-per-id watermarked dedupe; a value composes
+    the faithful ElastAlert realert operator instead (same key re-fires
+    after the window — the reference's production behavior, writeback
+    state in the checkpoint)."""
     stream = read_listing_stream(spark, landing_dir)
-    alerts = format_alerts(deduped_alerts(high_risk_matches(stream)))
+    matches = high_risk_matches(stream)
+    suppressed = (
+        deduped_alerts(matches)
+        if realert_minutes is None
+        else realert_suppressed(matches, realert_minutes=realert_minutes)
+    )
+    alerts = format_alerts(suppressed)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sink(fresh_only(batch_df), batch_id)

@@ -219,3 +219,40 @@ def test_realert_state_ages_out(spark, tmp_path):
     assert state_totals[-1] <= 2, (
         f"state grew monotonically: {state_totals} (expected it1/it2 aged out)"
     )
+
+
+def test_alert_stream_with_realert_layer(spark, tmp_path):
+    """The full composed pipeline with the faithful ElastAlert realert
+    operator: same id suppressed inside the window, re-fires after it,
+    state restored from the checkpoint between runs."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    got: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    def run():
+        q = start_alert_query(
+            spark, str(landing), str(ckpt), sink,
+            available_now=True, realert_minutes=30,
+        )
+        q.awaitTermination(120)
+
+    _write_ndjson(
+        landing / "a.json",
+        [_listing(1, 95, "2026-08-13T10:00:00"),
+         _listing(2, 95, "2026-08-13T10:10:00", dup="it1")],  # inside window
+    )
+    run()
+    assert [a["id"] for a in got] == ["it1"]
+    assert got[0]["subject"].startswith("FRAUD ALERT (risk 95)")
+
+    # same key past the realert window -> re-fires (checkpointed state)
+    _write_ndjson(
+        landing / "b.json", [_listing(3, 95, "2026-08-13T10:45:00", dup="it1")]
+    )
+    run()
+    assert [a["id"] for a in got] == ["it1", "it1"]
+    assert len({a["crawl_timestamp"] for a in got}) == 2
