@@ -62,6 +62,7 @@ HEADLINE = [
 # against the SQL form in tests/test_scale_paths.py).
 VARIANTS = {
     "nn01_cosine_topk_arrow": ("nn01_cosine_topk", {"impl": "arrow"}),
+    "nn02_lsh_ann_arrow": ("nn02_lsh_ann", {"impl": "arrow"}),
 }
 
 

@@ -706,6 +706,7 @@ def nn02_lsh_ann(
     bits: int = _ANN_BITS,
     tables: int = _ANN_TABLES,
     k: int = _ANN_K,
+    impl: str = "sql",
 ) -> DataFrame:
     """Multi-table hyperplane-LSH ANN (the scale path): ``tables``
     independent hash tables of ``bits`` sign bits each (the cosine
@@ -727,7 +728,14 @@ def nn02_lsh_ann(
     absorbed inside the overlap predicate, so no dedupe groupBy).
     Tune ``bits`` up with corpus size (recall gate:
     tests/test_ann_recall.py; ``bits=0, tables=1`` degenerates to
-    exact brute force, the gate's baseline)."""
+    exact brute force, the gate's baseline).
+
+    ``impl="arrow"`` vectorizes both the bucketing (one sign-of-matmul
+    per Arrow batch against the hyperplane matrix) and the gated cosine
+    scoring, keeping the identical bucket/probe semantics — same
+    rationale and equivalence gate as nn01's Arrow path."""
+    if impl == "arrow":
+        return _nn02_arrow(spark, sf_dir, bits=bits, tables=tables, k=k)
     emb = _t(spark, sf_dir, "embeddings")
     tagged = F.transform(
         _bucket_array(F.col("v"), bits, tables),
@@ -759,6 +767,94 @@ def nn02_lsh_ann(
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
+    )
+
+
+def _nn02_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int,
+    tables: int,
+    k: int,
+    n_queries: int = _KNN_QUERIES,
+) -> DataFrame:
+    """Vectorized multi-table LSH probe (see nn02 docstring).
+
+    Per Arrow batch: one (n×d)@(d×planes) matmul gives every sign bit,
+    bit-packing gives the per-table bucket ids, a (n×q) same-table
+    bucket-equality mask gates the cosine block, and each batch emits a
+    partial top-k per query — identical candidate semantics to the
+    arrays_overlap plan, ~batches·queries·k rows ever shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(
+        [p for tbl in _table_signs(bits, tables) for p in tbl], dtype=np.float64
+    )  # (tables*bits, d); empty when bits == 0
+    weights = (1 << np.arange(bits)) if bits else None
+
+    def buckets_of(V: "np.ndarray") -> "np.ndarray":
+        if not bits:
+            return np.zeros((len(V), max(tables, 1)), dtype=np.int64)
+        signs = (V @ P.T) > 0  # (n, tables*bits)
+        return np.stack(
+            [signs[:, t * bits : (t + 1) * bits] @ weights for t in range(tables)],
+            axis=1,
+        )  # (n, tables)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.asarray([r.embedding for r in qrows], dtype=np.float64)
+    q_ids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(1))
+    keep = qn > 0
+    Q, q_ids, qn = Q[keep], q_ids[keep], qn[keep]
+    Qn, QB = Q / qn[:, None], buckets_of(Q)  # (q, d), (q, tables)
+
+    def part(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.sqrt((V * V).sum(1))
+            ok = nrm > 0
+            V, ids, nrm = V[ok], ids[ok], nrm[ok]
+            if not len(V):
+                continue
+            B = buckets_of(V)  # (n, tables)
+            # same-table bucket equality — the arrays_overlap twin
+            overlap = (B[:, None, :] == QB[None, :, :]).any(-1)  # (n, q)
+            C = (V / nrm[:, None]) @ Qn.T
+            out = []
+            for qi in range(len(q_ids)):
+                mask = overlap[:, qi] & (ids != q_ids[qi])
+                cm, im = C[:, qi][mask], ids[mask]
+                if not len(cm):
+                    continue
+                top = np.lexsort((im, -cm))[: min(k, len(cm))]
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "vec_id": im[top], "cos": cm[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, "q_id bigint, vec_id bigint, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
     )

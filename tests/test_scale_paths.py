@@ -81,3 +81,26 @@ def test_nn01_arrow_path_drops_null_embeddings(spark, sf_dir, tmp_path):
     out = nn01_cosine_topk(spark, str(tmp_path), impl="arrow").collect()
     assert len(out) > 0
     assert all(r.vec_id != 1_000_000 for r in out)
+
+
+def test_nn02_arrow_path_matches_sql_path(spark, sf_dir):
+    """The vectorized LSH probe (sign-of-matmul bucketing + masked
+    cosine block) must reproduce the arrays_overlap plan exactly:
+    same candidates, same ranks, cosines within rounding slack."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn02_lsh_ann,
+    )
+
+    sql_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.cosine)
+        for r in nn02_lsh_ann(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.cosine)
+        for r in nn02_lsh_ann(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows.keys() == arrow_rows.keys()
+    for key, (vec_id, cos) in sql_rows.items():
+        a_vec, a_cos = arrow_rows[key]
+        assert a_vec == vec_id, f"rank mismatch at {key}"
+        assert abs(a_cos - cos) < 1e-6, f"cosine drift at {key}"
