@@ -66,7 +66,11 @@ tests/test_risk_pipeline.py, registered end-to-end as
 `operators/export.py`, and feeding the Spark ML fraud classifier in
 `operators/ml.py` (tests/test_ml_fraud.py). Approximate operators (ANN,
 sketch aggregates) are quality-gated against their exact twins
-(tests/test_ann_recall.py, tests/test_scale_paths.py).
+(tests/test_ann_recall.py, tests/test_scale_paths.py); nn01/nn02 also
+ship Arrow-vectorized implementation variants (`impl="arrow"`, one
+numpy matmul per batch instead of interpreted SQL folds) that are
+equivalence-gated against the exactness-pinned SQL forms and timed
+round-over-round via bench.py's VARIANTS table.
 
 | op | coverage |
 |---|---|"""

@@ -38,3 +38,23 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+@pytest.mark.parametrize("budget", [7, 384, 500])
+def test_ds02_packing_exact_for_any_budget(budget, spark, sf_dir, ddb):
+    """ADVICE r02: pack_id must use integer division so parity holds for
+    NON-power-of-two budgets too (floor(double-div) only coincided with
+    // for power-of-two budgets). Replay the oracle with the budget
+    substituted and compare exactly."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _PACK_BUDGET,
+        ds02_sequence_packing,
+    )
+
+    actual = ds02_sequence_packing(spark, sf_dir, budget=budget).toPandas()
+    sql = REGISTRY["ds02_sequence_packing"].oracle_text().replace(
+        f"// {_PACK_BUDGET}", f"// {budget}"
+    ).replace(f"% {_PACK_BUDGET}", f"% {budget}")
+    assert sql.count(f"// {budget}") == 1 and sql.count(f"% {budget}") == 1
+    expected = ddb.execute(sql).fetchdf()
+    assert_frames_match(actual, expected, f"ds02@budget={budget}")
