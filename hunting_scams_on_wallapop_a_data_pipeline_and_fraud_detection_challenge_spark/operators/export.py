@@ -154,6 +154,9 @@ def parse_bulk_response(
     refuses). A malformed/partial response fails the WHOLE batch as
     retryable rather than guessing per-doc outcomes.
     """
+    if "_transport_error" in response:
+        reason = f"batch_retryable: transport: {response['_transport_error']}"
+        return [], [(d, reason) for d in doc_ids]
     items = response.get("items")
     if not isinstance(items, list) or len(items) != len(doc_ids):
         return [], [(d, "batch_retryable: malformed bulk response") for d in doc_ids]
@@ -210,7 +213,15 @@ def bulk_deliver(
         def flush():
             if not ids:
                 return
-            resp = post("\n".join(lines) + "\n")
+            # transport-level failures (timeout, connection refused) are
+            # tolerated like the reference's catch-all (bulk_ingest.py:
+            # 106-108): the whole chunk becomes retryable, the job never
+            # fails — otherwise one unreachable-sink moment fails the
+            # batch AFTER the lake append and a retry double-indexes
+            try:
+                resp = post("\n".join(lines) + "\n")
+            except Exception as e:  # noqa: BLE001 — sink faults must not kill the job
+                resp = {"_transport_error": str(e)[:200]}
             acked, failed = parse_bulk_response(resp, list(ids))
             ids.clear()
             lines.clear()

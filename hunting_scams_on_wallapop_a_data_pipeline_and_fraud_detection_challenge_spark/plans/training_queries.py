@@ -534,27 +534,11 @@ def nn01_cosine_topk(
     )
 
 
-def _nn01_arrow(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = _KNN_K,
-    n_queries: int = _KNN_QUERIES,
-) -> DataFrame:
-    """Vectorized brute-force cosine top-k (see nn01 docstring).
-
-    Shape: the bounded query block is collected once and closes over
-    the executor function (it ships with the task, the Arrow batches
-    stream the corpus); each batch contributes a PARTIAL top-k per
-    query (≤ batches·queries·k rows ever shuffle), and one tiny window
-    merges the partials. Per batch the cosine block is a single
-    (n×d)@(d×q) float64 matmul — the per-pair cost a real 100 TB
-    embedding sweep needs."""
+def _arrow_query_block(emb: DataFrame, n_queries: int):
+    """Collect the bounded query block (NULL/zero-norm rows dropped
+    exactly like the SQL paths' ``nrm > 0`` filter) → (Q, q_ids, Qn)."""
     import numpy as np
-    import pandas as pd
 
-    emb = _t(spark, sf_dir, "embeddings")
-    # NULL embeddings are dropped exactly like the SQL path's nrm > 0
-    # filter drops them (NULL vector -> NULL norm)
     qrows = (
         emb.filter(F.col("vec_id") < n_queries)
         .filter(F.col("embedding").isNotNull())
@@ -565,7 +549,22 @@ def _nn01_arrow(
     q_ids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
     qn = np.sqrt((Q * Q).sum(1))
     keep = qn > 0
-    Qn, q_ids = Q[keep] / qn[keep, None], q_ids[keep]
+    Q, q_ids, qn = Q[keep], q_ids[keep], qn[keep]
+    return Q, q_ids, Q / qn[:, None]
+
+
+def _arrow_partial_topk(emb: DataFrame, Qn, q_ids, k: int, mask_fn=None) -> DataFrame:
+    """Shared Arrow top-k scaffold for the vectorized ANN variants.
+
+    Each Arrow batch drops NULL/zero-norm rows, optionally restricts to
+    LSH candidates via ``mask_fn(V, ids) -> (n, q) bool`` BEFORE the
+    cosine matmul (rows colliding with no query never pay the per-pair
+    math — that is the point of the gate), computes the normalized
+    (n×q) cosine block as one float64 matmul, and emits a PARTIAL
+    top-k per query (≤ batches·queries·k rows ever shuffle); one tiny
+    window merges the partials."""
+    import numpy as np
+    import pandas as pd
 
     def part(batches):
         for pdf in batches:
@@ -579,10 +578,19 @@ def _nn01_arrow(
             V, ids, nrm = V[ok], ids[ok], nrm[ok]
             if not len(V):
                 continue
-            C = (V / nrm[:, None]) @ Qn.T  # n×q cosine block
+            overlap = None
+            if mask_fn is not None:
+                overlap = mask_fn(V, ids)  # (n, q)
+                cand = overlap.any(1)
+                V, ids, nrm, overlap = V[cand], ids[cand], nrm[cand], overlap[cand]
+                if not len(V):
+                    continue
+            C = (V / nrm[:, None]) @ Qn.T  # candidates×q cosine block
             out = []
             for qi in range(C.shape[1]):
                 mask = ids != q_ids[qi]
+                if overlap is not None:
+                    mask &= overlap[:, qi]
                 cm, im = C[:, qi][mask], ids[mask]
                 if not len(cm):
                     continue
@@ -604,6 +612,20 @@ def _nn01_arrow(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
     )
+
+
+def _nn01_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KNN_K,
+    n_queries: int = _KNN_QUERIES,
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k (see nn01 docstring): the
+    shared Arrow scaffold with no candidate gate — every corpus row
+    scores against every query, one (n×d)@(d×q) matmul per batch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, q_ids, Qn = _arrow_query_block(emb, n_queries)
+    return _arrow_partial_topk(emb, Qn, q_ids, k)
 
 
 _ANN_BITS = 4  # sign bits per hash table (2^bits buckets/table)
@@ -780,15 +802,20 @@ def _nn02_arrow(
     k: int,
     n_queries: int = _KNN_QUERIES,
 ) -> DataFrame:
-    """Vectorized multi-table LSH probe (see nn02 docstring).
+    """Vectorized multi-table LSH probe (see nn02 docstring): the
+    shared Arrow scaffold gated by a same-table bucket-equality mask —
+    one (n×d)@(d×planes) matmul gives every sign bit, bit-packing
+    gives per-table bucket ids, and rows colliding with NO query are
+    dropped before the cosine matmul (candidate-identical to the
+    arrays_overlap plan).
 
-    Per Arrow batch: one (n×d)@(d×planes) matmul gives every sign bit,
-    bit-packing gives the per-table bucket ids, a (n×q) same-table
-    bucket-equality mask gates the cosine block, and each batch emits a
-    partial top-k per query — identical candidate semantics to the
-    arrays_overlap plan, ~batches·queries·k rows ever shuffle."""
+    Exactness note: numpy's pairwise summation can in principle flip a
+    sign bit vs the sequential SQL fold when a plane dot product sits
+    within ~1e-16 of zero — a discrete candidate-set change, unlike
+    the ~1e-15 cosine drift. Deterministic per dataset (the gate either
+    always passes or visibly fails after a testdata regen), never
+    run-to-run flaky."""
     import numpy as np
-    import pandas as pd
 
     P = np.asarray(
         [p for tbl in _table_signs(bits, tables) for p in tbl], dtype=np.float64
@@ -805,59 +832,15 @@ def _nn02_arrow(
         )  # (n, tables)
 
     emb = _t(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .filter(F.col("embedding").isNotNull())
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    Q = np.asarray([r.embedding for r in qrows], dtype=np.float64)
-    q_ids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
-    qn = np.sqrt((Q * Q).sum(1))
-    keep = qn > 0
-    Q, q_ids, qn = Q[keep], q_ids[keep], qn[keep]
-    Qn, QB = Q / qn[:, None], buckets_of(Q)  # (q, d), (q, tables)
+    Q, q_ids, Qn = _arrow_query_block(emb, n_queries)
+    QB = buckets_of(Q)  # (q, tables)
 
-    def part(batches):
-        for pdf in batches:
-            pdf = pdf[pdf["embedding"].notna()]
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            nrm = np.sqrt((V * V).sum(1))
-            ok = nrm > 0
-            V, ids, nrm = V[ok], ids[ok], nrm[ok]
-            if not len(V):
-                continue
-            B = buckets_of(V)  # (n, tables)
-            # same-table bucket equality — the arrays_overlap twin
-            overlap = (B[:, None, :] == QB[None, :, :]).any(-1)  # (n, q)
-            C = (V / nrm[:, None]) @ Qn.T
-            out = []
-            for qi in range(len(q_ids)):
-                mask = overlap[:, qi] & (ids != q_ids[qi])
-                cm, im = C[:, qi][mask], ids[mask]
-                if not len(cm):
-                    continue
-                top = np.lexsort((im, -cm))[: min(k, len(cm))]
-                out.append(
-                    pd.DataFrame(
-                        {"q_id": q_ids[qi], "vec_id": im[top], "cos": cm[top]}
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+    def bucket_mask(V, ids):
+        B = buckets_of(V)  # (n, tables)
+        # same-table bucket equality — the arrays_overlap twin
+        return (B[:, None, :] == QB[None, :, :]).any(-1)  # (n, q)
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        part, "q_id bigint, vec_id bigint, cos double"
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        partial.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
-    )
+    return _arrow_partial_topk(emb, Qn, q_ids, k, mask_fn=bucket_mask)
 
 
 _NEARDUP_BITS = 4  # sign bits per table

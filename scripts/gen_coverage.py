@@ -132,11 +132,15 @@ def propose_tail() -> int:
     n_tail = max(0, len(REGISTRY) - 50)
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle_text() is not None]
     ranked = sorted(oracle_backed, key=lambda n: -greens[n])
-    tail = ranked[:n_tail]
-    if any(greens[n] < 2 for n in tail):
-        print("WARNING: not enough 2+-green entries to fill the tail — "
-              "keep low-green entries in the window anyway:")
-    print(f"# proposed _ROTATION_TAIL for the NEXT round ({n_tail} entries):")
+    # never emit a <2-green entry in the paste-ready list — the proposal
+    # must be safe to copy verbatim
+    tail = [n for n in ranked[:n_tail] if greens[n] >= 2]
+    short = n_tail - len(tail)
+    if short:
+        print(f"WARNING: only {len(tail)} entries have >=2 green rows; "
+              f"{short} window slot(s) will spill past slot 49 unrotated — "
+              "add greens before growing the registry further.")
+    print(f"# proposed _ROTATION_TAIL for the NEXT round ({len(tail)} entries):")
     for n in tail:
         print(f'    "{n}",  # {greens[n]} green rows')
     return 0

@@ -328,3 +328,63 @@ def test_ingest_batch_delivers_and_dead_letters_sink_failures(spark, tmp_path):
     assert [(r.doc_id, r.status) for r in sink_dead] == [
         ("p3", "version_conflict_engine_exception: p3 already versioned")
     ]
+
+
+def test_ingest_batch_delivery_runs_without_rejects_path(spark, tmp_path):
+    """The post-given / rejects_path-None branch must still DRIVE the
+    delivery (the discarded count() is what executes the POSTs)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.pipeline import (
+        run_ingest_batch,
+    )
+
+    desc = "Portatil gaming en perfecto estado con garantia incluida " * 2
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "d.json").write_text(json.dumps(
+        {"id": "p1", "title": "Portatil gaming i7", "description": desc,
+         "price": 200.0, "user_id": 9, "latitude": 40.4, "longitude": -3.7}
+    ) + "\n")
+    prime = spark.createDataFrame(
+        [("GAMING", "USED", 500.0, 100.0)],
+        "category string, condition string, mean double, stdev double",
+    )
+    comp = spark.createDataFrame(
+        [], "category string, condition string, comp_type string, "
+            "comp_name string, mean double, stdev double",
+    )
+    posted_dir = tmp_path / "posted"
+    posted_dir.mkdir()
+    pdir = str(posted_dir)
+
+    def recording_post(body: str) -> dict:
+        import uuid as _uuid
+
+        with open(f"{pdir}/{_uuid.uuid4().hex}", "w") as fh:
+            fh.write(body)
+        n = sum(1 for ln in body.split("\n") if ln) // 2
+        return {"errors": False, "items": [{"index": {"status": 201}}] * n}
+
+    n = run_ingest_batch(
+        spark, str(landing), prime, comp, str(tmp_path / "lake"),
+        post=recording_post,
+    )
+    assert n == 1
+    bodies = list(posted_dir.iterdir())
+    assert len(bodies) == 1, "delivery never executed without rejects_path"
+    assert '"id":"p1"' in bodies[0].read_text().replace(" ", "")
+
+
+def test_bulk_deliver_transport_failure_is_retryable(spark):
+    """A post() that RAISES (connection refused / timeout) must not fail
+    the job: the chunk's docs come back batch_retryable."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.export import (
+        bulk_deliver,
+    )
+
+    def broken_post(body: str) -> dict:
+        raise ConnectionError("sink unreachable")
+
+    out = bulk_deliver(_docs(spark, [_GOOD]), broken_post).collect()
+    assert len(out) == 1
+    assert out[0].status.startswith("batch_retryable: transport:")
+    assert "sink unreachable" in out[0].status
