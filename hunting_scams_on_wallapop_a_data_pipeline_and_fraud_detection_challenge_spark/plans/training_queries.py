@@ -566,9 +566,17 @@ def _arrow_partial_topk(emb: DataFrame, Qn, q_ids, k: int, mask_fn=None) -> Data
     import numpy as np
     import pandas as pd
 
+    dim = Qn.shape[1]
+
     def part(batches):
         for pdf in batches:
             pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf):
+                # empty / wrong-dimension arrays would crash np.stack;
+                # the SQL twin drops empties via nrm > 0 and yields NULL
+                # cosines for dim mismatches — dropping both here is the
+                # defined behavior for malformed rows
+                pdf = pdf[pdf["embedding"].map(len) == dim]
             if not len(pdf):
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

@@ -104,3 +104,30 @@ def test_nn02_arrow_path_matches_sql_path(spark, sf_dir):
         a_vec, a_cos = arrow_rows[key]
         assert a_vec == vec_id, f"rank mismatch at {key}"
         assert abs(a_cos - cos) < 1e-6, f"cosine drift at {key}"
+
+
+def test_nn01_arrow_path_drops_malformed_embeddings(spark, sf_dir, tmp_path):
+    """Empty and wrong-dimension embedding arrays are dropped (the SQL
+    twin's nrm>0 / NULL-cosine behavior), never a numpy stack crash."""
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn01_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    empty_row = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.array().cast("array<float>").alias("embedding"), *others,
+    )
+    short_row = emb.limit(1).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.slice("embedding", 1, 3).alias("embedding"), *others,
+    )
+    emb.unionByName(empty_row).unionByName(short_row).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = nn01_cosine_topk(spark, str(tmp_path), impl="arrow").collect()
+    assert len(out) > 0
+    assert all(r.vec_id < 1_000_000 for r in out)
