@@ -193,3 +193,18 @@ def test_ds04_distributed_global_rank_shape(spark, sf_dir):
             assert "b#" in order.split(",")[0], (
                 f"global Window must be the 256-row range rollup, got [{order}]"
             )
+
+
+def test_rp01_joins_are_all_broadcast(spark, sf_dir):
+    """The composed production pipeline joins facts against stats/user/
+    review dims only via broadcast — a SortMergeJoin anywhere means a
+    fact-side shuffle crept into the scorer."""
+    plan = _plan(spark, sf_dir, "rp01_end_to_end_risk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5  # 3 fallback + comp + user dims
+
+
+def test_ds01_sample_is_shuffle_free(spark, sf_dir):
+    """Stratified sampling is a filter on the scan — zero exchanges."""
+    plan = _plan(spark, sf_dir, "ds01_stratified_sample")
+    assert "Exchange" not in plan
