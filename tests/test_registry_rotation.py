@@ -25,6 +25,10 @@ FORMER_TAIL = {
     "k45_best_component", "x18_badge_scan",
 } | NEVER_VERIFIED
 
+#: Round-3 additions — need their FIRST driver row, so in-window too.
+NEW_IN_R03 = {"ds03_leakage_safe_split", "ds04_training_order",
+              "ct02_decontaminated_train"}
+
 
 def test_window_contains_never_verified_entries():
     window = set(list(REGISTRY)[:50])
@@ -33,6 +37,9 @@ def test_window_contains_never_verified_entries():
         f"{NEVER_VERIFIED - window}"
     )
     assert FORMER_TAIL <= window
+    assert NEW_IN_R03 <= window, (
+        f"round-3 additions outside the window: {NEW_IN_R03 - window}"
+    )
 
 
 def test_tail_is_the_documented_rotation():
