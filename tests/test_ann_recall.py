@@ -107,3 +107,21 @@ def test_dd05_neardup_pair_recall(spark, sf):
     assert approx <= exact, "LSH path produced a pair the exact path lacks"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.6, f"dd05 pair recall={recall:.2f} < 0.6 at {sf}"
+
+
+def test_nn03_ivf_operating_point_tradeoff(spark):
+    """IVF's knobs must move recall the documented way: probing the
+    same 1/4 fraction of a finer quantizer (cells=32, probes=8) stays
+    in the default's recall regime, while halving the probed fraction
+    (cells=32, probes=4) prunes harder and cannot raise recall.
+    Deterministic seeded fit → no flake."""
+    sf = SF_DIRS[0]
+    exact = _topk(nn01_cosine_topk(spark, sf))
+    default = _recall(_topk(nn03_ivf_ann(spark, sf)), exact)
+    same_frac = _recall(_topk(nn03_ivf_ann(spark, sf, cells=32, probes=8)), exact)
+    half_frac = _recall(_topk(nn03_ivf_ann(spark, sf, cells=32, probes=4)), exact)
+    assert half_frac <= same_frac + 1e-9, (
+        f"halving probed fraction raised recall?! {half_frac:.2f} > {same_frac:.2f}"
+    )
+    assert same_frac >= 0.35, f"recall collapsed at cells=32/probes=8: {same_frac:.2f}"
+    assert default >= 0.45  # the pinned default gate still holds here
