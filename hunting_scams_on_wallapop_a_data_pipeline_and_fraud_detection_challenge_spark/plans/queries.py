@@ -1000,7 +1000,7 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # Driver-visibility rotation.
 #
 # The driver's correctness gate records rows for the FIRST 50 registry
-# entries in iteration order; the registry holds 62. The 12 entries past the
+# entries in iteration order; the registry holds 63. The 13 entries past the
 # window still run in tests/test_oracle_parity.py (the local twin of the
 # gate), but get no CORRECTNESS_r{N}.json row that round. To guarantee every
 # entry has at least one fully-green driver row across rounds, the tail is a
@@ -1013,12 +1013,13 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            ud1/x02/f09/f06/k45/x18 got green r01 rows, the last 3 none)
 #   round 2  tail: same 9 (import-order accident) → x19/ud2/rp01 still unseen
 #   round 3  tail: u12, w03, a13, a03, a08, a09, a10, a12, w02, a02, a05,
-#            k03 — all twelve are double-green (r01 AND r02), so parking
+#            k03, a01 — all thirteen are double-green (r01 AND r02), so parking
 #            them costs no union coverage while ud1..rp01 (incl. the three
 #            never-driver-verified) rotate into the window along with the
-#            round-3 additions ds03/ds04/ct02 (which need first rows).
-#   round 4+ rotate a different 12 double-greens back; keep any entry with
-#            <2 green rows inside the window until it has two.
+#            round-3 additions ds03/ds04/ct02/dd08 (which need first rows).
+#   round 4+ rotate a different 13 double-greens back (use
+#            `python scripts/gen_coverage.py --propose-tail`); keep any
+#            entry with <2 green rows inside the window until it has two.
 #
 # Union after round 3: every oracle-backed entry has ≥1 green row in
 # r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
@@ -1043,6 +1044,7 @@ _ROTATION_TAIL = [
     "a02_component_stats",
     "a05_review_stats_per_user",
     "k03_hidden_price_max",
+    "a01_grouped_price_stats",
 ]
 
 

@@ -272,13 +272,13 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = _SIMHASH_BITS) -> str:
     votes = ",\n               ".join(
         f"sum(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(_SIMHASH_BITS)
+        for j in range(bits)
     )
     sim = " + ".join(
-        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
     )
     return f"""
     WITH e AS (
@@ -292,7 +292,9 @@ def _simhash_sql() -> str:
 
 
 @query("dd03_simhash", oracle=_simhash_sql(), ops=("DEDUP-SIMHASH",))
-def dd03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd03_simhash(
+    spark: SparkSession, sf_dir: str, *, bits: int = _SIMHASH_BITS
+) -> DataFrame:
     """16-bit SimHash per document: per-bit ±1 votes over distinct-token
     hashes, bit set where the vote is positive. Near-dups land on equal
     (or Hamming-close) simhash values — dedup becomes a groupBy on one
@@ -307,14 +309,14 @@ def dd03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(_SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
     sim = reduce(
         add,
         [
             F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(_SIMHASH_BITS)
+            for j in range(bits)
         ],
     )
     return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
@@ -1835,4 +1837,99 @@ def ct02_decontaminated_train(
         docs.filter(F.col("source") != _EVAL_SOURCE)
         .join(bad.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: Hamming-distance banding over dd03's signatures
+# ---------------------------------------------------------------------------
+
+#: max Hamming distance for a near-dup pair
+_SIMHAM_MAX = 1
+#: dd08 uses a WIDER signature than dd03's 16-bit panel hash: this synthetic
+#: corpus shares most of its vocabulary across documents, so 16 bits
+#: saturate (10k+ pairs at ham=0); 28 bits spread the vote directions while
+#: staying divisible into equal bands. Size bits up with corpus vocabulary.
+_SIMHAM_SIG_BITS = 28
+#: bands over the signature. Pigeonhole: ham <= _SIMHAM_MAX bits can touch
+#: at most _SIMHAM_MAX of the (_SIMHAM_MAX + 1) bands, so every qualifying
+#: pair shares AT LEAST one band verbatim — candidate generation is EXACT
+#: (recall 1), unlike probabilistic LSH banding.
+_SIMHAM_BANDS = _SIMHAM_MAX + 1
+_SIMHAM_BAND_BITS = _SIMHAM_SIG_BITS // _SIMHAM_BANDS
+
+
+@query(
+    "dd08_simhash_neardup",
+    oracle=f"""
+    WITH sig AS ({_simhash_sql(_SIMHAM_SIG_BITS)}),
+    bands AS (
+        SELECT doc_id, simhash, b,
+               (simhash >> (b * {_SIMHAM_BAND_BITS}))
+                   & {(1 << _SIMHAM_BAND_BITS) - 1} AS k
+        FROM sig, (SELECT unnest(range({_SIMHAM_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k
+                                  AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = a_id
+    JOIN sig sb ON sb.doc_id = b_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHAM_MAX}
+    """,
+    ops=("DEDUP-SIMHASH",),
+)
+def dd08_simhash_neardup(
+    spark: SparkSession, sf_dir: str, *, max_hamming: int = _SIMHAM_MAX
+) -> DataFrame:
+    """SimHash near-dup PAIRS — the missing half of dd03 (which emits
+    signatures; equality-only dedup): pairs whose ``_SIMHAM_SIG_BITS``-
+    wide simhash differs in <= ``max_hamming`` bits. Banding the signature
+    into ``max_hamming + 1`` slices makes the bucket join an EXACT
+    candidate generator by pigeonhole (a qualifying pair cannot differ
+    in every band), so unlike the probabilistic LSH ops there is no
+    recall gate to tune — the verify step only confirms the distance.
+
+    Scale shape: identical to the other banded dedups — the quadratic
+    step is confined to same-(band, key) buckets (2^bits keys per band;
+    size ``_SIMHASH_BITS`` up with the corpus so buckets stay bounded),
+    candidates dedupe map-side-combinably on two ids, and the popcount
+    verify is one codegen'd xor+bit_count per candidate, no arrays."""
+    sig = dd03_simhash(spark, sf_dir, bits=_SIMHAM_SIG_BITS).persist()
+    mask = (1 << _SIMHAM_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash", b * _SIMHAM_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("k"),
+                    )
+                    for b in range(_SIMHAM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["b", "k"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+    ).cast("int")
+    return (
+        cand.join(sig.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .filter(ham <= max_hamming)
+        .select("a_id", "b_id", ham.alias("hamming"))
     )

@@ -27,7 +27,7 @@ FORMER_TAIL = {
 
 #: Round-3 additions — need their FIRST driver row, so in-window too.
 NEW_IN_R03 = {"ds03_leakage_safe_split", "ds04_training_order",
-              "ct02_decontaminated_train"}
+              "ct02_decontaminated_train", "dd08_simhash_neardup"}
 
 
 def test_window_contains_never_verified_entries():
