@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -92,14 +93,24 @@ def main() -> None:
     runs = [(name, name, {}) for name in HEADLINE if name in REGISTRY] + [
         (label, reg, kw) for label, (reg, kw) in VARIANTS.items() if reg in REGISTRY
     ]
+    # Per-query MEDIAN of n_runs (r03 lesson: single-shot timings were too
+    # noisy to grade regressions — untouched queries drifted +15-30% on a
+    # loaded box). The spread ((max-min)/median, worst query) is reported
+    # as the run's noise floor so round-over-round deltas below it are
+    # read as noise, not regression.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for label, reg, kw in runs:
         fn = REGISTRY[reg].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir, **kw)
-        n = df.count()
-        timings[label] = round(time.perf_counter() - t0, 3)
-        _ = n
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir, **kw).count()
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        timings[label] = round(med, 3)
+        spreads[label] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +120,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": n_runs,
+                "noise_floor": (
+                    f"per-query medians of {n_runs} runs; worst relative "
+                    f"spread (max-min)/median = "
+                    f"{max(spreads.values(), default=0.0):.3f} "
+                    f"({max(spreads, key=spreads.get, default='')}) — deltas "
+                    "below the spread are noise"
+                ),
+                "spread": spreads,
             }
         )
     )

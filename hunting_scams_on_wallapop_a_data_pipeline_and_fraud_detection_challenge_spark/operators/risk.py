@@ -206,9 +206,12 @@ def score_listings(
 
     # -- F4 symbolic-price short-circuit (poller.py:394-409) -----------------
     symbolic = price < 5.0
+    # `+ 0.0` normalizes IEEE signed zero: DuckDB's round() can emit -0.0 for
+    # tiny negative z while Spark's BigDecimal round emits +0.0 — the driver's
+    # bit-level value hash distinguishes them even though -0.0 == 0.0.
     df = df.withColumns({
-        "composite_z": F.round(F.when(symbolic, 0.0).otherwise(final_z), 2),
-        "estimated_value": F.round(F.when(symbolic, 0.0).otherwise(est_val), 2),
+        "composite_z": F.round(F.when(symbolic, 0.0).otherwise(final_z), 2) + F.lit(0.0),
+        "estimated_value": F.round(F.when(symbolic, 0.0).otherwise(est_val), 2) + F.lit(0.0),
         "category": F.when(symbolic, "UNCERTAIN_PRICE").otherwise(F.col("category")),
     })
 

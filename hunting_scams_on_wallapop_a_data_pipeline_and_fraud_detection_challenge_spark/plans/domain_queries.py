@@ -37,7 +37,7 @@ from .queries import _r, _t, query
     oracle="""
     WITH z AS (
         SELECT event_id, user_id, event_type, value,
-               round(((value - 250.0) / 100.0) + 1e-6, 2) AS z
+               round(((value - 250.0) / 100.0) + 1e-6, 2) + 0.0 AS z
         FROM events
     ),
     pts AS (
@@ -1355,8 +1355,8 @@ a9 AS (
 ),
 a10 AS (
     SELECT *,
-           round(CASE WHEN symbolic THEN 0.0 ELSE final_z END, 2) AS composite_z,
-           round(CASE WHEN symbolic THEN 0.0 ELSE est_val END, 2) AS estimated_value,
+           round(CASE WHEN symbolic THEN 0.0 ELSE final_z END, 2) + 0.0 AS composite_z,
+           round(CASE WHEN symbolic THEN 0.0 ELSE est_val END, 2) + 0.0 AS estimated_value,
            CASE WHEN symbolic THEN 'UNCERTAIN_PRICE' ELSE category END AS category_out,
            regexp_matches(coalesce(description, ''), '(?i)(whatsapp|6\\d{{8}})') AS contact,
            (length(coalesce(description, '')) < 30 AND price > 200) AS short_desc

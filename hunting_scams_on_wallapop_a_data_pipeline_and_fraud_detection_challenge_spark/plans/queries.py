@@ -273,7 +273,7 @@ def a05_review_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM f
     )
     SELECT l_orderkey, l_linenumber,
-           round(((wz1 + wz2 + wz3) / (w1 + w2 + w3)) + 1e-6, 4) AS final_z,
+           round(((wz1 + wz2 + wz3) / (w1 + w2 + w3)) + 1e-6, 4) + 0.0 AS final_z,
            round(((wm1 + wm2 + wm3) / (w1 + w2 + w3)) + 1e-6, 2) AS est_value
     FROM sig
     WHERE (w1 + w2 + w3) > 0
@@ -1007,7 +1007,7 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # deliberate, documented choice — not import-order accident.
 #
 # Schedule (window = slots 0-49, tail = everything past slot 49 — 9 slots
-# in r01/r02's 59-entry registry, 12 in round 3's 62):
+# in r01/r02's 59-entry registry, 13 in round 3's 63-entry one):
 #   round 1  tail: ud1, x02, f09, f06, k45, x18, x19, ud2, rp01 (registry had
 #            50 entries at r01 verify time; the 9 landed later that round —
 #            ud1/x02/f09/f06/k45/x18 got green r01 rows, the last 3 none)

@@ -484,7 +484,7 @@ _KNN_K = 5
                    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
         FROM scored
     )
-    SELECT q_id, vec_id, round(cos + 1e-9, 6) AS cosine, rk
+    SELECT q_id, vec_id, round(cos + 1e-9, 6) + 0.0 AS cosine, rk
     FROM ranked WHERE rk <= {_KNN_K}
     """,
     ops=("ANN-BRUTEFORCE",),
@@ -547,6 +547,13 @@ def _arrow_query_block(emb: DataFrame, n_queries: int):
         .select("vec_id", "embedding")
         .collect()  # bounded by n_queries — same contract as the IVF fit
     )
+    # empty / wrong-dimension arrays would make np.asarray ragged and crash;
+    # drop them exactly like the corpus-side len == dim guard in
+    # _arrow_partial_topk (dim := the modal length of the query block)
+    lens = [len(r.embedding) for r in qrows]
+    if lens:
+        dim = max(set(lens), key=lens.count)
+        qrows = [r for r in qrows if len(r.embedding) == dim]
     Q = np.asarray([r.embedding for r in qrows], dtype=np.float64)
     q_ids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
     qn = np.sqrt((Q * Q).sum(1))
@@ -726,7 +733,7 @@ def _sql_or_same_bucket(a: str, b: str, tables: int) -> str:
                    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
         FROM scored
     )
-    SELECT q_id, vec_id, round(cos + 1e-9, 6) AS cosine, rk
+    SELECT q_id, vec_id, round(cos + 1e-9, 6) + 0.0 AS cosine, rk
     FROM ranked WHERE rk <= {_ANN_K}
     """,
     ops=("ANN-LSH",),
@@ -877,7 +884,7 @@ _NEARDUP_COS = 0.4
           ON a.vec_id < b.vec_id
          AND {_sql_or_same_bucket("a", "b", _NEARDUP_TABLES)}
     )
-    SELECT a_id, b_id, round(cos + 1e-9, 6) AS cosine
+    SELECT a_id, b_id, round(cos + 1e-9, 6) + 0.0 AS cosine
     FROM p WHERE cos >= {_NEARDUP_COS}
     """,
     ops=("DEDUP-EMBEDDING",),
@@ -1546,7 +1553,7 @@ def _nn03_oracle() -> str:
                    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
         FROM scored
     )
-    SELECT q_id, vec_id, round(cos + 1e-9, 6) AS cosine, rk
+    SELECT q_id, vec_id, round(cos + 1e-9, 6) + 0.0 AS cosine, rk
     FROM ranked WHERE rk <= {_KNN_K}
     """
 
@@ -1884,23 +1891,42 @@ _SIMHAM_BAND_BITS = _SIMHAM_SIG_BITS // _SIMHAM_BANDS
     ops=("DEDUP-SIMHASH",),
 )
 def dd08_simhash_neardup(
-    spark: SparkSession, sf_dir: str, *, max_hamming: int = _SIMHAM_MAX
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_hamming: int = _SIMHAM_MAX,
+    bits: int = _SIMHAM_SIG_BITS,
 ) -> DataFrame:
     """SimHash near-dup PAIRS — the missing half of dd03 (which emits
-    signatures; equality-only dedup): pairs whose ``_SIMHAM_SIG_BITS``-
-    wide simhash differs in <= ``max_hamming`` bits. Banding the signature
-    into ``max_hamming + 1`` slices makes the bucket join an EXACT
-    candidate generator by pigeonhole (a qualifying pair cannot differ
-    in every band), so unlike the probabilistic LSH ops there is no
-    recall gate to tune — the verify step only confirms the distance.
+    signatures; equality-only dedup): pairs whose ``bits``-wide simhash
+    differs in <= ``max_hamming`` bits. The band count is DERIVED from
+    the parameter (``max_hamming + 1`` contiguous slices, widths within
+    1 bit of each other), so the pigeonhole exactness guarantee — a
+    qualifying pair cannot differ in every band, hence shares at least
+    one band verbatim — holds for ANY ``max_hamming``, not just the
+    default. Unlike the probabilistic LSH ops there is no recall gate
+    to tune; the verify step only confirms the distance.
 
     Scale shape: identical to the other banded dedups — the quadratic
-    step is confined to same-(band, key) buckets (2^bits keys per band;
-    size ``_SIMHASH_BITS`` up with the corpus so buckets stay bounded),
-    candidates dedupe map-side-combinably on two ids, and the popcount
-    verify is one codegen'd xor+bit_count per candidate, no arrays."""
-    sig = dd03_simhash(spark, sf_dir, bits=_SIMHAM_SIG_BITS).persist()
-    mask = (1 << _SIMHAM_BAND_BITS) - 1
+    step is confined to same-(band, key) buckets (~2^(bits/bands) keys
+    per band; size ``bits`` up with corpus vocabulary so buckets stay
+    bounded — ``tests/test_scale_paths.py`` gates the occupancy/width
+    operating point at two widths), candidates dedupe map-side-
+    combinably on two ids, and the popcount verify is one codegen'd
+    xor+bit_count per candidate, no arrays. The signature frame is
+    localCheckpoint(eager=False) — materialized once on first action,
+    blocks GC-reclaimed — rather than persist(), so repeated calls in a
+    long-lived session don't accumulate cached tables."""
+    if not 0 < max_hamming + 1 <= bits:
+        raise ValueError(f"max_hamming={max_hamming} needs 0..{bits - 1}")
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    slices, off = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        slices.append((off, width))
+        off += width
+    sig = dd03_simhash(spark, sf_dir, bits=bits).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1908,11 +1934,11 @@ def dd08_simhash_neardup(
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftright("simhash", b * _SIMHAM_BAND_BITS)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftright("simhash", boff)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("k"),
                     )
-                    for b in range(_SIMHAM_BANDS)
+                    for b, (boff, width) in enumerate(slices)
                 ]
             )
         ).alias("bk"),

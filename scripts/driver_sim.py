@@ -30,6 +30,9 @@ spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as mod  # noqa: E402
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.compare import (  # noqa: E402
+    bit_mismatch,
+)
 
 assert mod.entry(spark).count() > 0, "entry() smoke failed"
 
@@ -83,6 +86,12 @@ for name, fn in sorted(qs.items()):
             pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True)
         except AssertionError as err:
             status.append(f"values: {str(err)[:200]}")
+        else:
+            # driver hashes raw bytes: -0.0 vs +0.0 passes value equality
+            # but fails the driver (the r03 rp01 defect) — check bits too
+            diff = bit_mismatch(a, e)
+            if diff:
+                status.append(diff)
     if status:
         fail.append((name, "; ".join(status)))
         print(f"FAIL {name}: {'; '.join(status)}")

@@ -15,6 +15,9 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.sources.readers import (  # noqa: E402
     TESTDATA_TABLES,
 )
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.compare import (  # noqa: E402
+    bit_mismatch,
+)
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 # lazily-generated oracles (nn03's replayed quantizer fit) must read the
@@ -70,3 +73,7 @@ def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, name: str 
     assert len(actual) == len(expected), f"{name}: row count {len(actual)} vs {len(expected)}"
     a, e = normalize(actual), normalize(expected)
     pd.testing.assert_frame_equal(a, e, check_dtype=False, check_exact=True, obj=name or "df")
+    # The driver hashes raw value bytes, so -0.0 vs +0.0 fails there even
+    # though it passes IEEE value equality above (the r03 rp01 defect).
+    diff = bit_mismatch(a, e)
+    assert diff is None, f"{name}: {diff}"

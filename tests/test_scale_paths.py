@@ -131,3 +131,107 @@ def test_nn01_arrow_path_drops_malformed_embeddings(spark, sf_dir, tmp_path):
     out = nn01_cosine_topk(spark, str(tmp_path), impl="arrow").collect()
     assert len(out) > 0
     assert all(r.vec_id < 1_000_000 for r in out)
+
+
+def test_dd08_exact_for_larger_max_hamming(spark, sf_dir):
+    """ADVICE r03: candidate banding must derive from max_hamming (bands =
+    max_hamming + 1), or ham=2 pairs differing 1 bit in each of two fixed
+    bands are silently missed. Gate: dd08 at max_hamming=2 must equal a
+    brute-force popcount over the same signatures (exactness, recall 1)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _SIMHAM_SIG_BITS,
+        dd03_simhash,
+        dd08_simhash_neardup,
+    )
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dd03_simhash(spark, sf_dir, bits=_SIMHAM_SIG_BITS).collect()
+    }
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in dd08_simhash_neardup(spark, sf_dir, max_hamming=2).collect()
+    }
+    assert got == expected, (
+        f"dd08 ham<=2 missed {len(expected - got)} / extra {len(got - expected)} "
+        f"of {len(expected)} brute-force pairs"
+    )
+
+
+def test_dd08_signature_width_bounds_bucket_occupancy(spark, sf_dir):
+    """The dd08 operating point (signature width vs candidate volume):
+    widening the signature must shrink the banded candidate workload —
+    sum over (band, key) buckets of C(n, 2) — while exactness holds at
+    both widths (every brute-force qualifying pair is still emitted).
+    This is the documented scale knob: size bits up with corpus
+    vocabulary so bucket occupancy stays bounded."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd03_simhash,
+        dd08_simhash_neardup,
+    )
+
+    def candidate_volume(bits: int) -> int:
+        sigs = [r.simhash for r in dd03_simhash(spark, sf_dir, bits=bits).collect()]
+        n_bands = 2  # max_hamming=1 default
+        base, extra = divmod(bits, n_bands)
+        vol = 0
+        off = 0
+        for b in range(n_bands):
+            width = base + (1 if b < extra else 0)
+            buckets = {}
+            for s in sigs:
+                k = (s >> off) & ((1 << width) - 1)
+                buckets[k] = buckets.get(k, 0) + 1
+            vol += sum(n * (n - 1) // 2 for n in buckets.values())
+            off += width
+        return vol
+
+    narrow, wide = candidate_volume(16), candidate_volume(40)
+    assert wide < narrow, (
+        f"widening 16->40 bits did not shrink candidate volume ({narrow} -> {wide})"
+    )
+
+    def pairs(bits: int) -> set:
+        sigs = {
+            r.doc_id: r.simhash
+            for r in dd03_simhash(spark, sf_dir, bits=bits).collect()
+        }
+        ids = sorted(sigs)
+        return {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 1
+        }
+
+    for bits in (16, 40):
+        got = {
+            (r.a_id, r.b_id)
+            for r in dd08_simhash_neardup(spark, sf_dir, bits=bits).collect()
+        }
+        assert got == pairs(bits), f"dd08 lost exactness at bits={bits}"
+
+
+def test_dd08_does_not_accumulate_persisted_tables(spark, sf_dir):
+    """ADVICE r03: dd08 used sig.persist() with no unpersist — every call
+    in a long-lived session (bench warm-up + timed run) leaked a cached
+    table. With lazy localCheckpoint the persistent-RDD census must not
+    grow across repeated invocations."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd08_simhash_neardup,
+    )
+
+    sc = spark.sparkContext
+    assert dd08_simhash_neardup(spark, sf_dir).count() >= 0
+    before = sc._jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        assert dd08_simhash_neardup(spark, sf_dir).count() >= 0
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after <= before, f"dd08 accumulates cached tables: {before} -> {after}"
