@@ -64,6 +64,7 @@ HEADLINE = [
 VARIANTS = {
     "nn01_cosine_topk_arrow": ("nn01_cosine_topk", {"impl": "arrow"}),
     "nn02_lsh_ann_arrow": ("nn02_lsh_ann", {"impl": "arrow"}),
+    "ud2_spec_extraction_arrow": ("ud2_spec_extraction", {"impl": "arrow"}),
 }
 
 

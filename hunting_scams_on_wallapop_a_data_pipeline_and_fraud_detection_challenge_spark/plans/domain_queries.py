@@ -1068,7 +1068,9 @@ def _ud2_sql() -> str:
     oracle=_ud2_sql(),
     ops=("UD2", "X3", "X4", "X5", "X6", "X7", "X8", "X11", "X12"),
 )
-def ud2_spec_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ud2_spec_extraction(
+    spark: SparkSession, sf_dir: str, *, impl: str = "sql"
+) -> DataFrame:
     """The full prioritized spec pipeline (sanitize → truncate → title-
     priority merge → classify → constrain → condition) over listing text
     synthesized from documents: 15 deterministic snippet variants cover
@@ -1081,7 +1083,13 @@ def ud2_spec_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage mentions (regex_analyzer.py:55-60) — is rewritten for the
     oracle as erase-then-extract, which is candidate-set-identical (see
     _ud2_sql_ram_vals). Remaining Java-only quirks stay golden-tested in
-    tests/test_domain_golden.py."""
+    tests/test_domain_golden.py.
+
+    ``impl="arrow"`` switches the extraction stage to the Arrow-batched
+    scale path (``functions/specs_arrow.py``): one ``mapInPandas`` pass
+    with compiled ``re`` patterns instead of ~40 sequential JVM regex
+    projections. Equivalence to this SQL form is pinned in
+    tests/test_scale_paths.py; timings ride bench.py VARIANTS."""
     docs = _t(spark, sf_dir, "documents")
     n = len(_UD2_SNIPS)
     snip = F.element_at(
@@ -1098,6 +1106,14 @@ def ud2_spec_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         title.alias("title"),
         F.concat(snip, F.lit("\n"), spam, F.col("text")).alias("description"),
     )
+    if impl == "arrow":
+        from ..functions.specs_arrow import specs_map_batches
+
+        return listings.mapInPandas(
+            specs_map_batches("title", "description", ["doc_id"]),
+            "doc_id bigint, cpu string, ram string, gpu string, "
+            "category string, condition_regex string",
+        )
     out = with_specs(listings, title_col="title", desc_col="description")
     return out.select("doc_id", "cpu", "ram", "gpu", "category", "condition_regex")
 

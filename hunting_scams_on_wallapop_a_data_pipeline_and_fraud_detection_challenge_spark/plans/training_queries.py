@@ -1895,7 +1895,7 @@ def dd08_simhash_neardup(
     sf_dir: str,
     *,
     max_hamming: int = _SIMHAM_MAX,
-    bits: int = _SIMHAM_SIG_BITS,
+    bits: int | str = _SIMHAM_SIG_BITS,
 ) -> DataFrame:
     """SimHash near-dup PAIRS — the missing half of dd03 (which emits
     signatures; equality-only dedup): pairs whose ``bits``-wide simhash
@@ -1917,9 +1917,21 @@ def dd08_simhash_neardup(
     localCheckpoint(eager=False) — materialized once on first action,
     blocks GC-reclaimed — rather than persist(), so repeated calls in a
     long-lived session don't accumulate cached tables."""
-    if not 0 < max_hamming + 1 <= bits:
-        raise ValueError(f"max_hamming={max_hamming} needs 0..{bits - 1}")
     n_bands = max_hamming + 1
+    if bits == "auto":
+        # Size the signature from the corpus so band-bucket occupancy stays
+        # bounded as data grows: 2^(bits/bands) keys per band, so per-band
+        # bits ~ log2(n_docs / target_occupancy). Floor 8 bits/band (below
+        # that the default is already fine), cap 56/bands total (BIGINT
+        # headroom). One count() pre-pass — parquet row-count metadata,
+        # no scan.
+        import math
+
+        n_docs = _t(spark, sf_dir, "documents").count()
+        per_band = max(8, min(56 // n_bands, math.ceil(math.log2(max(n_docs, 2) / 4))))
+        bits = n_bands * per_band
+    if not 0 < n_bands <= bits:
+        raise ValueError(f"max_hamming={max_hamming} needs 0..{bits - 1}")
     base, extra = divmod(bits, n_bands)
     slices, off = [], 0
     for b in range(n_bands):

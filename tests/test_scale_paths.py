@@ -222,16 +222,72 @@ def test_dd08_signature_width_bounds_bucket_occupancy(spark, sf_dir):
 def test_dd08_does_not_accumulate_persisted_tables(spark, sf_dir):
     """ADVICE r03: dd08 used sig.persist() with no unpersist — every call
     in a long-lived session (bench warm-up + timed run) leaked a cached
-    table. With lazy localCheckpoint the persistent-RDD census must not
-    grow across repeated invocations."""
+    table FOREVER. With lazy localCheckpoint the blocks are RECLAIMABLE:
+    once the plan objects are garbage-collected the ContextCleaner
+    returns the persistent-RDD census to its baseline (persist-leaked
+    tables never come back down). The cleaner is async, so poll."""
+    import gc
+    import time
+
     from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
         dd08_simhash_neardup,
     )
 
     sc = spark.sparkContext
+
+    def settled_census() -> int:
+        gc.collect()
+        sc._jvm.System.gc()
+        return sc._jsc.getPersistentRDDs().size()
+
     assert dd08_simhash_neardup(spark, sf_dir).count() >= 0
-    before = sc._jsc.getPersistentRDDs().size()
-    for _ in range(2):
+    before = settled_census()
+    for _ in range(3):
         assert dd08_simhash_neardup(spark, sf_dir).count() >= 0
-    after = sc._jsc.getPersistentRDDs().size()
-    assert after <= before, f"dd08 accumulates cached tables: {before} -> {after}"
+    deadline = time.time() + 30
+    after = settled_census()
+    while after > before and time.time() < deadline:
+        time.sleep(1)
+        after = settled_census()
+    assert after <= before, f"dd08 caches not reclaimed: {before} -> {after}"
+
+
+def test_ud2_arrow_path_matches_sql_path(spark, sf_dir):
+    """The Arrow spec-extraction scale path must be row-for-row identical
+    to the JVM column-expression form (which is the DuckDB-oracle-checked
+    and golden-pinned one) — same gate pattern as nn01/nn02."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.domain_queries import (
+        ud2_spec_extraction,
+    )
+    from conftest import assert_frames_match
+
+    sql_form = ud2_spec_extraction(spark, sf_dir).toPandas()
+    arrow_form = ud2_spec_extraction(spark, sf_dir, impl="arrow").toPandas()
+    assert_frames_match(arrow_form, sql_form, "ud2 arrow vs sql")
+
+
+def test_dd08_auto_bits_tracks_corpus_size(spark, sf_dir):
+    """bits="auto" derives signature width from the corpus row count
+    (bands * log2(n/target), floored at 8 bits/band) and must produce
+    exactly the explicit-width result it resolves to."""
+    import math
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd08_simhash_neardup,
+    )
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.sources.readers import (
+        load_table,
+    )
+
+    n = load_table(spark, sf_dir, "documents").count()
+    per_band = max(8, min(28, math.ceil(math.log2(max(n, 2) / 4))))
+    expected_bits = 2 * per_band
+    auto = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in dd08_simhash_neardup(spark, sf_dir, bits="auto").collect()
+    }
+    explicit = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in dd08_simhash_neardup(spark, sf_dir, bits=expected_bits).collect()
+    }
+    assert auto == explicit
