@@ -120,6 +120,43 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.mapInPandas(_sample, schema=out_schema)
 
 
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize/thumbnail plumbing: emits a bounded-size derivative per
+    payload (truncate-and-digest as the deterministic fake; a real
+    implementation decodes, scales, and re-encodes inside the same
+    batch loop). Output carries the derivative payload so a downstream
+    sink can persist thumbnails — the one multimodal stage whose output
+    is itself media."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("orig_bytes", T.IntegerType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("thumb_digest", T.StringType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            origs, thumbs, digests = [], [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                thumb = data[:target_bytes]
+                origs.append(len(data))
+                thumbs.append(thumb)
+                digests.append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": origs,
+                    "thumb": thumbs,
+                    "thumb_digest": digests,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=out_schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads so the
     multimodal path is exercisable on the driver's tables."""

@@ -172,7 +172,31 @@ def quality_score(text: Column) -> Column:
     return score
 
 
-def sql_quality_score(expr: str) -> str:
+def dup_ratio(text: Column) -> Column:
+    """Duplicate-token fraction ``1 - distinct/total`` straight off the
+    token array (no explode — set size via ``array_distinct``); 0 for
+    token-less text, mirroring the quality-ratio guards."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(0.0)
+
+
+def sql_dup_ratio(expr: str) -> str:
+    toks = sql_tokens(expr)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"1.0 - len(list_distinct({toks})) / CAST(len({toks}) AS DOUBLE) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def sql_quality_ratios(expr: str) -> dict[str, str]:
+    """DuckDB fragments for the :func:`quality_components` signals —
+    the single source for every oracle that consumes these ratios
+    (``sql_quality_score`` and the gopher-rule battery), so the two
+    can't drift from each other or from the Spark side."""
     toks = sql_tokens(expr)
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     n_toks = f"len({toks})"
@@ -192,6 +216,20 @@ def sql_quality_score(expr: str) -> str:
         f"(CASE WHEN {n_toks} > 0 THEN "
         f"{n_stop} / CAST({n_toks} AS DOUBLE) ELSE 0.0 END)"
     )
+    return {
+        "n_tokens": n_toks,
+        "mean_wlen": mean_wlen,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+    }
+
+
+def sql_quality_score(expr: str) -> str:
+    c = sql_quality_ratios(expr)
+    n_toks = c["n_tokens"]
+    mean_wlen = c["mean_wlen"]
+    punct_ratio = c["punct_ratio"]
+    stop_ratio = c["stop_ratio"]
     return (
         f"(0.25 * least({n_toks} / 100.0, 1.0)"
         f" + 0.25 * (1.0 - least({punct_ratio} * 10.0, 1.0))"

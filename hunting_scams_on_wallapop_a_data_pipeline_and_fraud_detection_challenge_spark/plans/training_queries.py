@@ -41,14 +41,18 @@ from ..functions.hashing import M31, hmod, seeded, sql_hmod, sql_seeded
 from ..functions.textstats import (
     bpe_token_count,
     distinct_tokens,
+    dup_ratio,
     fingerprint,
     predicted_lang,
+    quality_components,
     quality_score,
     shingles,
     sql_bpe_token_count,
     sql_distinct_tokens,
+    sql_dup_ratio,
     sql_fingerprint,
     sql_predicted_lang,
+    sql_quality_ratios,
     sql_quality_score,
     sql_shingles,
     sql_tokens,
@@ -1688,6 +1692,46 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+@query(
+    "mm02_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, text AS t FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+    ),
+    f AS (SELECT doc_id, unnest(range(0, length(t), 64)) AS off, t FROM m)
+    SELECT doc_id AS media_id,
+           CAST(off // 64 AS INT) AS frame_no,
+           md5(substring(t, CAST(off + 1 AS INT), 64)) AS frame_digest
+    FROM f
+    """,
+    ops=("MM-FRAMES",),
+)
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end: the multi-emit (UDTF-shaped)
+    ``mapInPandas`` stage slices every payload at fixed byte offsets
+    and emits one digest row per sampled frame — the plumbing a real
+    video frame sampler uses, with the byte-slice digest standing in
+    for the decoded frame. The oracle replays the sampling relationally
+    (unnest over offset ranges + substring digest).
+
+    The oracle slices VARCHARs by character; the pipeline slices
+    payload BYTES — identical only for ASCII text, so both sides
+    restrict to ASCII documents (the whole corpus, today) instead of
+    silently assuming it. Binary-only payloads stay covered by the
+    module tests.
+
+    Scale shape: pure map-side fan-out — payload bytes never shuffle,
+    each Arrow batch emits its frame rows and the per-task memory is
+    one batch regardless of corpus size."""
+    from ..functions.multimodal import documents_as_media, frame_sample
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length(F.col("text"))
+    )
+    return frame_sample(documents_as_media(docs), every_n_bytes=64)
+
+
 # ---------------------------------------------------------------------------
 # Train/val/test split, deterministic training order, decontaminated train
 # ---------------------------------------------------------------------------
@@ -1970,4 +2014,340 @@ def dd08_simhash_neardup(
         .join(sig.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
         .filter(ham <= max_hamming)
         .select("a_id", "b_id", ham.alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture re-weighting (training-data mixing across sources)
+# ---------------------------------------------------------------------------
+
+#: target mixture weights per source (relative proportions; sources
+#: absent from the map are excluded from the mix)
+_MIX_WEIGHTS = {"src1": 2, "src3": 4, "src5": 3, "src7": 1}
+#: hash-space resolution of the per-source keep rates
+_MIX_SCALE = 1_000_000
+
+
+def _mix_weight_case(col: str) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items()))
+    return f"(CASE {col} {whens} END)"
+
+
+def _mix_sources_sql() -> str:
+    return ", ".join(f"'{k}'" for k in sorted(_MIX_WEIGHTS))
+
+
+@query(
+    "ds05_source_mixture",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, count(*) AS n, {_mix_weight_case("source")} AS w
+        FROM documents WHERE source IN ({_mix_sources_sql()})
+        GROUP BY source
+    ),
+    b AS (
+        SELECT n AS nb, w AS wb FROM c
+        ORDER BY CAST(n AS DOUBLE) / w, source LIMIT 1
+    ),
+    r AS (
+        SELECT c.source,
+               CAST(c.w * b.nb AS DOUBLE) / (b.wb * c.n) AS rate
+        FROM c, b
+    )
+    SELECT d.doc_id, d.source, round(r.rate + 1e-9, 6) AS rate
+    FROM documents d JOIN r ON r.source = d.source
+    WHERE ({sql_hmod("CAST(d.doc_id AS VARCHAR)")} % {_MIX_SCALE})
+          < CAST(floor(r.rate * {_MIX_SCALE}) AS BIGINT)
+    """,
+    ops=("DS-MIX",),
+)
+def ds05_source_mixture(
+    spark: SparkSession, sf_dir: str, *, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic source-mixture re-weighting — downsample each
+    source so the output matches target mixture proportions exactly,
+    without upsampling anything (the data-mixing step of corpus
+    assembly: "the final mix is 40% web, 30% code, ...").
+
+    The binding source is the one that exhausts first at the target
+    proportions (min n_s/w_s, source-name tiebreak); it keeps rate 1
+    and every other source keeps rate (w_s·n_b)/(w_b·n_s) ≤ 1 — the
+    unique maximal mix with exact proportions and no source oversampled.
+    The keep decision is ``hash(doc_id) % SCALE < floor(rate·SCALE)``
+    (same deterministic-hash contract as ds01: reproducible, partition-
+    stable, incremental; resolution 1e-6 of the rate, constant in the
+    corpus size so the hash space never saturates at scale).
+
+    Scale shape: one map-side-combinable count per source (dimension-
+    sized output), the binding choice is an aggregate over that tiny
+    dim (struct-min — no window, no collect), rates broadcast back to
+    the fact scan, and the keep filter is pure codegen. The corpus
+    itself never shuffles. Rate arithmetic is BIGINT products and one
+    IEEE double division per source, bit-identical in the oracle."""
+    weights = _MIX_WEIGHTS if weights is None else weights
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = docs.filter(F.col("source").isin(*weights.keys()))
+    wcase = F.coalesce(
+        *[F.when(F.col("source") == k, F.lit(v)) for k, v in sorted(weights.items())]
+    )
+    # the counts dim feeds both the binding choice and the rate table;
+    # a lazy localCheckpoint materializes the corpus aggregation once
+    # instead of re-scanning the source column per consumer (the same
+    # cut rp01 applies to its thrice-joined stats dims)
+    cnt = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", wcase)
+        .localCheckpoint(eager=False)
+    )
+    # binding source = lexicographic struct-min on (n/w, source): the
+    # carried nb/wb fields ride along (source is unique, so they never
+    # participate in the comparison)
+    bind = cnt.select(
+        F.min(
+            F.struct(
+                (F.col("n") / F.col("w")).alias("r"),
+                F.col("source").alias("s"),
+                F.col("n").alias("nb"),
+                F.col("w").alias("wb"),
+            )
+        ).alias("m")
+    ).select(F.col("m.nb").alias("nb"), F.col("m.wb").alias("wb"))
+    rates = cnt.crossJoin(F.broadcast(bind)).select(
+        "source",
+        (
+            (F.col("w") * F.col("nb")).cast("double") / (F.col("wb") * F.col("n"))
+        ).alias("rate"),
+    )
+    keep = (hmod(F.col("doc_id").cast("string")) % _MIX_SCALE) < F.floor(
+        F.col("rate") * _MIX_SCALE
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(keep)
+        .select("doc_id", "source", _r(F.col("rate"), 6).alias("rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-ordered selection under a global token budget
+# ---------------------------------------------------------------------------
+
+#: global whitespace-token budget for the selected subset
+_SEL_BUDGET = 10_000
+#: quality-range strata for the distributed prefix sum (quality is in
+#: [0,1]; floor(q*K) is monotone in q, so stratum order == global order).
+#: K bounds the parallel-window task count AND the serial rollup size —
+#: 1000 keeps the rollup trivial while giving the big window 1000-way
+#: parallelism; scale K with cluster width, not corpus size.
+_SEL_BUCKETS = 1000
+
+
+@query(
+    "ds06_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tok,
+               ({sql_quality_score("text")})             AS q
+        FROM documents
+    ),
+    c AS (
+        SELECT *, CAST(sum(n_tok) OVER (
+            ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        FROM t
+    )
+    SELECT doc_id, n_tok, run - n_tok AS start,
+           round(q + 1e-6, 4) AS quality
+    FROM c WHERE run - n_tok < {_SEL_BUDGET}
+    """,
+    ops=("DS-BUDGET",),
+)
+def ds06_token_budget_select(
+    spark: SparkSession, sf_dir: str, *, budget: int = _SEL_BUDGET
+) -> DataFrame:
+    """Best-first corpus selection under a global token budget: rank
+    every document by quality (doc_id tiebreak), keep documents in that
+    order until the running token total passes the budget (the document
+    straddling the boundary is kept — chunked-budget semantics, like
+    ds02's packing). This is the "select the best N tokens" step of
+    data curation.
+
+    Scale shape: the oracle's single global window is the classic
+    serial-prefix-sum trap (one task owns the whole ordered corpus at
+    100 TB). The distributed form stratifies by quantized quality —
+    ``floor(q * _SEL_BUCKETS)`` is monotone in q, so stratum-desc +
+    (q desc, doc_id) within stratum IS the global order — computes
+    per-stratum running sums in parallel windows, rolls the per-stratum
+    totals up in one tiny exclusive-prefix window (at most
+    ``_SEL_BUCKETS + 1`` rows), and
+    broadcasts the stratum base offsets back. Identical integer
+    arithmetic to the oracle's window; quality doubles are bit-identical
+    cross-engine (integer-derived ratios, fixed association), so the
+    order — and therefore the cut — cannot diverge."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        quality_score(F.col("text")).alias("q"),
+    ).withColumn("b", F.floor(F.col("q") * _SEL_BUCKETS).cast("int"))
+    local_w = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_run", F.sum("n_tok").over(local_w))
+    # stratum totals: one row per quality bucket (≤51 at any corpus
+    # size) — the only serial window runs over those rows alone
+    bucket_w = (
+        Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        local.groupBy("b")
+        .agg(F.sum("n_tok").alias("btot"))
+        .withColumn("base", F.coalesce(F.sum("btot").over(bucket_w), F.lit(0)))
+        .select("b", "base")
+    )
+    return (
+        local.join(F.broadcast(bases), "b")
+        .withColumn("start", F.col("base") + F.col("local_run") - F.col("n_tok"))
+        .filter(F.col("start") < budget)
+        .select("doc_id", "n_tok", "start", _r(F.col("q"), 4).alias("quality"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule battery
+# ---------------------------------------------------------------------------
+
+#: rule thresholds (Gopher-style document-filter bounds)
+_GOPHER_MIN_TOKENS = 30
+_GOPHER_MAX_TOKENS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MAX_PUNCT = 0.1
+_GOPHER_MIN_STOP = 0.02
+_GOPHER_MAX_DUP = 0.7
+
+
+def _gopher_sql() -> str:
+    c = sql_quality_ratios("text")
+    rules = {
+        "rule_len": (
+            f"({c['n_tokens']} BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS})"
+        ),
+        "rule_wlen": (
+            f"({c['mean_wlen']} >= {_GOPHER_MIN_MWL}"
+            f" AND {c['mean_wlen']} <= {_GOPHER_MAX_MWL})"
+        ),
+        "rule_punct": f"({c['punct_ratio']} <= {_GOPHER_MAX_PUNCT})",
+        "rule_stop": f"({c['stop_ratio']} >= {_GOPHER_MIN_STOP})",
+        "rule_rep": f"({sql_dup_ratio('text')} <= {_GOPHER_MAX_DUP})",
+    }
+    cols = ",\n           ".join(f"{sql} AS {name}" for name, sql in rules.items())
+    keep = " AND ".join(rules.values())
+    return f"""
+    SELECT doc_id,
+           {cols},
+           ({keep}) AS keep
+    FROM documents
+    """
+
+
+@query("txt05_gopher_filters", oracle=_gopher_sql(), ops=("TXT-QUALITY",))
+def txt05_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery — the published document-level
+    filter bounds (token count, mean word length, punctuation ratio,
+    stopword presence, duplicate-token fraction) as individual verdict
+    columns plus the combined keep flag, so downstream curation can
+    report per-rule rejection rates, not just the survivor set.
+
+    Scale shape: pure per-row codegen projection on the scan — no
+    shuffle, no UDF; all ratios derive from integer counts with fixed
+    association, so the boolean threshold comparisons are bit-identical
+    in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    c = quality_components(F.col("text"))
+    rules = {
+        "rule_len": (c["n_tokens"] >= _GOPHER_MIN_TOKENS)
+        & (c["n_tokens"] <= _GOPHER_MAX_TOKENS),
+        "rule_wlen": (c["mean_wlen"] >= _GOPHER_MIN_MWL)
+        & (c["mean_wlen"] <= _GOPHER_MAX_MWL),
+        "rule_punct": c["punct_ratio"] <= _GOPHER_MAX_PUNCT,
+        "rule_stop": c["stop_ratio"] >= _GOPHER_MIN_STOP,
+        "rule_rep": dup_ratio(F.col("text")) <= _GOPHER_MAX_DUP,
+    }
+    keep = reduce(lambda a, b: a & b, rules.values())
+    return docs.select(
+        "doc_id",
+        *[col.alias(name) for name, col in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII prevalence audit (detection stats over the scrub patterns)
+# ---------------------------------------------------------------------------
+
+
+def _pii02_sql() -> str:
+    from ..functions.pii import PII_PATTERNS, sql_redaction_count
+
+    tag_cols = ",\n               ".join(
+        f"CAST({sql_redaction_count('props', tag)} AS BIGINT) AS n_{tag.lower()}"
+        for tag, _ in PII_PATTERNS
+    )
+    any_pii = " + ".join(f"n_{tag.lower()}" for tag, _ in PII_PATTERNS)
+    sums = ",\n           ".join(
+        f"CAST(sum(n_{tag.lower()}) AS BIGINT) AS n_{tag.lower()}"
+        for tag, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH c AS (
+        SELECT event_type,
+               {tag_cols}
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_pii,
+           {sums}
+    FROM c GROUP BY event_type
+    """
+
+
+@query("pii02_detection_stats", oracle=_pii02_sql(), ops=("PII-SCRUB",))
+def pii02_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII prevalence audit — per event class: how many payloads carry
+    any PII and the total match count per pattern class (the
+    before-scrub survey that sizes the privacy problem and monitors
+    drift; pii01 is the scrub itself). Counts use the same ordered
+    progressive-redaction counting as pii01, so audit and scrub can
+    never disagree about what counts as a match.
+
+    Scale shape: per-row regex counting on the scan (codegen, column-
+    pruned to event_type+props) collapsing into a map-side-combinable
+    sum on a tiny key — the integer-only output makes the oracle
+    comparison exact by construction."""
+    from ..functions.pii import PII_PATTERNS, redaction_counts
+
+    ev = _t(spark, sf_dir, "events")
+    counts = redaction_counts(F.col("props"))
+    per = ev.select(
+        "event_type",
+        *[
+            counts[tag].cast("bigint").alias(f"n_{tag.lower()}")
+            for tag, _ in PII_PATTERNS
+        ],
+    )
+    any_pii = reduce(add, [F.col(f"n_{tag.lower()}") for tag, _ in PII_PATTERNS])
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((any_pii > 0).cast("int")).cast("bigint").alias("n_with_pii"),
+        *[
+            F.sum(f"n_{tag.lower()}").cast("bigint").alias(f"n_{tag.lower()}")
+            for tag, _ in PII_PATTERNS
+        ],
     )

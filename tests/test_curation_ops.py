@@ -1,0 +1,117 @@
+"""Semantic invariants of the round-4 curation operators — ds05 source
+mixture, ds06 token-budget selection, txt05 gopher rules, pii02 PII
+audit — beyond what the oracle-parity gate already pins."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+    REGISTRY,
+)
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+    _MIX_WEIGHTS,
+    _SEL_BUDGET,
+    ds05_source_mixture,
+    ds06_token_budget_select,
+)
+
+from conftest import assert_frames_match
+
+
+def _source_counts(ddb) -> dict[str, int]:
+    rows = ddb.execute(
+        "SELECT source, count(*) FROM documents GROUP BY source"
+    ).fetchall()
+    return dict(rows)
+
+
+def test_ds05_rates_are_the_closed_form(spark, sf_dir, ddb):
+    """rate_s = (w_s * n_b) / (w_b * n_s) with the binding source at
+    exactly 1.0 — the unique maximal mix with exact target proportions
+    and no source oversampled."""
+    out = ds05_source_mixture(spark, sf_dir).toPandas()
+    counts = _source_counts(ddb)
+    ratios = {s: counts[s] / w for s, w in _MIX_WEIGHTS.items()}
+    binding = min(ratios, key=lambda s: (ratios[s], s))
+    nb, wb = counts[binding], _MIX_WEIGHTS[binding]
+    got = out.groupby("source")["rate"].first().to_dict()
+    for s, w in _MIX_WEIGHTS.items():
+        expect = round((w * nb) / (wb * counts[s]) + 1e-9, 6)
+        assert got[s] == expect, (s, got[s], expect)
+    # the binding source is never downsampled
+    n_binding = (out["source"] == binding).sum()
+    assert n_binding == counts[binding]
+    # nothing outside the weighted sources leaks in
+    assert set(out["source"]) <= set(_MIX_WEIGHTS)
+
+
+def test_ds05_equal_weights_keep_everything(spark, sf_dir, ddb):
+    """Equal weights over equal-sized sources → every rate is 1.0 and
+    the mixture is the union (no sampling at all)."""
+    weights = {"src0": 3, "src2": 3}
+    out = ds05_source_mixture(spark, sf_dir, weights=weights).toPandas()
+    counts = _source_counts(ddb)
+    assert len(out) == counts["src0"] + counts["src2"]
+    assert set(out["rate"]) == {1.0}
+
+
+def test_ds06_budget_boundary_semantics(spark, sf_dir):
+    """Selected set fills the budget with exactly one straddling doc:
+    every start offset is under budget, and dropping the last doc's
+    tokens lands under budget while the full sum reaches it."""
+    out = ds06_token_budget_select(spark, sf_dir).toPandas()
+    assert (out["start"] < _SEL_BUDGET).all()
+    total = int(out["n_tok"].sum())
+    last = out.loc[out["start"].idxmax()]
+    assert total - int(last["n_tok"]) == int(last["start"])
+    assert total >= _SEL_BUDGET  # corpus is bigger than the budget
+    # best-first: every selected doc's quality is >= the straddler's
+    # (modulo the rounded report column, so compare with a tolerance)
+    assert (out["quality"] >= last["quality"] - 1e-4).all()
+
+
+def test_ds06_degenerate_budgets(spark, sf_dir, ddb):
+    assert ds06_token_budget_select(spark, sf_dir, budget=0).count() == 0
+    n_docs = ddb.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert ds06_token_budget_select(spark, sf_dir, budget=1 << 40).count() == n_docs
+
+
+def test_ds06_parity_at_second_budget(spark, sf_dir, ddb):
+    """Replay the oracle with a substituted budget so the distributed
+    prefix sum is pinned for more than the default constant."""
+    budget = 3000
+    actual = ds06_token_budget_select(spark, sf_dir, budget=budget).toPandas()
+    sql = REGISTRY["ds06_token_budget_select"].oracle_text()
+    assert sql.count(f"< {_SEL_BUDGET}") == 1
+    expected = ddb.execute(sql.replace(f"< {_SEL_BUDGET}", f"< {budget}")).fetchdf()
+    assert_frames_match(actual, expected, f"ds06@budget={budget}")
+
+
+def test_txt05_keep_is_the_conjunction(spark, sf_dir):
+    out = REGISTRY["txt05_gopher_filters"].fn(spark, sf_dir).toPandas()
+    rules = [c for c in out.columns if c.startswith("rule_")]
+    assert len(rules) == 5
+    conj = out[rules].all(axis=1)
+    assert (out["keep"] == conj).all()
+    # the battery must actually discriminate on this corpus
+    assert 0 < out["keep"].sum() < len(out)
+
+
+def test_pii02_agrees_with_pii01_scrub_counts(spark, sf_dir, ddb):
+    """Audit and scrub share the progressive-redaction counting, so
+    pii02's per-class totals must equal pii01's per-event counts rolled
+    up by event_type."""
+    pii01 = REGISTRY["pii01_redact_props"].fn(spark, sf_dir).toPandas()
+    pii02 = REGISTRY["pii02_detection_stats"].fn(spark, sf_dir).toPandas()
+    types = ddb.execute("SELECT event_id, event_type FROM events").fetchdf()
+    tags = [c for c in pii01.columns if c.startswith("n_")]
+    rolled = (
+        pii01.merge(types, on="event_id")
+        .groupby("event_type")[tags]
+        .sum()
+        .astype("int64")
+    )
+    got = pii02.set_index("event_type")[tags].astype("int64").sort_index()
+    pd.testing.assert_frame_equal(got, rolled.sort_index(), check_names=False)
+    assert (pii02["n_with_pii"] <= pii02["n_events"]).all()

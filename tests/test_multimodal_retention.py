@@ -14,6 +14,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     documents_as_media,
     extract_features,
     frame_sample,
+    resize_media,
 )
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.retention import (
     drop_expired,
@@ -48,6 +49,23 @@ def test_frame_sample_multi_emit(spark, sf_dir):
     sizes = {r.media_id: r.nb for r in media.select("media_id", F.octet_length("payload").alias("nb")).collect()}
     for mid, nb in sizes.items():
         assert per[mid] == (nb + 63) // 64
+
+
+def test_resize_bounds_and_digest(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)
+    thumbs = resize_media(media, target_bytes=32)
+    rows = thumbs.collect()
+    src = {
+        r.media_id: bytes(r.payload)
+        for r in media.select("media_id", "payload").collect()
+    }
+    assert len(rows) == len(src)
+    for r in rows:
+        expect = src[r.media_id][:32]
+        assert bytes(r.thumb) == expect
+        assert len(r.thumb) <= 32
+        assert r.orig_bytes == len(src[r.media_id])
+        assert r.thumb_digest == hashlib.md5(expect).hexdigest()
 
 
 def test_retention_partition_drop(spark, tmp_path):
