@@ -55,6 +55,11 @@ HEADLINE = [
     "rp01_end_to_end_risk",
     "dd06_neardup_clusters",
     "ud2_spec_extraction",
+    # round-4 additions: the composed corpus-curation pipeline (dedup →
+    # quality → decontaminate → split → pack) and the distributed
+    # global-prefix-sum budget selection
+    "cp01_corpus_curation_pipeline",
+    "ds06_token_budget_select",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,

@@ -1089,16 +1089,17 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            them costs no union coverage while ud1..rp01 (incl. the three
 #            never-driver-verified) rotate into the window along with the
 #            round-3 additions ds03/ds04/ct02/dd08 (which need first rows).
-#   round 4  tail: w01, f01, f05, f07, j01, j03, st01, txt01, txt02,
-#            txt03, dd01, dd02, dd03, dd04, nn01, nn02, dd05, dd06, mm01 —
-#            all nineteen are triple-green (r01+r02+r03; chosen by
-#            `gen_coverage.py --propose-tail`). The 13 double-greens parked
-#            in r03 rotate back in for a third row; rp01 (0 green rows —
-#            the r03 signed-zero hash artifact, fixed this round), the six
-#            single-green entries (ds03, ds04, ct02, dd08, x19, ud2), the
-#            new a01c and the five round-4 additions (ds05, ds06, txt05,
-#            pii02, mm02 — first rows needed) all sit inside the window.
-#            Registry grew 63 → 69 (a01c + the five), tail 13 → 19 slots.
+#   round 4  tail: a06, a07, a11, x15, x22_factor, x22_painless, x21,
+#            f08, k01, a04, w01, f01, f05, f07, j01, j03, st01, txt01,
+#            txt02, txt03 — all twenty are triple-green (r01+r02+r03;
+#            chosen by `gen_coverage.py --propose-tail`). The 13
+#            double-greens parked in r03 rotate back in for a third row;
+#            rp01 (0 green rows — the r03 signed-zero hash artifact,
+#            fixed this round), the six single-green entries (ds03, ds04,
+#            ct02, dd08, x19, ud2), the new a01c and the six round-4
+#            additions (ds05, ds06, txt05, pii02, mm02, cp01 — first rows
+#            needed) all sit inside the window. Registry grew 63 → 70
+#            (a01c + the six), tail 13 → 20 slots.
 #   round 5+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1114,6 +1115,16 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # parked entries summed to ~2 s, so the window grows ~11 s — well inside
 # the driver's per-run budget (r02's window ran ~90 s total).
 _ROTATION_TAIL = [
+    "a06_weighted_zscore",
+    "a07_daily_activity",
+    "a11_top_users",
+    "x15_risk_assembly",
+    "x22_factor_normalize",
+    "x22_painless_normalizer",
+    "x21_runtime_fields",
+    "f08_gated_enrichment",
+    "k01_newest_first_cap",
+    "a04_stats_export",
     "w01_last_value_per_group",
     "f01_freshness_filter",
     "f05_market_segmentation",
@@ -1124,15 +1135,6 @@ _ROTATION_TAIL = [
     "txt01_language_id",
     "txt02_quality_scores",
     "txt03_fingerprint",
-    "dd01_exact_dedup",
-    "dd02_minhash_lsh_pairs",
-    "dd03_simhash",
-    "dd04_ngram_jaccard_pairs",
-    "nn01_cosine_topk",
-    "nn02_lsh_ann",
-    "dd05_embedding_neardup",
-    "dd06_neardup_clusters",
-    "mm01_media_features",
 ]
 
 

@@ -1242,8 +1242,19 @@ def ds02_sequence_packing(
         "doc_id",
         "lang",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
-        F.expr(f"doc_id DIV {_PACK_BUCKET}").alias("b"),
     )
+    return _pack_prefix(t, budget)
+
+
+def _pack_prefix(t: DataFrame, budget: int) -> DataFrame:
+    """ds02's distributed two-level prefix sum as a reusable stage:
+    input (doc_id, lang, n_tok) → + (pack_id, pack_offset) in per-lang
+    doc_id order. Shared by ds02 and the composed curation pipeline
+    (cp01) — subsets of the corpus just make the doc_id range buckets
+    sparser, the arithmetic is unchanged. Extra input columns ride
+    through untouched."""
+    carry = t.columns
+    t = t.withColumn("b", F.expr(f"doc_id DIV {_PACK_BUCKET}"))
     local_w = (
         Window.partitionBy("lang", "b")
         .orderBy("doc_id")
@@ -1270,9 +1281,7 @@ def ds02_sequence_packing(
         local.join(F.broadcast(bases), ["lang", "b"])
         .withColumn("start", F.col("base") + F.col("local_run") - F.col("n_tok"))
         .select(
-            "doc_id",
-            "lang",
-            "n_tok",
+            *carry,
             F.expr(f"start DIV {budget}").alias("pack_id"),
             (F.col("start") % budget).alias("pack_offset"),
         )
@@ -2231,9 +2240,11 @@ _GOPHER_MIN_STOP = 0.02
 _GOPHER_MAX_DUP = 0.7
 
 
-def _gopher_sql() -> str:
-    c = sql_quality_ratios("text")
-    rules = {
+def _gopher_rule_sqls(expr: str = "text") -> dict[str, str]:
+    """The rule battery as DuckDB predicates — shared by txt05's oracle
+    and the composed curation pipeline's (cp01)."""
+    c = sql_quality_ratios(expr)
+    return {
         "rule_len": (
             f"({c['n_tokens']} BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS})"
         ),
@@ -2243,8 +2254,27 @@ def _gopher_sql() -> str:
         ),
         "rule_punct": f"({c['punct_ratio']} <= {_GOPHER_MAX_PUNCT})",
         "rule_stop": f"({c['stop_ratio']} >= {_GOPHER_MIN_STOP})",
-        "rule_rep": f"({sql_dup_ratio('text')} <= {_GOPHER_MAX_DUP})",
+        "rule_rep": f"({sql_dup_ratio(expr)} <= {_GOPHER_MAX_DUP})",
     }
+
+
+def _gopher_rule_cols(text) -> dict[str, "F.Column"]:
+    """The rule battery as Spark predicates — the cross-engine twin of
+    :func:`_gopher_rule_sqls`."""
+    c = quality_components(text)
+    return {
+        "rule_len": (c["n_tokens"] >= _GOPHER_MIN_TOKENS)
+        & (c["n_tokens"] <= _GOPHER_MAX_TOKENS),
+        "rule_wlen": (c["mean_wlen"] >= _GOPHER_MIN_MWL)
+        & (c["mean_wlen"] <= _GOPHER_MAX_MWL),
+        "rule_punct": c["punct_ratio"] <= _GOPHER_MAX_PUNCT,
+        "rule_stop": c["stop_ratio"] >= _GOPHER_MIN_STOP,
+        "rule_rep": dup_ratio(text) <= _GOPHER_MAX_DUP,
+    }
+
+
+def _gopher_sql() -> str:
+    rules = _gopher_rule_sqls("text")
     cols = ",\n           ".join(f"{sql} AS {name}" for name, sql in rules.items())
     keep = " AND ".join(rules.values())
     return f"""
@@ -2268,16 +2298,7 @@ def txt05_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     association, so the boolean threshold comparisons are bit-identical
     in the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    c = quality_components(F.col("text"))
-    rules = {
-        "rule_len": (c["n_tokens"] >= _GOPHER_MIN_TOKENS)
-        & (c["n_tokens"] <= _GOPHER_MAX_TOKENS),
-        "rule_wlen": (c["mean_wlen"] >= _GOPHER_MIN_MWL)
-        & (c["mean_wlen"] <= _GOPHER_MAX_MWL),
-        "rule_punct": c["punct_ratio"] <= _GOPHER_MAX_PUNCT,
-        "rule_stop": c["stop_ratio"] >= _GOPHER_MIN_STOP,
-        "rule_rep": dup_ratio(F.col("text")) <= _GOPHER_MAX_DUP,
-    }
+    rules = _gopher_rule_cols(F.col("text"))
     keep = reduce(lambda a, b: a & b, rules.values())
     return docs.select(
         "doc_id",
@@ -2351,3 +2372,124 @@ def pii02_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tag, _ in PII_PATTERNS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-curation pipeline: the training-data north star
+# end-to-end (the training-side analogue of rp01's risk pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _cp01_sql() -> str:
+    keep = " AND ".join(_gopher_rule_sqls("text").values())
+    nrm = "lower(trim(text))"
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, text, md5({nrm}) AS tk FROM documents
+    ),
+    winner AS (SELECT tk, min(doc_id) AS doc_id FROM keyed GROUP BY tk),
+    dedup AS (
+        SELECT k.doc_id, k.lang, k.source, k.text
+        FROM keyed k JOIN winner w ON w.tk = k.tk AND w.doc_id = k.doc_id
+    ),
+    q AS (SELECT * FROM dedup WHERE {keep}),
+    sh AS (
+        SELECT doc_id, source, {sql_hmod("s")} AS hs
+        FROM (SELECT doc_id, source,
+                     unnest({sql_shingles(sql_tokens("text"), _CT_N)}) AS s
+              FROM documents)
+    ),
+    e AS (SELECT DISTINCT hs FROM sh WHERE source = '{_EVAL_SOURCE}'),
+    bad AS (
+        SELECT sh.doc_id FROM sh JOIN e USING (hs)
+        WHERE sh.source <> '{_EVAL_SOURCE}'
+        GROUP BY sh.doc_id HAVING count(*) >= {_CT_DROP_SHARED}
+    ),
+    surv AS (
+        SELECT doc_id, lang, source, text FROM q
+        WHERE source <> '{_EVAL_SOURCE}'
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    sp AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN {sql_hmod(nrm)} % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {sql_hmod(nrm)} % 100
+                         < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tok
+        FROM surv
+    ),
+    tr AS (
+        SELECT doc_id, CAST(sum(n_tok) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        FROM sp WHERE split = 'train'
+    )
+    SELECT sp.doc_id, sp.lang, sp.source, sp.split, sp.n_tok,
+           coalesce((tr.run - sp.n_tok) // {_PACK_BUDGET}, -1) AS pack_id,
+           coalesce((tr.run - sp.n_tok) % {_PACK_BUDGET}, -1)  AS pack_offset
+    FROM sp LEFT JOIN tr ON tr.doc_id = sp.doc_id
+    """
+
+
+@query("cp01_corpus_curation_pipeline", oracle=_cp01_sql(), ops=("PIPELINE",))
+def cp01_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation loop in ONE composed plan —
+    exact dedup → Gopher quality filter → benchmark decontamination →
+    leakage-safe split → per-lang sequence packing of the train split
+    (pack columns are -1 outside train). Each stage reuses the exact
+    semantics its standalone operator pins (dd01, txt05, ct01/ct02,
+    ds03, ds02), and the DuckDB oracle replays the entire composition,
+    so the hand-offs between stages — not just the stages — are
+    hash-verified.
+
+    Scale shape: every text-derived column (dedup key, rule verdicts,
+    split bucket, token count) is computed in the scan projection, so
+    the TEXT NEVER SHUFFLES — the dedup winner-pick is a row_number
+    window over slim rows keyed on the 128-bit hash, decontamination
+    hashes shingles to int64 before its shuffle and removes via a
+    left-anti join AQE broadcasts, and packing is ds02's two-level
+    prefix sum. Train rows and the (-1)-padded val/test rows meet in a
+    union, not a corpus-sized re-join."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    keep = reduce(lambda a, b: a & b, _gopher_rule_cols(text).values())
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.lower(F.trim(text))).alias("tk"),
+        keep.alias("keep"),
+        (hmod(F.lower(F.trim(text))) % 100).alias("bucket"),
+        F.size(tokens(text)).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("tk").orderBy("doc_id")
+    dedup = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "tk")
+    )
+    q = dedup.filter(F.col("keep")).drop("keep")
+    bad = ct01_benchmark_contamination(spark, sf_dir).filter(
+        F.col("n_shared") >= _CT_DROP_SHARED
+    )
+    surv = q.filter(F.col("source") != _EVAL_SOURCE).join(
+        bad.select("doc_id"), "doc_id", "left_anti"
+    )
+    sp = surv.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("bucket") < _SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_tok",
+    )
+    packed = _pack_prefix(sp.filter(F.col("split") == "train"), _PACK_BUDGET)
+    rest = sp.filter(F.col("split") != "train").select(
+        "*",
+        F.lit(-1).cast("bigint").alias("pack_id"),
+        F.lit(-1).cast("bigint").alias("pack_offset"),
+    )
+    return packed.unionByName(rest)

@@ -28,7 +28,7 @@ NEEDS_FIRST_ROW = {
     "rp01_end_to_end_risk", "a01c_approx_median_rank_gate",
     "ds05_source_mixture", "ds06_token_budget_select",
     "txt05_gopher_filters", "pii02_detection_stats",
-    "mm02_frame_sample",
+    "mm02_frame_sample", "cp01_corpus_curation_pipeline",
 }
 
 #: Single-green entries (first row earned in r03) — the schedule keeps
