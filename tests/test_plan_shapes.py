@@ -208,3 +208,76 @@ def test_ds01_sample_is_shuffle_free(spark, sf_dir):
     """Stratified sampling is a filter on the scan — zero exchanges."""
     plan = _plan(spark, sf_dir, "ds01_stratified_sample")
     assert "Exchange" not in plan
+
+
+def _formatted_plan(spark, sf_dir, name) -> str:
+    """explain('formatted') text — unlike toString(), it prints each
+    node's Input/Output column lists, so exchanges can be audited for
+    what they actually carry."""
+    import contextlib
+    import io
+
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_payloads(formatted: str) -> list[str]:
+    """The 'Input [..]: [cols]' line of every Exchange/BroadcastExchange
+    node in a formatted plan."""
+    lines = formatted.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if ") Exchange" in line or ") BroadcastExchange" in line:
+            for nxt in lines[i + 1 : i + 4]:
+                if nxt.strip().startswith("Input"):
+                    out.append(nxt)
+                    break
+    return out
+
+
+def test_cp01_text_never_shuffles(spark, sf_dir):
+    """The curation pipeline computes every text-derived column in the
+    scan projection; no exchange — shuffle or broadcast — may carry the
+    raw text column at any scale."""
+    fmt = _formatted_plan(spark, sf_dir, "cp01_corpus_curation_pipeline")
+    payloads = _exchange_payloads(fmt)
+    assert payloads, "no exchanges found — plan parse failed?"
+    for p in payloads:
+        assert "text#" not in p, f"exchange carries raw text: {p}"
+
+
+def test_ds05_corpus_never_shuffles(spark, sf_dir):
+    """Source-mixture keep decisions are a codegen filter against
+    broadcast rates: no exchange may carry doc-level rows (doc_id) —
+    only the per-source counts and the rate dim move."""
+    fmt = _formatted_plan(spark, sf_dir, "ds05_source_mixture")
+    payloads = _exchange_payloads(fmt)
+    assert payloads, "no exchanges found — plan parse failed?"
+    for p in payloads:
+        assert "doc_id#" not in p, f"exchange carries doc rows: {p}"
+
+
+def test_ds06_distributed_prefix_sum_shape(spark, sf_dir):
+    """Token-budget selection must not serialize the corpus through one
+    global window: the doc-level running sum partitions on the quality
+    stratum; an unpartitioned window is allowed only for the tiny
+    per-stratum rollup (ordered by the stratum id)."""
+    plan = _plan(spark, sf_dir, "ds06_token_budget_select")
+    assert "BroadcastHashJoin" in plan  # stratum bases broadcast back
+    assert "SortMergeJoin" not in plan
+    windows = _parse_windows(plan)
+    assert windows, "no Window nodes found in ds06 plan"
+    doc_level = [(p, o) for p, o in windows if "doc_id#" in o]
+    assert doc_level, "doc-level window (ordered by doc_id) missing"
+    for part, _ in doc_level:
+        assert "b#" in part, (
+            f"doc-level window must partition on the quality stratum, got [{part}]"
+        )
+    for part, order in windows:
+        if part == "":
+            assert "b#" in order and "doc_id#" not in order, (
+                f"unpartitioned window must be the stratum rollup, got [{order}]"
+            )
