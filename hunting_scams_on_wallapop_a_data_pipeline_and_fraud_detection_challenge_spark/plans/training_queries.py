@@ -2493,3 +2493,66 @@ def cp01_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(-1).cast("bigint").alias("pack_offset"),
     )
     return packed.unionByName(rest)
+
+
+# ---------------------------------------------------------------------------
+# Token rarity: corpus-level document-frequency quality signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txt06_token_rarity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens("text")}) AS t FROM documents
+    ),
+    df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+    n AS (SELECT count(*) AS nd FROM documents),
+    agg AS (
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT)   AS n_tok,
+               CAST(sum(df.df) AS BIGINT) AS sum_df
+        FROM tok JOIN df USING (t) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tok, sum_df,
+           round(CAST(sum_df AS DOUBLE) / (n_tok * nd) + 1e-9, 6) AS mean_df
+    FROM agg, n
+    """,
+    ops=("TXT-RARITY",),
+)
+def txt06_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rarity scoring: each document's mean document-
+    frequency ratio (how common its tokens are across the corpus, in
+    (0, 1]) — the corpus-level quality signal behind "too generic /
+    boilerplate vocabulary" filters, built WITHOUT logarithms so both
+    engines agree bit-for-bit (libm log is not correctly rounded and
+    differs across JVM and C runtimes; an IDF variant would trade
+    exactness for familiarity). All aggregation is integer (token
+    counts, df sums); the single double division happens once per doc.
+
+    Scale shape: one distinct-explode feeds the document-frequency
+    dictionary (vocab-sized, partial-agg collapsed map-side), one
+    multiplicity-explode joins against it — AQE broadcasts the
+    dictionary while it fits, else it's an int-keyed shuffle join (at
+    web scale, swap the join key for hmod(token) to shuffle 8-byte
+    keys). The corpus total is an exchange-free scalar broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    nd = docs.select(F.count(F.lit(1)).alias("nd"))
+    agg = (
+        tok.join(df, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        "n_tok",
+        "sum_df",
+        _r(
+            F.col("sum_df").cast("double") / (F.col("n_tok") * F.col("nd")), 6
+        ).alias("mean_df"),
+    )

@@ -29,6 +29,7 @@ NEEDS_FIRST_ROW = {
     "ds05_source_mixture", "ds06_token_budget_select",
     "txt05_gopher_filters", "pii02_detection_stats",
     "mm02_frame_sample", "cp01_corpus_curation_pipeline",
+    "txt06_token_rarity",
 }
 
 #: Single-green entries (first row earned in r03) — the schedule keeps
