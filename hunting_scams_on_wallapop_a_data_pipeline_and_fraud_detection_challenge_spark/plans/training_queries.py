@@ -2094,6 +2094,8 @@ def ds05_source_mixture(
     itself never shuffles. Rate arithmetic is BIGINT products and one
     IEEE double division per source, bit-identical in the oracle."""
     weights = _MIX_WEIGHTS if weights is None else weights
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     docs = docs.filter(F.col("source").isin(*weights.keys()))
     wcase = F.coalesce(

@@ -1,0 +1,97 @@
+"""Structured Streaming corpus-ingest curation: quality filter +
+watermark-bounded fingerprint dedupe + checkpointed exactly-once resume,
+run with Trigger.AvailableNow over an NDJSON landing zone."""
+
+from __future__ import annotations
+
+import json
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+    start_ingest_query,
+)
+
+#: ≥30 tokens, mean word length in [3,10], several stopwords, low
+#: duplicate-token ratio — passes every Gopher rule.
+GOOD = (
+    "the quick brown fox jumps over lazy dogs and then runs far into "
+    "the green forest while birds sing songs of morning light it was "
+    "a calm day full of wind and sun near those quiet hills"
+)
+#: fails rule_len (under 30 tokens)
+SHORT = "the tiny doc is too short to keep"
+
+
+def _doc(i, text, ts="2026-08-13T10:00:00", lang="en", source="src1"):
+    return {
+        "doc_id": i,
+        "text": text,
+        "lang": lang,
+        "source": source,
+        "ingest_ts": ts,
+    }
+
+
+def _write_ndjson(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def test_ingest_filters_dedupes_and_resumes(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    _write_ndjson(
+        landing / "batch1.json",
+        [
+            _doc(1, GOOD),
+            _doc(2, SHORT),  # fails the quality battery -> dropped
+            _doc(3, "  " + GOOD.upper() + " "),  # normalized dup of 1
+            _doc(4, GOOD + " plus unique trailing words here today"),
+        ],
+    )
+
+    got: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    q = start_ingest_query(spark, str(landing), str(ckpt), sink)
+    q.awaitTermination(120)
+
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 4], got  # 2 filtered, 3 deduped against 1
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["fp"] == by_id[1]["fp"].lower()
+    assert len(by_id[1]["fp"]) == 32
+    assert by_id[1]["n_tok"] >= 30
+
+    # resume: a byte-dup of doc 1 within the horizon must NOT re-emit
+    # (checkpointed dedupe state), a fresh doc must flow through
+    _write_ndjson(
+        landing / "batch2.json",
+        [
+            _doc(5, GOOD),  # exact dup of already-emitted content
+            _doc(6, GOOD + " and some different closing words appear now"),
+        ],
+    )
+    q2 = start_ingest_query(spark, str(landing), str(ckpt), sink)
+    q2.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 4, 6], got
+
+
+def test_ingest_state_is_fingerprint_only(spark, tmp_path):
+    """The stateful operator must key on the 32-hex fingerprint, never
+    the raw text — pin it from the analyzed plan of the curated
+    stream."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        curated_stream,
+        read_document_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_ndjson(landing / "b.json", [_doc(1, GOOD)])
+    df = curated_stream(read_document_stream(spark, str(landing)))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark [fp#" in plan, plan
