@@ -2209,7 +2209,7 @@ def ds06_token_budget_select(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = t.withColumn("local_run", F.sum("n_tok").over(local_w))
-    # stratum totals: one row per quality bucket (≤51 at any corpus
+    # stratum totals: one row per quality bucket (≤_SEL_BUCKETS+1 at any corpus
     # size) — the only serial window runs over those rows alone
     bucket_w = (
         Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
@@ -2537,7 +2537,12 @@ def txt06_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity-explode joins against it — AQE broadcasts the
     dictionary while it fits, else it's an int-keyed shuffle join (at
     web scale, swap the join key for hmod(token) to shuffle 8-byte
-    keys). The corpus total is an exchange-free scalar broadcast."""
+    keys). The corpus total is an exchange-free scalar broadcast.
+    The corpus IS scanned+tokenized twice (dictionary pass, probe
+    pass) — deliberately: both passes collapse map-side, while
+    materializing the exploded token table to avoid the second scan
+    would persist a 2-3x-corpus-sized intermediate (dd02 persists its
+    shingle table only because THREE consumers amortize it)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))

@@ -54,6 +54,8 @@ def curated_stream(stream: DataFrame, horizon: str = DEDUPE_HORIZON) -> DataFram
     the 32-hex fingerprint does, keeping per-key state tiny)."""
     from functools import reduce
 
+    from ..functions.textstats import tokens
+
     # lazy import: the rule battery lives with its oracle twin in the
     # batch registry; importing it here keeps ONE source of truth for
     # the thresholds without making the registry import streaming
@@ -70,7 +72,9 @@ def curated_stream(stream: DataFrame, horizon: str = DEDUPE_HORIZON) -> DataFram
             "source",
             "ingest_ts",
             fp.alias("fp"),
-            F.size(F.split(F.lower(text), r"\s+")).alias("n_tok"),
+            # the shared tokenizer, so stream and batch (cp01/ds02)
+            # can never disagree on token accounting
+            F.size(tokens(text)).alias("n_tok"),
             keep.alias("keep"),
         )
         .filter(F.col("keep"))

@@ -58,12 +58,18 @@ def test_ingest_filters_dedupes_and_resumes(spark, tmp_path):
     q = start_ingest_query(spark, str(landing), str(ckpt), sink)
     q.awaitTermination(120)
 
+    # assert on CONTENT survival, not which doc_id won the in-batch
+    # dedupe race (dropDuplicatesWithinWatermark keeps the first row to
+    # reach the state store — not guaranteed to be the lower doc_id)
     ids = sorted(r["doc_id"] for r in got)
-    assert ids == [1, 4], got  # 2 filtered, 3 deduped against 1
-    by_id = {r["doc_id"]: r for r in got}
-    assert by_id[1]["fp"] == by_id[1]["fp"].lower()
-    assert len(by_id[1]["fp"]) == 32
-    assert by_id[1]["n_tok"] >= 30
+    assert len(got) == 2, got  # 2 filtered out, {1,3} deduped to one
+    assert ids[0] in (1, 3) and ids[1] == 4, got
+    fps = [r["fp"] for r in got]
+    assert len(set(fps)) == 2  # one row per distinct content
+    for r in got:
+        assert len(r["fp"]) == 32 and r["fp"] == r["fp"].lower()
+        assert r["n_tok"] >= 30
+    good_fp = next(r["fp"] for r in got if r["doc_id"] != 4)
 
     # resume: a byte-dup of doc 1 within the horizon must NOT re-emit
     # (checkpointed dedupe state), a fresh doc must flow through
@@ -76,8 +82,8 @@ def test_ingest_filters_dedupes_and_resumes(spark, tmp_path):
     )
     q2 = start_ingest_query(spark, str(landing), str(ckpt), sink)
     q2.awaitTermination(120)
-    ids = sorted(r["doc_id"] for r in got)
-    assert ids == [1, 4, 6], got
+    assert sorted(r["doc_id"] for r in got)[-1] == 6 and len(got) == 3, got
+    assert sum(1 for r in got if r["fp"] == good_fp) == 1  # never re-emitted
 
 
 def test_ingest_state_is_fingerprint_only(spark, tmp_path):
