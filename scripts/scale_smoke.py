@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Scale-smoke: measure how the heavy document operators scale when the
+corpus grows KX, as direct evidence for the linear-scaling claims in
+the operator docstrings.
+
+Builds a KX corpus in /tmp by replicating sf0.1 documents with shifted
+doc_ids and per-copy text perturbation (so dedup/LSH ops see realistic
+near-dup structure instead of a degenerate all-identical corpus), then
+times each op at 1x and Kx and reports the wall ratio. A shuffle- or
+pair-explosion regression shows up as ratio >> K.
+
+Usage: python scripts/scale_smoke.py [K]   (default 20)
+Writes nothing outside /tmp; prints one JSON line per op + a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+    REGISTRY,
+)
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.session import (
+    get_spark,
+)
+
+BASE = "/root/testdata/sf0.1"
+#: document-table operators whose docstrings claim (near-)linear scale
+OPS = [
+    "txt02_quality_scores",
+    "txt05_gopher_filters",
+    "txt06_token_rarity",
+    "dd01_exact_dedup",
+    "dd02_minhash_lsh_pairs",
+    "ds05_source_mixture",
+    "ds06_token_budget_select",
+    "cp01_corpus_curation_pipeline",
+]
+
+
+def build_scaled(spark, k: int, out_dir: str) -> None:
+    """K near-dup-perturbed copies of the corpus, ids disjoint."""
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n = docs.count()
+    copies = docs.crossJoin(
+        spark.range(k).select(F.col("id").alias("copy"))
+    ).select(
+        (F.col("doc_id") + F.col("copy") * (n * 10)).alias("doc_id"),
+        # per-copy tail perturbation: copies are NEAR-dups (realistic
+        # for dedup/LSH), not byte-dups (degenerate)
+        F.when(F.col("copy") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" rev "),
+                F.col("copy").cast("string"),
+                F.lit(" tag "),
+                (F.col("doc_id") % 97).cast("string"),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+    )
+    copies.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    # the non-document tables are referenced by some composed plans;
+    # link them through unchanged
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_op(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    t0 = time.monotonic()
+    rows = REGISTRY[name].fn(spark, sf_dir).count()
+    return time.monotonic() - t0, rows
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    out_dir = f"/tmp/scale_smoke_sf0.1x{k}"
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        build_scaled(spark, k, out_dir)
+
+    results = {}
+    for name in OPS:
+        # warm: run at 1x (absorbs codegen/analysis, gives the baseline)
+        base_s, base_rows = time_op(spark, name, BASE)
+        big_s, big_rows = time_op(spark, name, out_dir)
+        ratio = big_s / base_s if base_s > 0 else float("inf")
+        results[name] = {
+            "base_s": round(base_s, 2),
+            f"x{k}_s": round(big_s, 2),
+            "ratio": round(ratio, 1),
+            "rows": [base_rows, big_rows],
+        }
+        print(json.dumps({"op": name, **results[name]}), flush=True)
+
+    worst = max(results.items(), key=lambda kv: kv[1]["ratio"])
+    print(
+        json.dumps(
+            {
+                "summary": "scale_smoke",
+                "k": k,
+                "worst_op": worst[0],
+                "worst_ratio": worst[1]["ratio"],
+                # fixed per-query overhead makes sublinear ratios normal;
+                # anything well beyond K signals a quadratic stage
+                "linear_bound": k * 2,
+                "ok": worst[1]["ratio"] <= k * 2,
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
