@@ -126,3 +126,45 @@ def test_text_analysis_parity(spark_prop, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_gopher_rules_and_dup_ratio_parity(spark_prop, texts):
+    """The Gopher rule booleans and the duplicate-token ratio must agree
+    cross-engine on adversarial text — these predicates gate which
+    documents survive txt05/cp01 and the streaming ingest, so a one-ulp
+    divergence would silently change the curated corpus."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.functions.textstats import (
+        dup_ratio,
+        sql_dup_ratio,
+    )
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _gopher_rule_cols,
+        _gopher_rule_sqls,
+    )
+
+    spark, con = spark_prop
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rules = _gopher_rule_cols(F.col("t"))
+    got = {
+        r.i: tuple(r[1:])
+        for r in df.select(
+            "i",
+            *[col.alias(name) for name, col in rules.items()],
+            F.round(dup_ratio(F.col("t")), 6).alias("dup"),
+        ).collect()
+    }
+    con.execute("DROP TABLE IF EXISTS props3")
+    con.execute("CREATE TABLE props3(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO props3 VALUES (?, ?)", list(enumerate(texts)))
+    sqls = _gopher_rule_sqls("t")
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""SELECT i, {', '.join(sqls.values())},
+                       round({sql_dup_ratio('t')}, 6)
+                FROM props3"""
+        ).fetchall()
+    }
+    assert got == want
