@@ -17,6 +17,9 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+# Replayed-fit oracles (nn03's quantizer) must read the SAME SF the
+# queries run on — propagate it before the registry import caches them.
+os.environ["SPARK_GRAFT_TESTDATA"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
