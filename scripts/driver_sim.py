@@ -25,7 +25,9 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-builder = SparkSession.builder.master("local[8]").appName("driver-sim")
+builder = SparkSession.builder.master(
+    os.environ.get("SIM_MASTER", "local[8]")
+).appName("driver-sim")
 tz = os.environ.get("SIM_TZ")
 if tz:
     builder = builder.config("spark.sql.session.timeZone", tz)
