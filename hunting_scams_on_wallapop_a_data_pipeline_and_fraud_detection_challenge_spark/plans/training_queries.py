@@ -2563,3 +2563,89 @@ def txt06_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_df").cast("double") / (F.col("n_tok") * F.col("nd")), 6
         ).alias("mean_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted source interleave: mixture scheduling for the training order
+# ---------------------------------------------------------------------------
+
+#: stride base — lcm(1..16), so any weight ≤ 16 divides it exactly and
+#: equal-weight sources interleave perfectly instead of drifting
+_ILV_STRIDE = 720720
+
+
+def _ilv_weight_case(col: str) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items()))
+    return f"(CASE {col} {whens} END)"
+
+
+@query(
+    "ds07_weighted_interleave",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {_ilv_weight_case("source")} AS w
+        FROM documents WHERE source IN ({_mix_sources_sql()})
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+        FROM t
+    )
+    SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+           CAST((i * {_ILV_STRIDE}) // w AS BIGINT) AS pos_key
+    FROM r
+    """,
+    ops=("DS-INTERLEAVE",),
+)
+def ds07_weighted_interleave(
+    spark: SparkSession, sf_dir: str, *, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Mixture scheduling: a deterministic global training order in
+    which sources appear proportionally to their weights — classic
+    stride scheduling, the data-loader step after ds05 decides WHAT is
+    in the mix. The i-th document of source s gets
+    ``pos_key = (i * STRIDE) DIV w_s``; reading rows in (pos_key,
+    source, i) order yields the weighted round-robin, and any prefix of
+    the order holds each source within one stride slot of its target
+    share. Pure integer arithmetic — exact in both engines.
+
+    Scale shape: the deliverable is the SORT KEY, not a global rank —
+    consumers range-partition on pos_key, so no operator ever
+    serializes the full order. The per-source index i is NOT one
+    row_number per source (a single task per source at 100 TB): like
+    ds04's two-level rank, contiguous doc_id buckets get parallel local
+    row_numbers and per-bucket counts roll up in a tiny exclusive
+    prefix that broadcasts back."""
+    weights = _MIX_WEIGHTS if weights is None else weights
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    t = docs.filter(F.col("source").isin(*weights.keys())).withColumn(
+        "b", F.expr(f"doc_id DIV {_PACK_BUCKET}")
+    )
+    local_w = Window.partitionBy("source", "b").orderBy("doc_id")
+    local = t.withColumn("li", F.row_number().over(local_w).cast("bigint"))
+    bucket_w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        local.groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn("base", F.coalesce(F.sum("bn").over(bucket_w), F.lit(0)))
+        .select("source", "b", "base")
+    )
+    wcase = F.coalesce(
+        *[F.when(F.col("source") == k, F.lit(v)) for k, v in sorted(weights.items())]
+    )
+    return (
+        local.join(F.broadcast(bases), ["source", "b"])
+        .withColumn("i", F.col("base") + F.col("li"))
+        .withColumn("w_", wcase)
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            F.expr(f"(i * {_ILV_STRIDE}) DIV w_").alias("pos_key"),
+        )
+    )

@@ -115,3 +115,38 @@ def test_pii02_agrees_with_pii01_scrub_counts(spark, sf_dir, ddb):
     got = pii02.set_index("event_type")[tags].astype("int64").sort_index()
     pd.testing.assert_frame_equal(got, rolled.sort_index(), check_names=False)
     assert (pii02["n_with_pii"] <= pii02["n_events"]).all()
+
+
+def test_ds07_prefix_fairness(spark, sf_dir):
+    """Stride scheduling's defining property: every prefix of the
+    interleaved order holds each source within one slot of its target
+    share."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        ds07_weighted_interleave,
+    )
+
+    out = (
+        ds07_weighted_interleave(spark, sf_dir)
+        .toPandas()
+        .sort_values(["pos_key", "source", "i"])
+        .reset_index(drop=True)
+    )
+    total_w = sum(_MIX_WEIGHTS.values())
+    seen: dict[str, int] = {s: 0 for s in _MIX_WEIGHTS}
+    # sources exhaust at different times (equal sizes, different
+    # weights), so check fairness over the prefix where all are live
+    n_live = min(
+        (out["source"] == s).sum() * total_w // w
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    for n, row in enumerate(out.itertuples(), start=1):
+        seen[row.source] += 1
+        if n > n_live:
+            break
+        for s, w in _MIX_WEIGHTS.items():
+            share = n * w / total_w
+            assert abs(seen[s] - share) <= total_w, (n, s, seen[s], share)
+    # per-source indices are dense 1..n_s
+    for s in _MIX_WEIGHTS:
+        idx = sorted(out.loc[out["source"] == s, "i"])
+        assert idx == list(range(1, len(idx) + 1))
