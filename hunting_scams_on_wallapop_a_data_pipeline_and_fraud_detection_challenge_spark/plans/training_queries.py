@@ -2649,3 +2649,233 @@ def ds07_weighted_interleave(
             F.expr(f"(i * {_ILV_STRIDE}) DIV w_").alias("pos_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN: ADC scoring over a replayed deterministic fit
+# ---------------------------------------------------------------------------
+
+#: subspaces × codes: 64-dim vectors → 8 subvectors of 8 dims, 16 codes
+#: each → an 8-byte code per vector (64 bytes → 8, the compression the
+#: operator exists for)
+_PQ_M = 8
+_PQ_SUB = _EMB_DIM // _PQ_M
+_PQ_CODES = 16
+
+
+def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
+    """Per-subspace seeded k-means codebooks over NORMALIZED sample
+    vectors (PQ encodes directions; zero vectors are dropped like every
+    cosine path). Deterministic — both engines consume these constants
+    verbatim."""
+    import numpy as np
+
+    X = np.asarray([v for v in vecs if v is not None], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    X = X[nrm > 0] / nrm[nrm > 0, None]
+    return [
+        _fit_centroids(
+            [list(row) for row in X[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]],
+            k=codes,
+        )
+        for s in range(_PQ_M)
+    ]
+
+
+def _nn04_oracle() -> str:
+    """DuckDB replay of the PQ pipeline: same bounded sorted sample,
+    same seeded per-subspace fit, codebooks folded in as one literal —
+    assignment, ADC lookup and ranking are then pinned double folds, so
+    the approximate result itself hash-matches (the nn03 pattern; the
+    RETRIEVAL quality vs exact is gated separately in
+    tests/test_ann_recall.py)."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cbs = _pq_codebooks(emb)
+    cb_sql = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in code) + "]" for code in sub
+            )
+            + "]"
+            for sub in cbs
+        )
+        + "]"
+    )
+    sub_d = _sql_fold_sum(
+        f"list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
+    )
+    adc = _sql_fold_sum(
+        f"list_transform(range(1, {_PQ_M} + 1), s -> q.dls[s][c.codes[s] + 1])"
+    )
+    return f"""
+    WITH cb AS (SELECT {cb_sql} AS cb),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+        FROM n0 WHERE nrm > 0
+    ),
+    d AS (
+        SELECT vec_id, vn,
+               list_transform(range(1, {_PQ_M} + 1),
+                   s -> list_transform(cb.cb[s], c -> {sub_d})) AS dls
+        FROM base CROSS JOIN cb
+    ),
+    enc AS (
+        SELECT vec_id,
+               list_transform(dls,
+                   dl -> list_position(dl, list_aggregate(dl, 'min')) - 1) AS codes,
+               dls
+        FROM d
+    ),
+    q AS (SELECT vec_id AS q_id, dls FROM enc WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.q_id, c.vec_id, {adc} AS adc
+        FROM enc c CROSS JOIN q
+        WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, adc,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id,
+           round(1.0 - adc / 2.0 + 1e-9, 6) + 0.0 AS approx_cosine, rk
+    FROM ranked WHERE rk <= {_KNN_K}
+    """
+
+
+@query("nn04_pq_adc", oracle=_nn04_oracle, ops=("ANN-PQ",))
+def nn04_pq_adc(
+    spark: SparkSession, sf_dir: str, *, k: int = _KNN_K, codes: int = _PQ_CODES
+) -> DataFrame:
+    """Product-quantization ANN — the COMPRESSION scale path next to
+    the pruning ones (nn02 LSH, nn03 IVF): each normalized vector is
+    encoded as {_PQ_M} 4-bit codes (64 doubles → 8 nibbles), and query
+    scoring is asymmetric-distance computation — {_PQ_CODES} lookup
+    entries per subspace computed ONCE per query, then each candidate
+    costs {_PQ_M} table lookups instead of a {_EMB_DIM}-dim dot
+    product. For unit vectors L2² = 2 - 2cos, so the reported
+    approx_cosine = 1 - adc/2 estimates cosine directly. At real scale
+    PQ rides inside IVF cells (IVF-PQ): the inverted file prunes, the
+    codes shrink memory ~16x and the scoring becomes cache-resident
+    lookups.
+
+    Fully oracle-checked via the nn03 replayed-fit pattern (seeded
+    deterministic per-subspace k-means over the bounded sorted sample;
+    codebooks shared verbatim; every distance a pinned double fold) —
+    the approximation itself is hash-verified, and recall vs the exact
+    nn01 ranking is gated in tests/test_ann_recall.py.
+
+    Scale shape: encoding is one scan (codes shuffle as 8 small ints,
+    vectors never leave the stage); the query block is
+    dimension-sized and broadcasts with its precomputed lookup tables;
+    ranking is the per-partition top-k window. The whole per-row
+    computation binds the normalized vector as a lambda variable so
+    the norm fold can't be re-inlined per element (textstats.shingles
+    lesson)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    cbs = _pq_codebooks([r.embedding for r in sample], codes=codes)
+    cb_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in code) + ")"
+                for code in sub
+            )
+            + ")"
+            for sub in cbs
+        )
+        + ")"
+    )
+
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+        )
+    )
+
+    def _dls(vn):
+        # per-subspace distance lists to all codes; vn is a bound lambda
+        # variable (see docstring)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            lambda s: F.transform(
+                F.element_at(cb_lit, s),
+                lambda c: _fold_sum(
+                    F.zip_with(
+                        F.slice(vn, (s - 1) * _PQ_SUB + 1, _PQ_SUB),
+                        c,
+                        lambda a, b: (a - b) * (a - b),
+                    )
+                ),
+            ),
+        )
+
+    dls_bound = F.element_at(
+        F.transform(F.array(F.col("vn")), lambda vn: _dls(vn)), 1
+    )
+    enc = base.select(
+        "vec_id",
+        dls_bound.alias("dls"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("dls"),
+            lambda dl: F.element_at(
+                F.array_sort(
+                    F.transform(dl, lambda d, i: F.struct(d.alias("d"), i.alias("j")))
+                ),
+                1,
+            )["j"],
+        ).alias("codes"),
+        "dls",
+    )
+    q = enc.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("dls").alias("qd")
+    )
+    adc = _fold_sum(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            lambda s: F.element_at(
+                F.element_at(F.col("qd"), s),
+                F.element_at(F.col("codes"), s) + 1,
+            ),
+        )
+    )
+    scored = (
+        enc.select("vec_id", "codes")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
+                "approx_cosine"
+            ),
+            "rk",
+        )
+    )

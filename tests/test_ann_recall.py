@@ -125,3 +125,64 @@ def test_nn03_ivf_operating_point_tradeoff(spark):
     )
     assert same_frac >= 0.35, f"recall collapsed at cells=32/probes=8: {same_frac:.2f}"
     assert default >= 0.45  # the pinned default gate still holds here
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_nn04_pq_recall_floor_and_quantization_tradeoff(spark, sf):
+    """PQ on near-random vectors is the adversarial floor for ADC
+    (quantizing directions that have no cluster structure), so the
+    recall gate is a floor well above chance (~0.3% for k=5) rather
+    than an LSH-class bound — and the OPERATING POINT is gated on the
+    metric PQ actually controls: mean |approx_cos − true_cos|
+    quantization error must strictly shrink when the codebook grows
+    16 → 64 codes per subspace (measured: 0.28 → 0.18-0.20)."""
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _dot,
+        _fold_sum,
+        _t,
+        _vec_double,
+        nn04_pq_adc,
+    )
+
+    exact = _topk(nn01_cosine_topk(spark, sf))
+    approx = _topk(nn04_pq_adc(spark, sf))
+    recall = _recall(approx, exact)
+    assert recall >= 0.1, f"nn04 recall@5={recall:.2f} < 0.1 at {sf}"
+
+    emb = _t(spark, sf, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
+        .filter(F.col("nrm") > 0)
+    )
+
+    def quant_err(codes: int) -> float:
+        ap = nn04_pq_adc(spark, sf, codes=codes)
+        true_cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        return (
+            ap.join(
+                base.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                ),
+                "q_id",
+            )
+            .join(
+                base.select(
+                    "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+                ),
+                "vec_id",
+            )
+            .agg(F.avg(F.abs(F.col("approx_cosine") - true_cos)))
+            .first()[0]
+        )
+
+    coarse, fine = quant_err(16), quant_err(64)
+    assert fine < coarse, (
+        f"64-code quantization error {fine:.3f} not below 16-code {coarse:.3f} at {sf}"
+    )
