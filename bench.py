@@ -56,10 +56,11 @@ HEADLINE = [
     "dd06_neardup_clusters",
     "ud2_spec_extraction",
     # round-4 additions: the composed corpus-curation pipeline (dedup →
-    # quality → decontaminate → split → pack) and the distributed
-    # global-prefix-sum budget selection
+    # quality → decontaminate → split → pack), the distributed
+    # global-prefix-sum budget selection, and the PQ compression ANN
     "cp01_corpus_curation_pipeline",
     "ds06_token_budget_select",
+    "nn04_pq_adc",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,

@@ -2574,16 +2574,11 @@ def txt06_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ILV_STRIDE = 720720
 
 
-def _ilv_weight_case(col: str) -> str:
-    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items()))
-    return f"(CASE {col} {whens} END)"
-
-
 @query(
     "ds07_weighted_interleave",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, source, {_ilv_weight_case("source")} AS w
+        SELECT doc_id, source, {_mix_weight_case("source")} AS w
         FROM documents WHERE source IN ({_mix_sources_sql()})
     ),
     r AS (
