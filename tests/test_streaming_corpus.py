@@ -101,3 +101,28 @@ def test_ingest_state_is_fingerprint_only(spark, tmp_path):
     df = curated_stream(read_document_stream(spark, str(landing)))
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark [fp#" in plan, plan
+
+
+def test_ingest_drops_malformed_lines_gracefully(spark, tmp_path):
+    """A corrupt NDJSON line must not kill the stream or emit a row:
+    the schema'd json source nulls unparseable lines, every quality
+    rule evaluates NULL on null text, and the keep filter drops NULL
+    (three-valued logic) — the stream's quarantine-by-construction."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    (landing / "b.json").write_text(
+        "{not valid json at all\n"
+        + json.dumps(_doc(1, GOOD))
+        + "\n"
+        + '{"doc_id": "also-not-a-long"}\n'
+    )
+
+    got: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    q = start_ingest_query(spark, str(landing), str(ckpt), sink)
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in got] == [1], got
