@@ -71,6 +71,7 @@ VARIANTS = {
     "nn01_cosine_topk_arrow": ("nn01_cosine_topk", {"impl": "arrow"}),
     "nn02_lsh_ann_arrow": ("nn02_lsh_ann", {"impl": "arrow"}),
     "ud2_spec_extraction_arrow": ("ud2_spec_extraction", {"impl": "arrow"}),
+    "nn04_pq_adc_arrow": ("nn04_pq_adc", {"impl": "arrow"}),
 }
 
 

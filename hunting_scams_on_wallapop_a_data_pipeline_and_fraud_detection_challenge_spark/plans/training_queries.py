@@ -2753,7 +2753,12 @@ def _nn04_oracle() -> str:
 
 @query("nn04_pq_adc", oracle=_nn04_oracle, ops=("ANN-PQ",))
 def nn04_pq_adc(
-    spark: SparkSession, sf_dir: str, *, k: int = _KNN_K, codes: int = _PQ_CODES
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = _KNN_K,
+    codes: int = _PQ_CODES,
+    impl: str = "sql",
 ) -> DataFrame:
     """Product-quantization ANN — the COMPRESSION scale path next to
     the pruning ones (nn02 LSH, nn03 IVF): each normalized vector is
@@ -2780,6 +2785,8 @@ def nn04_pq_adc(
     computation binds the normalized vector as a lambda variable so
     the norm fold can't be re-inlined per element (textstats.shingles
     lesson)."""
+    if impl == "arrow":
+        return _nn04_arrow(spark, sf_dir, k=k, codes=codes)
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
     cbs = _pq_codebooks([r.embedding for r in sample], codes=codes)
@@ -2864,6 +2871,87 @@ def nn04_pq_adc(
     w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
+                "approx_cosine"
+            ),
+            "rk",
+        )
+    )
+
+
+def _nn04_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KNN_K,
+    codes: int = _PQ_CODES,
+) -> DataFrame:
+    """Vectorized PQ-ADC (see nn04 docstring): encoding and table
+    lookup as batched numpy instead of nested SQL lambda folds. Per
+    Arrow batch: one (n, m, codes) distance tensor → argmin codes →
+    the ADC block is m fancy-indexed table gathers, then a partial
+    top-k per query; a tiny window merges partials. The per-candidate
+    cost is exactly the m lookups the operator promises — no 64-dim
+    math touches the corpus after encoding."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    cbs = np.asarray(
+        _pq_codebooks([r.embedding for r in sample], codes=codes), dtype=np.float64
+    )  # (m, codes, sub)
+    _, q_ids, Qn = _arrow_query_block(emb, _KNN_QUERIES)
+    qsub = Qn.reshape(len(q_ids), _PQ_M, _PQ_SUB)
+    # T[q, s, j] = ||q_sub - C[s][j]||² — the per-query lookup tables
+    T = ((qsub[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)
+    A = T.transpose(1, 2, 0)  # (m, codes, q) for per-subspace gathers
+    dim = _PQ_M * _PQ_SUB
+
+    def part(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf):
+                pdf = pdf[pdf["embedding"].map(len) == dim]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.sqrt((V * V).sum(1))
+            ok = nrm > 0
+            V, ids, nrm = V[ok], ids[ok], nrm[ok]
+            if not len(V):
+                continue
+            S = (V / nrm[:, None]).reshape(len(V), _PQ_M, _PQ_SUB)
+            d = ((S[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)
+            code = d.argmin(-1)  # (n, m); ties → lowest code, like the SQL form
+            adc = np.zeros((len(V), len(q_ids)))
+            for s in range(_PQ_M):
+                adc += A[s, code[:, s], :]
+            out = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                am, im = adc[:, qi][mask], ids[mask]
+                if not len(am):
+                    continue
+                top = np.lexsort((im, am))[: min(k, len(am))]
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "vec_id": im[top], "adc": am[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, "q_id bigint, vec_id bigint, adc double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
             "q_id",
