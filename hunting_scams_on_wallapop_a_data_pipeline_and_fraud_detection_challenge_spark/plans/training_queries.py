@@ -1606,14 +1606,7 @@ def nn03_ivf_ann(
     # one Literal after constant folding, not k*d scalar nodes; built as
     # a single SQL string because k*d F.lit() py4j round-trips cost
     # ~0.5s of driver time (repr() round-trips doubles exactly)
-    cent_arr = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-            for c in centroids
-        )
-        + ")"
-    )
+    cent_arr = _cents_spark_literal(centroids)
 
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
@@ -2693,18 +2686,7 @@ def _nn04_oracle() -> str:
         .to_pylist()[:_IVF_TRAIN_SAMPLE]
     )
     cbs = _pq_codebooks(emb)
-    cb_sql = (
-        "["
-        + ", ".join(
-            "["
-            + ", ".join(
-                "[" + ", ".join(repr(float(x)) for x in code) + "]" for code in sub
-            )
-            + "]"
-            for sub in cbs
-        )
-        + "]"
-    )
+    cb_sql = _pq_sql_literal(cbs)
     sub_d = _sql_fold_sum(
         f"list_transform(range(1, {_PQ_SUB} + 1), "
         f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
@@ -2790,19 +2772,7 @@ def nn04_pq_adc(
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
     cbs = _pq_codebooks([r.embedding for r in sample], codes=codes)
-    cb_lit = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(repr(float(x)) + "D" for x in code) + ")"
-                for code in sub
-            )
-            + ")"
-            for sub in cbs
-        )
-        + ")"
-    )
+    cb_lit = _pq_spark_literal(cbs)
 
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
@@ -2952,6 +2922,266 @@ def _nn04_arrow(
     w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
+                "approx_cosine"
+            ),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: inverted-file pruning + product-quantized scoring composed
+# ---------------------------------------------------------------------------
+
+
+def _cents_spark_literal(cents: list):
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+
+
+def _pq_spark_literal(cbs: list):
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in code) + ")"
+                for code in sub
+            )
+            + ")"
+            for sub in cbs
+        )
+        + ")"
+    )
+
+
+def _pq_sql_literal(cbs: list) -> str:
+    return (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in code) + "]" for code in sub
+            )
+            + "]"
+            for sub in cbs
+        )
+        + "]"
+    )
+
+
+def _nn05_oracle() -> str:
+    """Replay BOTH deterministic fits (IVF centroids over raw vectors,
+    PQ codebooks over normalized ones) and pin the composed pipeline:
+    cell assignment and probe selection exactly as nn03, candidate
+    scoring exactly as nn04 — so the composition's hand-off (which
+    candidates get scored) is hash-verified, not just its parts."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cents = _fit_centroids(emb, k=_IVF_CELLS)
+    cbs = _pq_codebooks(emb)
+    cell_lists = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + f"] AS c{j}"
+        for j, c in enumerate(cents)
+    )
+    d_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(v)+1), i -> (v[i] - c{j}[i]) * (v[i] - c{j}[i]))"
+        )
+        for j in range(_IVF_CELLS)
+    )
+    sub_d = _sql_fold_sum(
+        f"list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
+    )
+    adc = _sql_fold_sum(
+        f"list_transform(range(1, {_PQ_M} + 1), s -> q.dls[s][c.codes[s] + 1])"
+    )
+    return f"""
+    WITH cents AS (SELECT {cell_lists}),
+    cb AS (SELECT {_pq_sql_literal(cbs)} AS cb),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS vn
+             FROM n0 WHERE nrm > 0),
+    celld AS (SELECT vec_id, vn, [{d_exprs}] AS dl FROM base CROSS JOIN cents),
+    a AS (SELECT vec_id, vn,
+                 list_position(dl, list_aggregate(dl, 'min')) - 1 AS cell,
+                 list_transform(
+                     list_sort(list_transform(range(1, {_IVF_CELLS} + 1),
+                         i -> {{'d': dl[i], 'cell': i - 1}}))[1:{_IVF_PROBES}],
+                     s -> s.cell) AS pcells
+          FROM celld),
+    enc0 AS (
+        SELECT a.vec_id, a.cell, a.pcells,
+               list_transform(range(1, {_PQ_M} + 1),
+                   s -> list_transform(cb.cb[s], c -> {sub_d})) AS dls
+        FROM a, cb
+    ),
+    enc AS (
+        SELECT vec_id, cell, pcells,
+               list_transform(dls,
+                   dl -> list_position(dl, list_aggregate(dl, 'min')) - 1) AS codes,
+               dls
+        FROM enc0
+    ),
+    q AS (SELECT vec_id AS q_id, pcells, dls FROM enc
+          WHERE vec_id < {_KNN_QUERIES}),
+    scored AS (
+        SELECT q.q_id, c.vec_id, {adc} AS adc
+        FROM enc c JOIN q ON list_contains(q.pcells, c.cell)
+                         AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, adc,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id,
+           round(1.0 - adc / 2.0 + 1e-9, 6) + 0.0 AS approx_cosine, rk
+    FROM ranked WHERE rk <= {_KNN_K}
+    """
+
+
+@query("nn05_ivfpq", oracle=_nn05_oracle, ops=("ANN-IVFPQ",))
+def nn05_ivfpq(
+    spark: SparkSession, sf_dir: str, *, k: int = _KNN_K, probes: int = _IVF_PROBES
+) -> DataFrame:
+    """IVF-PQ — the production ANN architecture, composed from the two
+    scale paths it is made of: the inverted file PRUNES (each query
+    scores only its probed cells, ~nprobe/ncells of the corpus, exactly
+    nn03's assignment and probe selection) and product quantization
+    COMPRESSES (candidates cost 8 table lookups instead of a 64-dim dot
+    product, exactly nn04's encoding and ADC). This variant encodes the
+    vector directly (IVF-Flat-PQ); residual encoding is the same plumbing
+    with codebooks fit on (v - centroid) — at real scale residuals buy
+    accuracy because vectors cluster around their cells.
+
+    Both deterministic fits are replayed in the oracle, so the composed
+    hand-off — which candidates each query scores — is hash-verified
+    end-to-end. At 100 TB: corpus rows shuffle as (cell, 8 codes) ints,
+    the query side broadcasts with its lookup tables, and the probe join
+    is an int equi-join — no all-pairs stage anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    vecs = [r.embedding for r in sample]
+    cent_arr = _cents_spark_literal(_fit_centroids(vecs, k=_IVF_CELLS))
+    cb_lit = _pq_spark_literal(_pq_codebooks(vecs))
+
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            "v",
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+        )
+    )
+
+    def _ranked_cells(vec):
+        return F.array_sort(
+            F.transform(
+                F.transform(
+                    cent_arr,
+                    lambda c: _fold_sum(
+                        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b))
+                    ),
+                ),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        )
+
+    def _dls(vn):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            lambda s: F.transform(
+                F.element_at(cb_lit, s),
+                lambda c: _fold_sum(
+                    F.zip_with(
+                        F.slice(vn, (s - 1) * _PQ_SUB + 1, _PQ_SUB),
+                        c,
+                        lambda a, b: (a - b) * (a - b),
+                    )
+                ),
+            ),
+        )
+
+    # bind v and vn as lambda variables so the norm fold is computed
+    # once per row, not re-inlined per element (shingles lesson)
+    per_row = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("v").alias("v"), F.col("vn").alias("vn"))),
+            lambda r: F.struct(
+                F.element_at(_ranked_cells(r["v"]), 1)["cell"].alias("cell"),
+                F.transform(
+                    F.slice(_ranked_cells(r["v"]), 1, probes),
+                    lambda p: p["cell"],
+                ).alias("pcells"),
+                _dls(r["vn"]).alias("dls"),
+            ),
+        ),
+        1,
+    )
+    enc = base.select("vec_id", per_row.alias("r")).select(
+        "vec_id",
+        F.col("r.cell").alias("cell"),
+        F.col("r.pcells").alias("pcells"),
+        F.transform(
+            F.col("r.dls"),
+            lambda dl: F.element_at(
+                F.array_sort(
+                    F.transform(dl, lambda d, i: F.struct(d.alias("d"), i.alias("j")))
+                ),
+                1,
+            )["j"],
+        ).alias("codes"),
+        F.col("r.dls").alias("dls"),
+    )
+    q = (
+        enc.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("dls").alias("qd"),
+            F.explode(F.col("pcells")).alias("cell"),
+        )
+    )
+    adc = _fold_sum(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            lambda s: F.element_at(
+                F.element_at(F.col("qd"), s),
+                F.element_at(F.col("codes"), s) + 1,
+            ),
+        )
+    )
+    scored = (
+        enc.select("vec_id", "cell", "codes")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
             "q_id",

@@ -186,3 +186,32 @@ def test_nn04_pq_recall_floor_and_quantization_tradeoff(spark, sf):
     assert fine < coarse, (
         f"64-code quantization error {fine:.3f} not below 16-code {coarse:.3f} at {sf}"
     )
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_nn05_ivfpq_recall_floor_and_degenerate_composition(spark, sf):
+    """IVF-PQ recall is bounded by BOTH pruning and quantization, so
+    the floor mirrors nn04's; the composition itself is gated exactly:
+    probing EVERY cell removes the pruning, and the output must then be
+    row-identical to plain PQ (nn04) — same candidates, same ADC, same
+    ranks."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _IVF_CELLS,
+        nn04_pq_adc,
+        nn05_ivfpq,
+    )
+
+    exact = _topk(nn01_cosine_topk(spark, sf))
+    approx = _topk(nn05_ivfpq(spark, sf))
+    recall = _recall(approx, exact)
+    assert recall >= 0.1, f"nn05 recall@5={recall:.2f} < 0.1 at {sf}"
+
+    full = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn05_ivfpq(spark, sf, probes=_IVF_CELLS).collect()
+    }
+    pq = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn04_pq_adc(spark, sf).collect()
+    }
+    assert full == pq, "all-cell IVF-PQ must degenerate to plain PQ"
