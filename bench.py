@@ -61,6 +61,7 @@ HEADLINE = [
     "cp01_corpus_curation_pipeline",
     "ds06_token_budget_select",
     "nn04_pq_adc",
+    "nn05_ivfpq",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,

@@ -2670,6 +2670,88 @@ def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
     ]
 
 
+def _pq_sub_d_sql() -> str:
+    """DuckDB: squared L2 of subspace ``s`` of ``vn`` to code ``c`` —
+    shared verbatim by the nn04 and nn05 oracles so the scoring math
+    cannot drift between the standalone and the composed operator."""
+    return _sql_fold_sum(
+        f"list_transform(range(1, {_PQ_SUB} + 1), "
+        f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
+    )
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB: ADC lookup-sum for candidate ``c`` against query ``q``."""
+    return _sql_fold_sum(
+        f"list_transform(range(1, {_PQ_M} + 1), s -> q.dls[s][c.codes[s] + 1])"
+    )
+
+
+def _pq_dls(vn, cb_lit):
+    """Spark: per-subspace distance lists of ``vn`` to every code —
+    the cross-engine twin of :func:`_pq_sub_d_sql`, shared by nn04 and
+    nn05. ``vn`` must be a bound lambda variable (shingles lesson)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_PQ_M)),
+        lambda s: F.transform(
+            F.element_at(cb_lit, s),
+            lambda c: _fold_sum(
+                F.zip_with(
+                    F.slice(vn, (s - 1) * _PQ_SUB + 1, _PQ_SUB),
+                    c,
+                    lambda a, b: (a - b) * (a - b),
+                )
+            ),
+        ),
+    )
+
+
+def _pq_codes_col(dls_col):
+    """Spark: argmin code per subspace from the distance lists (tie →
+    lowest code, matching the oracles' list_position-of-min)."""
+    return F.transform(
+        dls_col,
+        lambda dl: F.element_at(
+            F.array_sort(
+                F.transform(dl, lambda d, i: F.struct(d.alias("d"), i.alias("j")))
+            ),
+            1,
+        )["j"],
+    )
+
+
+def _pq_adc_col():
+    """Spark: ADC lookup-sum over (qd, codes) columns — twin of
+    :func:`_pq_adc_sql`."""
+    return _fold_sum(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PQ_M)),
+            lambda s: F.element_at(
+                F.element_at(F.col("qd"), s),
+                F.element_at(F.col("codes"), s) + 1,
+            ),
+        )
+    )
+
+
+def _rank_by_adc(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ADC ranking tail: per-query top-k ascending distance,
+    reported as approx_cosine = 1 - adc/2 (unit vectors: L2² = 2-2cos)."""
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
+                "approx_cosine"
+            ),
+            "rk",
+        )
+    )
+
+
 def _nn04_oracle() -> str:
     """DuckDB replay of the PQ pipeline: same bounded sorted sample,
     same seeded per-subspace fit, codebooks folded in as one literal —
@@ -2687,13 +2769,8 @@ def _nn04_oracle() -> str:
     )
     cbs = _pq_codebooks(emb)
     cb_sql = _pq_sql_literal(cbs)
-    sub_d = _sql_fold_sum(
-        f"list_transform(range(1, {_PQ_SUB} + 1), "
-        f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
-    )
-    adc = _sql_fold_sum(
-        f"list_transform(range(1, {_PQ_M} + 1), s -> q.dls[s][c.codes[s] + 1])"
-    )
+    sub_d = _pq_sub_d_sql()
+    adc = _pq_adc_sql()
     return f"""
     WITH cb AS (SELECT {cb_sql} AS cb),
     v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
@@ -2784,73 +2861,24 @@ def nn04_pq_adc(
         )
     )
 
-    def _dls(vn):
-        # per-subspace distance lists to all codes; vn is a bound lambda
-        # variable (see docstring)
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(_PQ_M)),
-            lambda s: F.transform(
-                F.element_at(cb_lit, s),
-                lambda c: _fold_sum(
-                    F.zip_with(
-                        F.slice(vn, (s - 1) * _PQ_SUB + 1, _PQ_SUB),
-                        c,
-                        lambda a, b: (a - b) * (a - b),
-                    )
-                ),
-            ),
-        )
 
     dls_bound = F.element_at(
-        F.transform(F.array(F.col("vn")), lambda vn: _dls(vn)), 1
+        F.transform(F.array(F.col("vn")), lambda vn: _pq_dls(vn, cb_lit)), 1
     )
     enc = base.select(
         "vec_id",
         dls_bound.alias("dls"),
-    ).select(
-        "vec_id",
-        F.transform(
-            F.col("dls"),
-            lambda dl: F.element_at(
-                F.array_sort(
-                    F.transform(dl, lambda d, i: F.struct(d.alias("d"), i.alias("j")))
-                ),
-                1,
-            )["j"],
-        ).alias("codes"),
-        "dls",
-    )
+    ).select("vec_id", _pq_codes_col(F.col("dls")).alias("codes"), "dls")
     q = enc.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("dls").alias("qd")
-    )
-    adc = _fold_sum(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(_PQ_M)),
-            lambda s: F.element_at(
-                F.element_at(F.col("qd"), s),
-                F.element_at(F.col("codes"), s) + 1,
-            ),
-        )
     )
     scored = (
         enc.select("vec_id", "codes")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", adc.alias("adc"))
+        .select("q_id", "vec_id", _pq_adc_col().alias("adc"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            "vec_id",
-            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
-                "approx_cosine"
-            ),
-            "rk",
-        )
-    )
+    return _rank_by_adc(scored, k)
 
 
 def _nn04_arrow(
@@ -2919,19 +2947,7 @@ def _nn04_arrow(
     partial = emb.select("vec_id", "embedding").mapInPandas(
         part, "q_id bigint, vec_id bigint, adc double"
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        partial.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            "vec_id",
-            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
-                "approx_cosine"
-            ),
-            "rk",
-        )
-    )
+    return _rank_by_adc(partial, k)
 
 
 # ---------------------------------------------------------------------------
@@ -3007,13 +3023,8 @@ def _nn05_oracle() -> str:
         )
         for j in range(_IVF_CELLS)
     )
-    sub_d = _sql_fold_sum(
-        f"list_transform(range(1, {_PQ_SUB} + 1), "
-        f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
-    )
-    adc = _sql_fold_sum(
-        f"list_transform(range(1, {_PQ_M} + 1), s -> q.dls[s][c.codes[s] + 1])"
-    )
+    sub_d = _pq_sub_d_sql()
+    adc = _pq_adc_sql()
     return f"""
     WITH cents AS (SELECT {cell_lists}),
     cb AS (SELECT {_pq_sql_literal(cbs)} AS cb),
@@ -3110,50 +3121,31 @@ def nn05_ivfpq(
             )
         )
 
-    def _dls(vn):
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(_PQ_M)),
-            lambda s: F.transform(
-                F.element_at(cb_lit, s),
-                lambda c: _fold_sum(
-                    F.zip_with(
-                        F.slice(vn, (s - 1) * _PQ_SUB + 1, _PQ_SUB),
-                        c,
-                        lambda a, b: (a - b) * (a - b),
-                    )
-                ),
-            ),
-        )
 
     # bind v and vn as lambda variables so the norm fold is computed
-    # once per row, not re-inlined per element (shingles lesson)
+    # once per row, not re-inlined per element (shingles lesson); the
+    # centroid ranking runs ONCE — the assigned cell is just the first
+    # probe (higher-order lambdas sit outside common-subexpression
+    # elimination, so a second _ranked_cells call would re-pay the
+    # cells x dim distance fold for every corpus row)
     per_row = F.element_at(
         F.transform(
             F.array(F.struct(F.col("v").alias("v"), F.col("vn").alias("vn"))),
             lambda r: F.struct(
-                F.element_at(_ranked_cells(r["v"]), 1)["cell"].alias("cell"),
                 F.transform(
                     F.slice(_ranked_cells(r["v"]), 1, probes),
                     lambda p: p["cell"],
                 ).alias("pcells"),
-                _dls(r["vn"]).alias("dls"),
+                _pq_dls(r["vn"], cb_lit).alias("dls"),
             ),
         ),
         1,
     )
     enc = base.select("vec_id", per_row.alias("r")).select(
         "vec_id",
-        F.col("r.cell").alias("cell"),
+        F.element_at(F.col("r.pcells"), 1).alias("cell"),
         F.col("r.pcells").alias("pcells"),
-        F.transform(
-            F.col("r.dls"),
-            lambda dl: F.element_at(
-                F.array_sort(
-                    F.transform(dl, lambda d, i: F.struct(d.alias("d"), i.alias("j")))
-                ),
-                1,
-            )["j"],
-        ).alias("codes"),
+        _pq_codes_col(F.col("r.dls")).alias("codes"),
         F.col("r.dls").alias("dls"),
     )
     q = (
@@ -3164,31 +3156,10 @@ def nn05_ivfpq(
             F.explode(F.col("pcells")).alias("cell"),
         )
     )
-    adc = _fold_sum(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(_PQ_M)),
-            lambda s: F.element_at(
-                F.element_at(F.col("qd"), s),
-                F.element_at(F.col("codes"), s) + 1,
-            ),
-        )
-    )
     scored = (
         enc.select("vec_id", "cell", "codes")
         .join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", adc.alias("adc"))
+        .select("q_id", "vec_id", _pq_adc_col().alias("adc"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            "vec_id",
-            (_r(F.lit(1.0) - F.col("adc") / 2.0, 6) + F.lit(0.0)).alias(
-                "approx_cosine"
-            ),
-            "rk",
-        )
-    )
+    return _rank_by_adc(scored, k)

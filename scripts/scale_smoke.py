@@ -50,26 +50,28 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     """K near-dup-perturbed copies of the corpus, ids disjoint."""
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n = docs.count()
-    copies = docs.crossJoin(
-        spark.range(k).select(F.col("id").alias("copy"))
-    ).select(
-        (F.col("doc_id") + F.col("copy") * (n * 10)).alias("doc_id"),
-        # per-copy tail perturbation: copies are NEAR-dups (realistic
-        # for dedup/LSH), not byte-dups (degenerate)
-        F.when(F.col("copy") == 0, F.col("text"))
-        .otherwise(
-            F.concat(
-                F.col("text"),
-                F.lit(" rev "),
-                F.col("copy").cast("string"),
-                F.lit(" tag "),
-                (F.col("doc_id") % 97).cast("string"),
+    copies = (
+        docs.crossJoin(spark.range(k).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("doc_id") + F.col("copy") * (n * 10)).alias("doc_id"),
+            # per-copy tail perturbation: copies are NEAR-dups (realistic
+            # for dedup/LSH), not byte-dups (degenerate)
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" rev "),
+                    F.col("copy").cast("string"),
+                    F.lit(" tag "),
+                    (F.col("doc_id") % 97).cast("string"),
+                )
             )
+            .alias("text"),
+            "lang",
+            "source",
         )
-        .alias("text"),
-        "lang",
-        "source",
-        F.length("text").alias("n_chars"),
+        # n_chars must describe the PERTURBED text, not the input column
+        .withColumn("n_chars", F.length("text"))
     )
     copies.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     # the non-document tables are referenced by some composed plans;
@@ -95,7 +97,14 @@ def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{out_dir}/documents.parquet"):
+    # a crashed prior build leaves a partial corpus — rebuild unless
+    # EVERY table landed
+    tables = [
+        "documents", "region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "events", "embeddings",
+    ]
+    if not all(os.path.exists(f"{out_dir}/{t}.parquet") for t in tables):
+        shutil.rmtree(out_dir, ignore_errors=True)
         build_scaled(spark, k, out_dir)
 
     results = {}
