@@ -73,6 +73,7 @@ VARIANTS = {
     "nn02_lsh_ann_arrow": ("nn02_lsh_ann", {"impl": "arrow"}),
     "ud2_spec_extraction_arrow": ("ud2_spec_extraction", {"impl": "arrow"}),
     "nn04_pq_adc_arrow": ("nn04_pq_adc", {"impl": "arrow"}),
+    "nn05_ivfpq_arrow": ("nn05_ivfpq", {"impl": "arrow"}),
 }
 
 

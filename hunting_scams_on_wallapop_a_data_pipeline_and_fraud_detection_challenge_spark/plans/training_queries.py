@@ -3074,7 +3074,12 @@ def _nn05_oracle() -> str:
 
 @query("nn05_ivfpq", oracle=_nn05_oracle, ops=("ANN-IVFPQ",))
 def nn05_ivfpq(
-    spark: SparkSession, sf_dir: str, *, k: int = _KNN_K, probes: int = _IVF_PROBES
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = _KNN_K,
+    probes: int = _IVF_PROBES,
+    impl: str = "sql",
 ) -> DataFrame:
     """IVF-PQ — the production ANN architecture, composed from the two
     scale paths it is made of: the inverted file PRUNES (each query
@@ -3091,6 +3096,8 @@ def nn05_ivfpq(
     end-to-end. At 100 TB: corpus rows shuffle as (cell, 8 codes) ints,
     the query side broadcasts with its lookup tables, and the probe join
     is an int equi-join — no all-pairs stage anywhere."""
+    if impl == "arrow":
+        return _nn05_arrow(spark, sf_dir, k=k, probes=probes)
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
     vecs = [r.embedding for r in sample]
@@ -3163,3 +3170,83 @@ def nn05_ivfpq(
         .select("q_id", "vec_id", _pq_adc_col().alias("adc"))
     )
     return _rank_by_adc(scored, k)
+
+
+def _nn05_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KNN_K,
+    probes: int = _IVF_PROBES,
+) -> DataFrame:
+    """Vectorized IVF-PQ (see nn05 docstring): per Arrow batch, cell
+    assignment is one (n, cells, dim) distance reduction, the probe
+    gate masks candidates BEFORE any scoring (rows outside every
+    query's probe set never pay the ADC math — the point of the
+    inverted file), and scoring is nn04's fancy-indexed table gathers.
+    Partial per-query top-k; the shared ADC rank tail merges."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    vecs = [r.embedding for r in sample]
+    cents = np.asarray(_fit_centroids(vecs, k=_IVF_CELLS), dtype=np.float64)
+    cbs = np.asarray(_pq_codebooks(vecs), dtype=np.float64)
+    Q, q_ids, Qn = _arrow_query_block(emb, _KNN_QUERIES)
+    # per-query probe cells from RAW vectors (nn03's assignment space)
+    qcd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    qprobe = np.argsort(qcd, axis=1, kind="stable")[:, :probes]  # (q, probes)
+    # per-query ADC tables from NORMALIZED vectors (nn04's space)
+    qsub = Qn.reshape(len(q_ids), _PQ_M, _PQ_SUB)
+    T = ((qsub[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)
+    A = T.transpose(1, 2, 0)
+    dim = _PQ_M * _PQ_SUB
+
+    def part(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf):
+                pdf = pdf[pdf["embedding"].map(len) == dim]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.sqrt((V * V).sum(1))
+            ok = nrm > 0
+            V, ids, nrm = V[ok], ids[ok], nrm[ok]
+            if not len(V):
+                continue
+            cell = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+            # probe gate BEFORE scoring: (n, q) candidate mask
+            overlap = (
+                cell[:, None, None] == qprobe[None, :, :]
+            ).any(-1)  # (n, q)
+            cand = overlap.any(1)
+            V, ids, nrm, overlap = V[cand], ids[cand], nrm[cand], overlap[cand]
+            if not len(V):
+                continue
+            S = (V / nrm[:, None]).reshape(len(V), _PQ_M, _PQ_SUB)
+            d = ((S[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)
+            code = d.argmin(-1)
+            adc = np.zeros((len(V), len(q_ids)))
+            for s in range(_PQ_M):
+                adc += A[s, code[:, s], :]
+            out = []
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & overlap[:, qi]
+                am, im = adc[:, qi][mask], ids[mask]
+                if not len(am):
+                    continue
+                top = np.lexsort((im, am))[: min(k, len(am))]
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "vec_id": im[top], "adc": am[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, "q_id bigint, vec_id bigint, adc double"
+    )
+    return _rank_by_adc(partial, k)

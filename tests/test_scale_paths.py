@@ -315,3 +315,26 @@ def test_nn04_arrow_path_matches_sql_path(spark, sf_dir):
         a_vec, a_cos = arrow_rows[key]
         assert a_vec == vec_id, f"rank mismatch at {key}"
         assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
+
+
+def test_nn05_arrow_path_matches_sql_path(spark, sf_dir):
+    """The batched-numpy IVF-PQ path must be rank-identical to the
+    oracle-pinned SQL form — same probe gate, same candidates, same
+    ADC ranking."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn05_ivfpq,
+    )
+
+    sql_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn05_ivfpq(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn05_ivfpq(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows.keys() == arrow_rows.keys()
+    for key, (vec_id, cos) in sql_rows.items():
+        a_vec, a_cos = arrow_rows[key]
+        assert a_vec == vec_id, f"rank mismatch at {key}"
+        assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
