@@ -1465,11 +1465,19 @@ def _fit_centroids(rows: list, k: int = _IVF_CELLS) -> list:
     of math. Deterministic: seeded rng, fixed iteration cap.
 
     Zero vectors are dropped here (they carry no direction for cosine
-    ANN and would only pin a dead centroid). Distances go through the
+    ANN and would only pin a dead centroid), and so are NULL or
+    wrong-dimension sample rows (modal length wins) — a single
+    malformed row in the bounded sample must not crash the fit the way
+    a ragged np.asarray would. Distances go through the
     ||x||^2 - 2<x,c> + ||c||^2 expansion so each Lloyd step is one
     matmul instead of an n*k*d broadcast temp."""
     import numpy as np
 
+    rows = [r for r in rows if r is not None]
+    lens = [len(r) for r in rows]
+    if lens:
+        dim = max(set(lens), key=lens.count)
+        rows = [r for r in rows if len(r) == dim]
     X = np.asarray(rows, dtype=np.float64)
     X = X[(X**2).sum(1) > 0]
     n = X.shape[0]
@@ -2653,12 +2661,17 @@ _PQ_CODES = 16
 
 def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
     """Per-subspace seeded k-means codebooks over NORMALIZED sample
-    vectors (PQ encodes directions; zero vectors are dropped like every
-    cosine path). Deterministic — both engines consume these constants
-    verbatim."""
+    vectors (PQ encodes directions; zero and malformed vectors are
+    dropped like every cosine path — see _fit_centroids). Deterministic
+    — both engines consume these constants verbatim."""
     import numpy as np
 
-    X = np.asarray([v for v in vecs if v is not None], dtype=np.float64)
+    vecs = [v for v in vecs if v is not None]
+    lens = [len(v) for v in vecs]
+    if lens:
+        dim = max(set(lens), key=lens.count)
+        vecs = [v for v in vecs if len(v) == dim]
+    X = np.asarray(vecs, dtype=np.float64)
     nrm = np.sqrt((X * X).sum(axis=1))
     X = X[nrm > 0] / nrm[nrm > 0, None]
     return [

@@ -3,6 +3,8 @@ must land within tolerance of their exact twins on the driver corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
     REGISTRY,
 )
@@ -338,3 +340,33 @@ def test_nn05_arrow_path_matches_sql_path(spark, sf_dir):
         a_vec, a_cos = arrow_rows[key]
         assert a_vec == vec_id, f"rank mismatch at {key}"
         assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
+
+
+@pytest.mark.parametrize("op_name", ["nn04_pq_adc", "nn05_ivfpq"])
+def test_pq_arrow_paths_drop_malformed_embeddings(spark, sf_dir, tmp_path, op_name):
+    """NULL and wrong-dimension embedding rows must be dropped by the
+    PQ arrow paths (like the SQL forms' nrm > 0 / fold-over-dim
+    behavior), not crash np.stack or skew the codebook fit."""
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans import (
+        training_queries as tq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    extras = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    ).unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.slice("embedding", 1, 3).alias("embedding"),  # wrong dim
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    emb.unionByName(extras).write.parquet(str(tmp_path / "embeddings.parquet"))
+    fn = getattr(tq, op_name)
+    out = fn(spark, str(tmp_path), impl="arrow").collect()
+    assert len(out) > 0
+    assert all(r.vec_id < 1_000_000 for r in out)
