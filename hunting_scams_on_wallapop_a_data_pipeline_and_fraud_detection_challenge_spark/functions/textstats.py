@@ -72,6 +72,34 @@ def sql_shingles(toks_expr: str, n: int = 3) -> str:
     )
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (space-joined) — the repetition
+    metrics need occurrence counts, which :func:`shingles`'s
+    ``array_distinct`` destroys. Same short-document guard and
+    lambda-binding discipline as shingles."""
+
+    def _of(t: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
+        )
+        return F.when(F.size(t) >= n, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _of), 1)
+
+
+def sql_ngrams(toks_expr: str, n: int) -> str:
+    joined = " || ' ' || ".join(f"{{t}}[i+{k}]".format(t="__T__") for k in range(n))
+    joined = joined.replace("__T__", toks_expr).replace("[i+0]", "[i]")
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr})-{n - 2}), "
+        f"i -> {joined}) ELSE []::VARCHAR[] END"
+    )
+
+
 # --- language identification (stopword-hit heuristic) ----------------------
 
 LANG_STOPWORDS: dict[str, list[str]] = {

@@ -1091,18 +1091,18 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            round-3 additions ds03/ds04/ct02/dd08 (which need first rows).
 #   round 4  tail: a06, a07, a11, x15, x22_factor, x22_painless, x21,
 #            f08, k01, a04, w01, f01, f05, f07, j01, j03, st01, txt01,
-#            txt02, txt03, dd01, dd02, dd03, dd04 — all twenty-four are
-#            triple-green (r01+r02+r03;
+#            txt02, txt03, dd01, dd02, dd03, dd04, nn01 — all twenty-five
+#            are triple-green (r01+r02+r03;
 #            chosen by `gen_coverage.py --propose-tail`). The 13
 #            double-greens parked in r03 rotate back in for a third row;
 #            rp01 (0 green rows — the r03 signed-zero hash artifact,
 #            fixed this round), the six single-green entries (ds03, ds04,
-#            ct02, dd08, x19, ud2), the new a01c and the ten round-4
+#            ct02, dd08, x19, ud2), the new a01c and the eleven round-4
 #            additions (ds05, ds06, ds07, txt05, pii02, mm02, cp01,
-#            txt06, nn04, nn05 — first rows needed) all sit inside the
-#            window. Registry grew 63 → 74 (a01c + the ten), tail
-#            13 → 24 slots (dd01..dd04 appended as the last parked
-#            triple-greens).
+#            txt06, nn04, nn05, rep02 — first rows needed) all sit inside
+#            the window. Registry grew 63 → 75 (a01c + the eleven), tail
+#            13 → 25 slots (dd01..dd04 and nn01 appended as the last
+#            parked triple-greens).
 #   round 5+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1142,6 +1142,7 @@ _ROTATION_TAIL = [
     "dd02_minhash_lsh_pairs",
     "dd03_simhash",
     "dd04_ngram_jaccard_pairs",
+    "nn01_cosine_topk",
 ]
 
 

@@ -3263,3 +3263,68 @@ def _nn05_arrow(
         part, "q_id bigint, vec_id bigint, adc double"
     )
     return _rank_by_adc(partial, k)
+
+
+# ---------------------------------------------------------------------------
+# N-gram repetition battery (the published Gopher repetition signals)
+# ---------------------------------------------------------------------------
+
+#: n-gram orders of the repetition battery (Gopher gates top n-gram
+#: share for n=2..4 and duplicate n-gram fraction for larger n)
+_REP_NS = (2, 3, 4)
+
+
+def _rep02_branch_sql(n: int) -> str:
+    from ..functions.textstats import sql_ngrams
+
+    return f"""
+        SELECT doc_id, {n} AS n, g
+        FROM (SELECT doc_id, unnest({sql_ngrams(sql_tokens("text"), n)}) AS g
+              FROM documents)"""
+
+
+def _rep02_sql() -> str:
+    branches = "\n        UNION ALL\n".join(_rep02_branch_sql(n) for n in _REP_NS)
+    return f"""
+    WITH e AS ({branches}
+    ),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c FROM e GROUP BY doc_id, n, g)
+    SELECT doc_id, n,
+           CAST(sum(c) AS BIGINT)                       AS n_grams,
+           round(max(c) / sum(c) + 1e-6, 4)             AS top_share,
+           round(1.0 - count(*) / sum(c) + 1e-6, 4)     AS dup_ratio
+    FROM cnt GROUP BY doc_id, n
+    """
+
+
+@query("rep02_ngram_repetition", oracle=_rep02_sql(), ops=("TXT-REPETITION",))
+def rep02_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram half of the published repetition battery: per document
+    and per n ∈ {2,3,4}, the most-frequent n-gram's share and the
+    duplicate n-gram fraction — the signals that catch templated /
+    boilerplate text whose unigram stats (rep01) look normal because
+    the REPEATED UNIT is a phrase, not a word.
+
+    Scale shape: one union of three column-pruned scans (each explode
+    collapses map-side into (doc_id, n, gram) counts before the one
+    shuffle, exactly rep01's two-level aggregation); n-grams are built
+    with the lambda-binding discipline so the tokenizer runs once per
+    row per branch. The divisions happen once per (doc, n) after the
+    counts collapse."""
+    from ..functions.textstats import ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    e = None
+    for n in _REP_NS:
+        b = docs.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(ngrams(tokens(F.col("text")), n)).alias("g"),
+        )
+        e = b if e is None else e.unionByName(b)
+    cnt = e.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        _r(F.max("c") / F.sum("c"), 4).alias("top_share"),
+        _r(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4).alias("dup_ratio"),
+    )

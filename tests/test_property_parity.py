@@ -168,3 +168,40 @@ def test_gopher_rules_and_dup_ratio_parity(spark_prop, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_ngrams_with_multiplicity_parity(spark_prop, texts):
+    """The non-deduplicating n-gram builder feeds rep02's repetition
+    counts; position order is part of its contract (both engines build
+    by index), so the raw arrays compare exactly."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.functions.textstats import (
+        ngrams,
+        sql_ngrams,
+        sql_tokens,
+        tokens,
+    )
+
+    spark, con = spark_prop
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: (tuple(r.g2), tuple(r.g4))
+        for r in df.select(
+            "i",
+            ngrams(tokens(F.col("t")), 2).alias("g2"),
+            ngrams(tokens(F.col("t")), 4).alias("g4"),
+        ).collect()
+    }
+    con.execute("DROP TABLE IF EXISTS props4")
+    con.execute("CREATE TABLE props4(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO props4 VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        r[0]: (tuple(r[1]), tuple(r[2]))
+        for r in con.execute(
+            f"""SELECT i, {sql_ngrams(sql_tokens('t'), 2)},
+                       {sql_ngrams(sql_tokens('t'), 4)}
+                FROM props4"""
+        ).fetchall()
+    }
+    assert got == want

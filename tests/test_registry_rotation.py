@@ -22,7 +22,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 
 #: Entries with ZERO green driver rows entering round 4 — rp01 lost its
 #: only row to the r03 signed-zero hash artifact (fixed this round),
-#: a01c and the ten round-4 additions are new. They must be inside the
+#: a01c and the eleven round-4 additions are new. They must be inside the
 #: 50-slot window.
 NEEDS_FIRST_ROW = {
     "rp01_end_to_end_risk", "a01c_approx_median_rank_gate",
@@ -30,7 +30,7 @@ NEEDS_FIRST_ROW = {
     "txt05_gopher_filters", "pii02_detection_stats",
     "mm02_frame_sample", "cp01_corpus_curation_pipeline",
     "txt06_token_rarity", "ds07_weighted_interleave", "nn04_pq_adc",
-    "nn05_ivfpq",
+    "nn05_ivfpq", "rep02_ngram_repetition",
 }
 
 #: Single-green entries (first row earned in r03) — the schedule keeps
