@@ -38,6 +38,7 @@ OPS = [
     "txt02_quality_scores",
     "txt05_gopher_filters",
     "txt06_token_rarity",
+    "rep02_ngram_repetition",
     "dd01_exact_dedup",
     "dd02_minhash_lsh_pairs",
     "ds05_source_mixture",
