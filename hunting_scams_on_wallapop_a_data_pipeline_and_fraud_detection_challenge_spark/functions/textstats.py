@@ -63,12 +63,19 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 
 def sql_shingles(toks_expr: str, n: int = 3) -> str:
-    joined = " || ' ' || ".join(f"{{t}}[i+{k}]".format(t="__T__") for k in range(n))
-    joined = joined.replace("__T__", toks_expr).replace("[i+0]", "[i]")
+    # The k=0 term is built as "[i]" directly (never a post-substitution
+    # string rewrite, which would corrupt a tokens expression containing
+    # the literal "[i+0]"), and the tokenizer expression is bound ONCE via
+    # a one-element list_transform — the DuckDB twin of the Spark side's
+    # F.transform(F.array(toks), ...) binding trick.
+    joined = " || ' ' || ".join(
+        "__sh[i]" if k == 0 else f"__sh[i+{k}]" for k in range(n)
+    )
     return (
-        f"CASE WHEN len({toks_expr}) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len({toks_expr})-{n - 2}), "
-        f"i -> {joined})) ELSE []::VARCHAR[] END"
+        f"(list_transform([{toks_expr}], __sh -> "
+        f"CASE WHEN len(__sh) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(__sh)-{n - 2}), "
+        f"i -> {joined})) ELSE []::VARCHAR[] END))[1]"
     )
 
 
@@ -91,12 +98,16 @@ def ngrams(toks: Column, n: int) -> Column:
 
 
 def sql_ngrams(toks_expr: str, n: int) -> str:
-    joined = " || ' ' || ".join(f"{{t}}[i+{k}]".format(t="__T__") for k in range(n))
-    joined = joined.replace("__T__", toks_expr).replace("[i+0]", "[i]")
+    # Same template discipline as sql_shingles: literal "[i]" first term,
+    # tokenizer bound once (it was previously re-evaluated n+2 times/row).
+    joined = " || ' ' || ".join(
+        "__ng[i]" if k == 0 else f"__ng[i+{k}]" for k in range(n)
+    )
     return (
-        f"CASE WHEN len({toks_expr}) >= {n} THEN "
-        f"list_transform(range(1, len({toks_expr})-{n - 2}), "
-        f"i -> {joined}) ELSE []::VARCHAR[] END"
+        f"(list_transform([{toks_expr}], __ng -> "
+        f"CASE WHEN len(__ng) >= {n} THEN "
+        f"list_transform(range(1, len(__ng)-{n - 2}), "
+        f"i -> {joined}) ELSE []::VARCHAR[] END))[1]"
     )
 
 

@@ -92,6 +92,62 @@ def time_op(spark, name: str, sf_dir: str) -> tuple[float, int]:
     return time.monotonic() - t0, rows
 
 
+def skew_scenario(spark, out_dir: str) -> dict:
+    """The pathological-skew case operators/skew.py exists for: one hot
+    key owns 90% of the big side and the right side is declared
+    non-broadcastable (autoBroadcast off) with AQE's skew splitting
+    disabled — i.e. the naive sort-merge join funnels 90% of the rows
+    through ONE reducer. ``salted_join`` must spread that reducer's
+    work across its salts and measurably beat the naive plan on the
+    same inputs. Both runs share identical inputs and identical conf."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.operators.skew import (
+        salted_join,
+    )
+
+    docs = spark.read.parquet(f"{out_dir}/documents.parquet")
+    # re-key: 90% of rows land on one hot seller, the rest spread thin
+    big = docs.select(
+        F.when(F.col("doc_id") % 10 < 9, F.lit("seller_hot"))
+        .otherwise(F.concat(F.lit("seller_"), (F.col("doc_id") % 997).cast("string")))
+        .alias("seller_id"),
+        "n_chars",
+    )
+    sellers = [("seller_hot",)] + [(f"seller_{i}",) for i in range(997)]
+    right = spark.createDataFrame(sellers, "seller_id string").withColumn(
+        "seller_rank", F.length("seller_id")
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        def run(df):
+            t0 = time.monotonic()
+            n = df.groupBy("seller_id").agg(
+                F.sum("n_chars").alias("chars"), F.max("seller_rank").alias("r")
+            ).count()
+            return time.monotonic() - t0, n
+
+        naive_s, naive_n = run(big.join(right, "seller_id"))
+        salted_s, salted_n = run(salted_join(big, right, "seller_id", n_salts=16))
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert naive_n == salted_n, (naive_n, salted_n)
+    return {
+        "naive_s": round(naive_s, 2),
+        "salted_s": round(salted_s, 2),
+        "speedup": round(naive_s / salted_s, 2) if salted_s > 0 else float("inf"),
+        "rows": naive_n,
+    }
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     out_dir = f"/tmp/scale_smoke_sf0.1x{k}"
@@ -108,9 +164,15 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         build_scaled(spark, k, out_dir)
 
+    # Untimed warm-up at BOTH SFs so the first op's 1x baseline doesn't
+    # absorb one-time session/IO warm-up (which inflated base_s and
+    # deflated that op's reported ratio).
+    for d in (BASE, out_dir):
+        spark.read.parquet(f"{d}/documents.parquet").count()
+
     results = {}
     for name in OPS:
-        # warm: run at 1x (absorbs codegen/analysis, gives the baseline)
+        # run at 1x first (absorbs per-op codegen/analysis, gives the baseline)
         base_s, base_rows = time_op(spark, name, BASE)
         big_s, big_rows = time_op(spark, name, out_dir)
         ratio = big_s / base_s if base_s > 0 else float("inf")
@@ -121,6 +183,9 @@ def main() -> None:
             "rows": [base_rows, big_rows],
         }
         print(json.dumps({"op": name, **results[name]}), flush=True)
+
+    skew = skew_scenario(spark, out_dir)
+    print(json.dumps({"op": "skewed_join_salted_vs_naive", **skew}), flush=True)
 
     worst = max(results.items(), key=lambda kv: kv[1]["ratio"])
     print(
@@ -133,7 +198,8 @@ def main() -> None:
                 # fixed per-query overhead makes sublinear ratios normal;
                 # anything well beyond K signals a quadratic stage
                 "linear_bound": k * 2,
-                "ok": worst[1]["ratio"] <= k * 2,
+                "skew_speedup": skew["speedup"],
+                "ok": worst[1]["ratio"] <= k * 2 and skew["speedup"] > 1.0,
             }
         ),
         flush=True,

@@ -68,10 +68,14 @@ def test_tail_is_the_documented_rotation():
     assert list(REGISTRY)[50:] == _ROTATION_TAIL
 
 
-def test_tail_entries_all_triple_green():
-    """Parked entries must already be green in EVERY prior driver round —
-    parking them costs no union coverage. Read from the actual
-    CORRECTNESS files so the pin can't drift from the data."""
+def test_tail_entries_all_multi_green():
+    """Parked entries must already be multi-green across the driver rounds
+    where they HAD a window slot — parking them costs no union coverage.
+    A parked entry by construction has NO row in the round it is parked,
+    so absence from a file is the expected parked state, not a failure;
+    what matters is that every row it does have is fully green and that
+    it has accumulated at least three green rows before being parked.
+    Read from the actual CORRECTNESS files so the pin can't drift."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = sorted(
         f for f in os.listdir(repo)
@@ -81,11 +85,19 @@ def test_tail_entries_all_triple_green():
         pytest.skip("no driver correctness files present")
     for name in _ROTATION_TAIL:
         assert REGISTRY[name].oracle_text() is not None, name
+        greens = 0
         for rf in rounds:
             row = json.load(open(os.path.join(repo, rf))).get(name)
-            assert row and row["rows_match"] and row["schema_match"] and row["hash_match"], (
-                f"parked entry {name} is not green in {rf}"
+            if row is None:  # outside that round's 50-slot window
+                continue
+            assert row["rows_match"] and row["schema_match"] and row["hash_match"], (
+                f"parked entry {name} has a NON-green row in {rf}"
             )
+            greens += 1
+        assert greens >= 3, (
+            f"parked entry {name} has only {greens} green driver rows — "
+            f"parking requires at least three"
+        )
 
 
 def test_entry_contract_exposes_rotated_order():
