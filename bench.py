@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans import (  # noqa: E402
+    queries as queries_mod,
+)
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (  # noqa: E402
     REGISTRY,
 )
@@ -69,6 +72,11 @@ HEADLINE = [
 # round-over-round numbers too (nn01's Arrow path is equivalence-gated
 # against the SQL form in tests/test_scale_paths.py).
 VARIANTS = {
+    # a01b: the one-pass approx-percentile scale path — retired from the
+    # driver registry (its sketch can never hash-match DuckDB's) but kept
+    # timed here; a01c hash-verifies its accuracy contract. The value's
+    # first element may be a registry name OR a direct callable.
+    "a01b_approx_stats_scale_path": (queries_mod.a01b_approx_stats_scale_path, {}),
     "nn01_cosine_topk_arrow": ("nn01_cosine_topk", {"impl": "arrow"}),
     "nn02_lsh_ann_arrow": ("nn02_lsh_ann", {"impl": "arrow"}),
     "ud2_spec_extraction_arrow": ("ud2_spec_extraction", {"impl": "arrow"}),
@@ -91,17 +99,22 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         warm = [(n, {}) for n in HEADLINE if n in REGISTRY] + [
-            (reg, kw) for reg, kw in VARIANTS.values() if reg in REGISTRY
+            (reg, kw)
+            for reg, kw in VARIANTS.values()
+            if callable(reg) or reg in REGISTRY
         ]
         for name, kw in warm:
             try:
-                REGISTRY[name].fn(spark, warm_dir, **kw).count()
+                fn = name if callable(name) else REGISTRY[name].fn
+                fn(spark, warm_dir, **kw).count()
             except Exception:
                 pass
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     runs = [(name, name, {}) for name in HEADLINE if name in REGISTRY] + [
-        (label, reg, kw) for label, (reg, kw) in VARIANTS.items() if reg in REGISTRY
+        (label, reg, kw)
+        for label, (reg, kw) in VARIANTS.items()
+        if callable(reg) or reg in REGISTRY
     ]
     # Per-query MEDIAN of n_runs (r03 lesson: single-shot timings were too
     # noisy to grade regressions — untouched queries drifted +15-30% on a
@@ -112,7 +125,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for label, reg, kw in runs:
-        fn = REGISTRY[reg].fn
+        fn = reg if callable(reg) else REGISTRY[reg].fn
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()

@@ -20,11 +20,13 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 4 — rp01 lost its
-#: only row to the r03 signed-zero hash artifact (fixed this round),
-#: a01c and the eleven round-4 additions are new. They must be inside the
-#: 50-slot window.
-NEEDS_FIRST_ROW = {
+#: Entries with ZERO green driver rows entering round 5 — any operator
+#: added this round. They must be inside the 50-slot window.
+NEEDS_FIRST_ROW: set[str] = set()
+
+#: Single-green entries (first row earned in r04) — the schedule keeps
+#: any entry with <2 green rows in-window until it has two.
+SINGLE_GREEN = {
     "rp01_end_to_end_risk", "a01c_approx_median_rank_gate",
     "ds05_source_mixture", "ds06_token_budget_select",
     "txt05_gopher_filters", "pii02_detection_stats",
@@ -33,22 +35,19 @@ NEEDS_FIRST_ROW = {
     "nn05_ivfpq", "rep02_ngram_repetition",
 }
 
-#: Single-green entries (first row earned in r03) — the schedule keeps
-#: any entry with <2 green rows in-window until it has two.
-SINGLE_GREEN = {
-    "ds03_leakage_safe_split", "ds04_training_order",
-    "ct02_decontaminated_train", "dd08_simhash_neardup",
-    "x19_geo_struct", "ud2_spec_extraction",
-}
-
-#: The 13 double-greens parked in round 3 rotate back in for a third row.
+#: The 25 triple-greens parked in round 4 rotate back in for a fourth row.
 BACK_IN_WINDOW = {
-    "u12_token_set_ops", "w03_global_share", "a13_minmax_metrics",
-    "a03_secondary_segment_stats", "a08_price_histogram",
-    "a09_risk_buckets", "a10_heatmap_share", "a12_top_terms_other",
-    "w02_topk_by_last_value", "a02_component_stats",
-    "a05_review_stats_per_user", "k03_hidden_price_max",
-    "a01_grouped_price_stats",
+    "a06_weighted_zscore", "a07_daily_activity", "a11_top_users",
+    "x15_risk_assembly", "x22_factor_normalize",
+    "x22_painless_normalizer", "x21_runtime_fields",
+    "f08_gated_enrichment", "k01_newest_first_cap", "a04_stats_export",
+    "w01_last_value_per_group", "f01_freshness_filter",
+    "f05_market_segmentation", "f07_keyword_filter",
+    "j01_fallback_stats_join", "j03_enrichment_join",
+    "st01_windowed_frequency", "txt01_language_id",
+    "txt02_quality_scores", "txt03_fingerprint", "dd01_exact_dedup",
+    "dd02_minhash_lsh_pairs", "dd03_simhash",
+    "dd04_ngram_jaccard_pairs", "nn01_cosine_topk",
 }
 
 
@@ -65,17 +64,25 @@ def test_window_contains_every_entry_needing_rows():
 
 
 def test_tail_is_the_documented_rotation():
-    assert list(REGISTRY)[50:] == _ROTATION_TAIL
+    # The tail occupies the END of the registry; the window (everything
+    # before it) must fit inside the driver's 50 recorded slots.
+    assert list(REGISTRY)[-len(_ROTATION_TAIL):] == _ROTATION_TAIL
+    assert len(REGISTRY) - len(_ROTATION_TAIL) <= 50, (
+        "window overflows the driver's 50 slots — grow _ROTATION_TAIL"
+    )
 
 
 def test_tail_entries_all_multi_green():
     """Parked entries must already be multi-green across the driver rounds
     where they HAD a window slot — parking them costs no union coverage.
     A parked entry by construction has NO row in the round it is parked,
-    so absence from a file is the expected parked state, not a failure;
-    what matters is that every row it does have is fully green and that
-    it has accumulated at least three green rows before being parked.
-    Read from the actual CORRECTNESS files so the pin can't drift."""
+    so absence from a file is the expected parked state, not a failure.
+    What matters: at least three accumulated green rows, and the MOST
+    RECENT row the entry has is green (never park something that was red
+    the last time the driver ran it — a historical red from a since-fixed
+    bug, e.g. nn03's r01 replayed-fit SF mismatch, doesn't forbid parking
+    forever). Read from the actual CORRECTNESS files so the pin can't
+    drift."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = sorted(
         f for f in os.listdir(repo)
@@ -85,19 +92,20 @@ def test_tail_entries_all_multi_green():
         pytest.skip("no driver correctness files present")
     for name in _ROTATION_TAIL:
         assert REGISTRY[name].oracle_text() is not None, name
-        greens = 0
+        greens, last = 0, None
         for rf in rounds:
             row = json.load(open(os.path.join(repo, rf))).get(name)
             if row is None:  # outside that round's 50-slot window
                 continue
-            assert row["rows_match"] and row["schema_match"] and row["hash_match"], (
-                f"parked entry {name} has a NON-green row in {rf}"
+            last = bool(
+                row["rows_match"] and row["schema_match"] and row["hash_match"]
             )
-            greens += 1
+            greens += last
         assert greens >= 3, (
             f"parked entry {name} has only {greens} green driver rows — "
             f"parking requires at least three"
         )
+        assert last, f"parked entry {name} was RED in its most recent driver row"
 
 
 def test_entry_contract_exposes_rotated_order():
@@ -105,7 +113,8 @@ def test_entry_contract_exposes_rotated_order():
 
     assert list(mod.queries()) == list(REGISTRY)
     oracles = mod.oracle_sql()
-    # every windowed entry except the by-design rows-only one is checked
+    # every windowed entry is oracle-checked (a01b — the one by-design
+    # rows-only entry — was retired from the registry in round 5)
     window = list(REGISTRY)[:50]
     missing = [n for n in window if n not in oracles]
-    assert missing == ["a01b_approx_stats_scale_path"], missing
+    assert missing == [], missing
