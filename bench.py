@@ -65,6 +65,8 @@ HEADLINE = [
     "ds06_token_budget_select",
     "nn04_pq_adc",
     "nn05_ivfpq",
+    # round-5 addition: residual IVF-PQ (codebooks on v - centroid)
+    "nn06_residual_ivfpq",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,
@@ -82,6 +84,7 @@ VARIANTS = {
     "ud2_spec_extraction_arrow": ("ud2_spec_extraction", {"impl": "arrow"}),
     "nn04_pq_adc_arrow": ("nn04_pq_adc", {"impl": "arrow"}),
     "nn05_ivfpq_arrow": ("nn05_ivfpq", {"impl": "arrow"}),
+    "nn06_residual_ivfpq_arrow": ("nn06_residual_ivfpq", {"impl": "arrow"}),
 }
 
 

@@ -1119,7 +1119,9 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            their second. a01b (permanently rows-only by construction)
 #            is retired from the registry this round — a01c hash-verifies
 #            its sketch contract, bench VARIANTS still times the plan —
-#            so every driver row can now be fully green.
+#            so every driver row can now be fully green. The round-5
+#            addition nn06 (residual IVF-PQ) needs its first row and
+#            sits in-window; registry 75 = window 50 + tail 25.
 #   round 6+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.

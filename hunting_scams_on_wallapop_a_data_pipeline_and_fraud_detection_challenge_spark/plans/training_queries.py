@@ -2659,21 +2659,11 @@ _PQ_SUB = _EMB_DIM // _PQ_M
 _PQ_CODES = 16
 
 
-def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
-    """Per-subspace seeded k-means codebooks over NORMALIZED sample
-    vectors (PQ encodes directions; zero and malformed vectors are
-    dropped like every cosine path — see _fit_centroids). Deterministic
-    — both engines consume these constants verbatim."""
-    import numpy as np
-
-    vecs = [v for v in vecs if v is not None]
-    lens = [len(v) for v in vecs]
-    if lens:
-        dim = max(set(lens), key=lens.count)
-        vecs = [v for v in vecs if len(v) == dim]
-    X = np.asarray(vecs, dtype=np.float64)
-    nrm = np.sqrt((X * X).sum(axis=1))
-    X = X[nrm > 0] / nrm[nrm > 0, None]
+def _pq_codebooks_from_rows(X, codes: int = _PQ_CODES) -> list:
+    """Per-subspace seeded k-means codebooks over an (n, dim) float64
+    matrix taken AS-IS — the shared fit tail of the normalized-vector
+    (nn04/nn05) and residual (nn06) PQ paths. Deterministic — both
+    engines consume these constants verbatim."""
     return [
         _fit_centroids(
             [list(row) for row in X[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]],
@@ -2683,13 +2673,40 @@ def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
     ]
 
 
-def _pq_sub_d_sql() -> str:
-    """DuckDB: squared L2 of subspace ``s`` of ``vn`` to code ``c`` —
-    shared verbatim by the nn04 and nn05 oracles so the scoring math
-    cannot drift between the standalone and the composed operator."""
+def _pq_sample_matrix(vecs: list):
+    """Malformed-row guard shared by the PQ fits: drop NULLs and
+    off-modal-dimension rows (see _fit_centroids), return float64."""
+    import numpy as np
+
+    vecs = [v for v in vecs if v is not None]
+    lens = [len(v) for v in vecs]
+    if lens:
+        dim = max(set(lens), key=lens.count)
+        vecs = [v for v in vecs if len(v) == dim]
+    return np.asarray(vecs, dtype=np.float64)
+
+
+def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
+    """Per-subspace seeded k-means codebooks over NORMALIZED sample
+    vectors (PQ encodes directions; zero and malformed vectors are
+    dropped like every cosine path — see _fit_centroids). Deterministic
+    — both engines consume these constants verbatim."""
+    import numpy as np
+
+    X = _pq_sample_matrix(vecs)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    X = X[nrm > 0] / nrm[nrm > 0, None]
+    return _pq_codebooks_from_rows(X, codes=codes)
+
+
+def _pq_sub_d_sql(var: str = "vn") -> str:
+    """DuckDB: squared L2 of subspace ``s`` of ``var`` to code ``c`` —
+    shared verbatim by the nn04/nn05 oracles (over the normalized
+    vector) and nn06's (over the cell residual) so the scoring math
+    cannot drift between the standalone and the composed operators."""
     return _sql_fold_sum(
         f"list_transform(range(1, {_PQ_SUB} + 1), "
-        f"i -> (vn[(s-1)*{_PQ_SUB}+i] - c[i]) * (vn[(s-1)*{_PQ_SUB}+i] - c[i]))"
+        f"i -> ({var}[(s-1)*{_PQ_SUB}+i] - c[i]) * ({var}[(s-1)*{_PQ_SUB}+i] - c[i]))"
     )
 
 
@@ -3250,6 +3267,335 @@ def _nn05_arrow(
                 am, im = adc[:, qi][mask], ids[mask]
                 if not len(am):
                     continue
+                top = np.lexsort((im, am))[: min(k, len(am))]
+                out.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "vec_id": im[top], "adc": am[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, "q_id bigint, vec_id bigint, adc double"
+    )
+    return _rank_by_adc(partial, k)
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ: codebooks fit on (v - centroid), the production form
+# ---------------------------------------------------------------------------
+
+
+def _residual_ivfpq_fit(
+    vecs: list, cells: int = _IVF_CELLS, codes: int = _PQ_CODES
+) -> tuple:
+    """Deterministic two-stage fit for residual IVF-PQ, driver-side
+    over the bounded sorted sample (see _fit_centroids): normalize the
+    sample, fit the coarse quantizer IN THE NORMALIZED SPACE (for unit
+    vectors L2-argmin == cosine-argmax, the standard cosine-IVF
+    design), assign each sample vector to its cell, then fit the PQ
+    codebooks on the RESIDUALS ``vn - centroid[cell]`` — residuals
+    cluster near the origin with far smaller spread than raw
+    directions, so the same code budget quantizes them more finely.
+    Both engines consume the returned constants verbatim."""
+    import numpy as np
+
+    X = _pq_sample_matrix(vecs)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    Xn = X[nrm > 0] / nrm[nrm > 0, None]
+    cents = _fit_centroids([list(r) for r in Xn], k=cells)
+    C = np.asarray(cents, dtype=np.float64)
+    lab = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    cbs = _pq_codebooks_from_rows(Xn - C[lab], codes=codes)
+    return cents, cbs
+
+
+def _nn06_oracle() -> str:
+    """Replay the two-stage residual fit and pin the full pipeline:
+    normalized-space cell assignment, per-cell residual encoding, and
+    per-(query, probed-cell) ADC tables — the hand-off nn06 adds over
+    nn05 (the query's lookup table DEPENDS on which cell it probes) is
+    exactly what the hash verifies."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cents, cbs = _residual_ivfpq_fit(emb)
+    ce_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    d_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(vn)+1), "
+            f"i -> (vn[i] - ce[{j + 1}][i]) * (vn[i] - ce[{j + 1}][i]))"
+        )
+        for j in range(_IVF_CELLS)
+    )
+    sub_d = _pq_sub_d_sql("rq")
+    adc = _pq_adc_sql()
+    return f"""
+    WITH ce_t AS (SELECT {ce_sql} AS ce),
+    cb AS (SELECT {_pq_sql_literal(cbs)} AS cb),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+             FROM n0 WHERE nrm > 0),
+    celld AS (SELECT vec_id, vn, [{d_exprs}] AS dl FROM base CROSS JOIN ce_t),
+    a AS (SELECT vec_id, vn,
+                 list_position(dl, list_aggregate(dl, 'min')) - 1 AS cell,
+                 list_transform(
+                     list_sort(list_transform(range(1, {_IVF_CELLS} + 1),
+                         i -> {{'d': dl[i], 'cell': i - 1}}))[1:{_IVF_PROBES}],
+                     s -> s.cell) AS pcells
+          FROM celld),
+    rqx AS (SELECT vec_id, cell,
+                   list_transform(range(1, {_EMB_DIM} + 1),
+                       i -> vn[i] - ce[cell + 1][i]) AS rq
+            FROM a CROSS JOIN ce_t),
+    enc AS (SELECT vec_id, cell,
+                   list_transform(
+                       list_transform(range(1, {_PQ_M} + 1),
+                           s -> list_transform(cb.cb[s], c -> {sub_d})),
+                       dl -> list_position(dl, list_aggregate(dl, 'min')) - 1
+                   ) AS codes
+            FROM rqx CROSS JOIN cb),
+    qp AS (SELECT vec_id AS q_id, vn, unnest(pcells) AS cell FROM a
+           WHERE vec_id < {_KNN_QUERIES}),
+    qr AS (SELECT q_id, cell,
+                  list_transform(range(1, {_EMB_DIM} + 1),
+                      i -> vn[i] - ce[cell + 1][i]) AS rq
+           FROM qp CROSS JOIN ce_t),
+    q AS (SELECT q_id, cell,
+                 list_transform(range(1, {_PQ_M} + 1),
+                     s -> list_transform(cb.cb[s], c -> {sub_d})) AS dls
+          FROM qr CROSS JOIN cb),
+    scored AS (
+        SELECT q.q_id, c.vec_id, {adc} AS adc
+        FROM enc c JOIN q ON q.cell = c.cell AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, adc,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id,
+           round(1.0 - adc / 2.0 + 1e-9, 6) + 0.0 AS approx_cosine, rk
+    FROM ranked WHERE rk <= {_KNN_K}
+    """
+
+
+@query("nn06_residual_ivfpq", oracle=_nn06_oracle, ops=("ANN-IVFPQ",))
+def nn06_residual_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = _KNN_K,
+    probes: int = _IVF_PROBES,
+    impl: str = "sql",
+) -> DataFrame:
+    """Residual IVF-PQ — nn05 with the PQ codebooks fit on
+    ``vn - centroid[cell]`` instead of the raw normalized vector, the
+    production ANN architecture (FAISS's IVFPQ default): vectors
+    cluster around their cells, so residuals occupy a far smaller ball
+    than raw directions and the same 4-bit code budget quantizes them
+    more finely. Two structural changes over nn05: (1) assignment runs
+    in the NORMALIZED space (cosine IVF's standard form — for unit
+    vectors L2-argmin == cosine-argmax), and (2) the query's ADC lookup
+    tables are per-(query, probed cell) — the query residual
+    ``qn - centroid[cell]`` differs per probe, which is the exact
+    algebra that makes the estimate cell-exact:
+    ``||qn - xn||² = ||(qn - c) - (xn - c)||²`` for the SHARED probed
+    cell c, with the candidate term PQ-approximated.
+
+    Both fits replay in the oracle (nn03 pattern), so the composed
+    per-cell hand-off is hash-verified; the accuracy claim (residual
+    quantization error < flat nn05's at the same operating point) is
+    measured in tests/test_ann_recall.py.
+
+    At 100 TB: corpus rows shuffle as (cell, 8 codes) ints exactly like
+    nn05; the query side stays dimension-sized (probes× rows, each with
+    an m×codes table) and broadcasts; the probe join is an int
+    equi-join. Residual encoding adds ONE vector subtraction per corpus
+    row in the scan projection — nothing new shuffles."""
+    if impl == "arrow":
+        return _nn06_arrow(spark, sf_dir, k=k, probes=probes)
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    cents, cbs = _residual_ivfpq_fit([r.embedding for r in sample])
+    cent_arr = _cents_spark_literal(cents)
+    cb_lit = _pq_spark_literal(cbs)
+
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+        )
+    )
+
+    def _ranked_cells(vn):
+        return F.array_sort(
+            F.transform(
+                F.transform(
+                    cent_arr,
+                    lambda c: _fold_sum(
+                        F.zip_with(vn, c, lambda a, b: (a - b) * (a - b))
+                    ),
+                ),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        )
+
+    def _res_dls(vn, cell):
+        # bind the residual as a lambda variable so its producer (the
+        # zip_with subtraction) is computed once, not re-inlined per
+        # subspace element (shingles lesson); F.get is 0-based like cell
+        return F.element_at(
+            F.transform(
+                F.array(
+                    F.zip_with(vn, F.get(cent_arr, cell), lambda a, b: a - b)
+                ),
+                lambda rq: _pq_dls(rq, cb_lit),
+            ),
+            1,
+        )
+
+    # corpus row: bind vn -> assigned cell -> residual tables -> codes,
+    # each stage a bound lambda variable so nothing re-inlines
+    per_row = F.element_at(
+        F.transform(
+            F.array(F.col("vn")),
+            lambda vn: F.element_at(
+                F.transform(
+                    F.array(F.element_at(_ranked_cells(vn), 1)["cell"]),
+                    lambda cell: F.element_at(
+                        F.transform(
+                            F.array(_res_dls(vn, cell)),
+                            lambda dls: F.struct(
+                                cell.alias("cell"),
+                                _pq_codes_col(dls).alias("codes"),
+                            ),
+                        ),
+                        1,
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    enc = base.select("vec_id", per_row.alias("r")).select(
+        "vec_id", F.col("r.cell").alias("cell"), F.col("r.codes").alias("codes")
+    )
+
+    q_pcells = F.element_at(
+        F.transform(
+            F.array(F.col("vn")),
+            lambda vn: F.transform(
+                F.slice(_ranked_cells(vn), 1, probes), lambda p: p["cell"]
+            ),
+        ),
+        1,
+    )
+    q = (
+        base.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "vn",
+            F.explode(q_pcells).alias("cell"),
+        )
+        # per-(query, probed cell) table: the residual depends on the cell
+        .select(
+            "q_id", "cell", _res_dls(F.col("vn"), F.col("cell")).alias("qd")
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pq_adc_col().alias("adc"))
+    )
+    return _rank_by_adc(scored, k)
+
+
+def _nn06_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KNN_K,
+    probes: int = _IVF_PROBES,
+) -> DataFrame:
+    """Vectorized residual IVF-PQ (see nn06 docstring): per Arrow
+    batch, normalized-space cell assignment, residual subtraction and
+    encoding are three matmul-shaped reductions; scoring gathers from
+    the per-(query, probe) table of the candidate's OWN cell — the
+    probe gate masks before any ADC math, like _nn05_arrow."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    cents, cbs = _residual_ivfpq_fit([r.embedding for r in sample])
+    C = np.asarray(cents, dtype=np.float64)
+    CB = np.asarray(cbs, dtype=np.float64)  # (m, codes, sub)
+    _, q_ids, Qn = _arrow_query_block(emb, _KNN_QUERIES)
+    qcd = ((Qn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    qprobe = np.argsort(qcd, axis=1, kind="stable")[:, :probes]  # (q, probes)
+    # per-(query, probe) residual ADC tables: (q, probes, m, codes)
+    Rq = Qn[:, None, :] - C[qprobe]
+    rsub = Rq.reshape(len(q_ids), probes, _PQ_M, _PQ_SUB)
+    T = ((rsub[:, :, :, None, :] - CB[None, None, :, :, :]) ** 2).sum(-1)
+    dim = _PQ_M * _PQ_SUB
+
+    def part(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf):
+                pdf = pdf[pdf["embedding"].map(len) == dim]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.sqrt((V * V).sum(1))
+            ok = nrm > 0
+            V, ids = V[ok], ids[ok]
+            if not len(V):
+                continue
+            S = V / nrm[ok][:, None]
+            cell = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            # probe gate BEFORE scoring
+            overlap = (cell[:, None, None] == qprobe[None, :, :]).any(-1)
+            cand = overlap.any(1)
+            S, ids, cell = S[cand], ids[cand], cell[cand]
+            if not len(S):
+                continue
+            R = (S - C[cell]).reshape(len(S), _PQ_M, _PQ_SUB)
+            d = ((R[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+            code = d.argmin(-1)  # (n, m)
+            out = []
+            for qi in range(len(q_ids)):
+                ams, ims = [], []
+                for p in range(probes):
+                    mask = (cell == qprobe[qi, p]) & (ids != q_ids[qi])
+                    if not mask.any():
+                        continue
+                    cc = code[mask]
+                    a = T[qi, p][np.arange(_PQ_M)[None, :], cc].sum(1)
+                    ams.append(a)
+                    ims.append(ids[mask])
+                if not ams:
+                    continue
+                am, im = np.concatenate(ams), np.concatenate(ims)
                 top = np.lexsort((im, am))[: min(k, len(am))]
                 out.append(
                     pd.DataFrame(

@@ -20,9 +20,9 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 5 — any operator
+#: Entries with ZERO green driver rows entering round 5 — the operators
 #: added this round. They must be inside the 50-slot window.
-NEEDS_FIRST_ROW: set[str] = set()
+NEEDS_FIRST_ROW: set[str] = {"nn06_residual_ivfpq"}
 
 #: Single-green entries (first row earned in r04) — the schedule keeps
 #: any entry with <2 green rows in-window until it has two.

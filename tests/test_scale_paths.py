@@ -355,7 +355,32 @@ def test_nn05_arrow_path_matches_sql_path(spark, sf_dir):
         assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
 
 
-@pytest.mark.parametrize("op_name", ["nn04_pq_adc", "nn05_ivfpq"])
+def test_nn06_arrow_path_matches_sql_path(spark, sf_dir):
+    """The batched-numpy residual IVF-PQ path must be rank-identical
+    to the oracle-pinned SQL form — same normalized-space probe gate,
+    same residual encoding, same per-(query, cell) ADC tables."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn06_residual_ivfpq,
+    )
+
+    sql_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn06_residual_ivfpq(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn06_residual_ivfpq(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows.keys() == arrow_rows.keys()
+    for key, (vec_id, cos) in sql_rows.items():
+        a_vec, a_cos = arrow_rows[key]
+        assert a_vec == vec_id, f"rank mismatch at {key}"
+        assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
+
+
+@pytest.mark.parametrize(
+    "op_name", ["nn04_pq_adc", "nn05_ivfpq", "nn06_residual_ivfpq"]
+)
 def test_pq_arrow_paths_drop_malformed_embeddings(spark, sf_dir, tmp_path, op_name):
     """NULL and wrong-dimension embedding rows must be dropped by the
     PQ arrow paths (like the SQL forms' nrm > 0 / fold-over-dim
