@@ -82,6 +82,7 @@ VARIANTS = {
     "nn01_cosine_topk_arrow": ("nn01_cosine_topk", {"impl": "arrow"}),
     "nn02_lsh_ann_arrow": ("nn02_lsh_ann", {"impl": "arrow"}),
     "ud2_spec_extraction_arrow": ("ud2_spec_extraction", {"impl": "arrow"}),
+    "nn03_ivf_ann_arrow": ("nn03_ivf_ann", {"impl": "arrow"}),
     "nn04_pq_adc_arrow": ("nn04_pq_adc", {"impl": "arrow"}),
     "nn05_ivfpq_arrow": ("nn05_ivfpq", {"impl": "arrow"}),
     "nn06_residual_ivfpq_arrow": ("nn06_residual_ivfpq", {"impl": "arrow"}),

@@ -1587,6 +1587,7 @@ def nn03_ivf_ann(
     cells: int = _IVF_CELLS,
     probes: int = _IVF_PROBES,
     k: int = _KNN_K,
+    impl: str = "sql",
 ) -> DataFrame:
     """IVF-style ANN, the second scale path next to hyperplane LSH:
     a seeded sample-trained ``cells``-cell coarse quantizer; each
@@ -1607,7 +1608,15 @@ def nn03_ivf_ann(
     literal consumed by a transform() lambda (k*d scalar literals would
     balloon the expression tree and recompile codegen per fit), and the
     probe join is an equi-join on a small int cell id — no all-pairs
-    stage and no iterative distributed job anywhere."""
+    stage and no iterative distributed job anywhere.
+
+    ``impl="arrow"`` switches to the vectorized scale path (the
+    nn01/nn02 pattern): cell assignment is one matmul-shaped distance
+    reduction per Arrow batch and the probe gate masks candidates
+    BEFORE the cosine matmul — rank-identical, equivalence-gated in
+    tests/test_scale_paths.py, timed in bench.py."""
+    if impl == "arrow":
+        return _nn03_arrow(spark, sf_dir, cells=cells, probes=probes, k=k)
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
     centroids = _fit_centroids([r.embedding for r in sample], k=cells)
@@ -1667,6 +1676,37 @@ def nn03_ivf_ann(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", _r(F.col("cos"), 6).alias("cosine"), "rk")
     )
+
+
+def _nn03_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: int = _IVF_CELLS,
+    probes: int = _IVF_PROBES,
+    k: int = _KNN_K,
+) -> DataFrame:
+    """Vectorized IVF (see nn03 docstring): the probe gate rides the
+    shared _arrow_partial_topk scaffold as a mask_fn — per batch, one
+    (n, cells) distance reduction assigns cells, candidates outside
+    every query's probe set are dropped BEFORE the cosine matmul, and
+    exact cosine ranks only the survivors. Assignment and probing run
+    in the RAW vector space exactly like the SQL form."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    C = np.asarray(
+        _fit_centroids([r.embedding for r in sample], k=cells), dtype=np.float64
+    )
+    Q, q_ids, Qn = _arrow_query_block(emb, _KNN_QUERIES)
+    qcd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    qprobe = np.argsort(qcd, axis=1, kind="stable")[:, :probes]  # (q, probes)
+
+    def mask_fn(V, ids):
+        cell = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        return (cell[:, None, None] == qprobe[None, :, :]).any(-1)  # (n, q)
+
+    return _arrow_partial_topk(emb, Qn, q_ids, k, mask_fn=mask_fn)
 
 
 # ---------------------------------------------------------------------------

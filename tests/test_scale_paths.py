@@ -308,6 +308,29 @@ def test_dd08_auto_bits_tracks_corpus_size(spark, sf_dir):
     assert auto == explicit
 
 
+def test_nn03_arrow_path_matches_sql_path(spark, sf_dir):
+    """The batched-numpy IVF path must be rank-identical to the
+    oracle-pinned SQL form — same raw-space assignment, same probe
+    gate, same exact-cosine ranking of the survivors."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn03_ivf_ann,
+    )
+
+    sql_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.cosine)
+        for r in nn03_ivf_ann(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.cosine)
+        for r in nn03_ivf_ann(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows.keys() == arrow_rows.keys()
+    for key, (vec_id, cos) in sql_rows.items():
+        a_vec, a_cos = arrow_rows[key]
+        assert a_vec == vec_id, f"rank mismatch at {key}"
+        assert abs(a_cos - cos) < 1e-6, f"cosine drift at {key}"
+
+
 def test_nn04_arrow_path_matches_sql_path(spark, sf_dir):
     """The batched-numpy ADC path must be rank-identical to the
     oracle-pinned SQL form, with approx cosines agreeing far below the
