@@ -984,19 +984,44 @@ _CC_SQL = _CC_CTES + "SELECT doc_id, cluster_id FROM clusters"
 
 
 @query("dd06_neardup_clusters", oracle=_CC_SQL, ops=("DEDUP-CLUSTER",))
-def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd06_neardup_clusters(
+    spark: SparkSession, sf_dir: str, *, impl: str = "labelprop"
+) -> DataFrame:
     """Dedup clusters: connected components over the verified near-dup
     pair graph — each doc gets the MINIMUM reachable doc_id as its
     cluster id (the canonical survivor), so 'keep one per cluster' is a
-    filter on doc_id == cluster_id.
+    filter on doc_id == cluster_id. The oracle replays the components
+    as a recursive CTE (transitive closure + min), fine at test scale
+    while the iterative forms are the ones that survive 100 TB.
 
-    Spark-first iterative algorithm: label propagation — every node
-    starts as its own label; each round takes the min of its neighbors'
-    labels; stop when no label changes (graph diameter bounds rounds).
-    Each round is one shuffle on the edge list; labels persist between
-    rounds. The oracle replays it as a recursive CTE (transitive
-    closure + min), fine at test scale while the iterative form is the
-    one that survives 100 TB.
+    Two iterative kernels, identical output (equivalence-gated in
+    tests/test_scale_paths.py):
+
+    - ``impl="labelprop"`` (default, the bench-pinned path at test
+      scale): min-label propagation, one shuffle per round, O(component
+      diameter) rounds — near-dup clusters are shallow, so 2-4 rounds
+      here.
+    - ``impl="star"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+      O(log n) rounds on ANY topology — the guard against the
+      adversarial long-chain component where label propagation pays a
+      full shuffle per hop (tests/test_scale_paths.py demonstrates a
+      64-chain converging in 4 star rounds vs 30+ propagation rounds).
+      At 100 TB, where one pathological component would otherwise
+      serialize tens of shuffles, this is the kernel to pin."""
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    if impl == "star":
+        labels, _ = _cc_star_contraction(pairs)
+    else:
+        labels, _ = _cc_label_prop(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_label_prop(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label propagation over the pair graph; returns the label
+    table (node, label) plus the observe()-measured round count.
 
     Shuffle discipline (the part that survives 100 TB): the symmetrized
     edge list is hash-partitioned on ``b_id`` ONCE and cached — the
@@ -1020,7 +1045,6 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed so every intermediate cache — including the edge
     list — can be released before returning. Net cached footprint on
     exit: the one checkpointed label table."""
-    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
     edges = (
         pairs.union(
             pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -1040,7 +1064,9 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be a projection of it, and unpersist() only releases the exact
     # plan it is called on
     mat = labels
+    rounds = 0
     for i in range(30):  # diameter bound; tiny graphs converge in 2-4
+        rounds = i + 1
         msgs = edges.join(labels, edges.b_id == labels.node).select(
             F.col("a_id").alias("node"), "label", F.lit(False).alias("own")
         )
@@ -1079,7 +1105,102 @@ def dd06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = labels.localCheckpoint(eager=True)
     mat.unpersist()
     edges.unpersist()
-    return final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return final.select("node", "label"), rounds
+
+
+def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round rewires
+    every node's strictly-larger neighbors to the minimum of its closed
+    neighborhood (large-star), then its smaller neighbors to the
+    minimum neighbor (small-star). Components contract to stars rooted
+    at their minimum id in O(log n) rounds on ANY topology — the
+    long-chain case where min-label propagation needs O(diameter)
+    rounds collapses to a handful here.
+
+    Round cost: two window-min shuffles + two dedupe shuffles over a
+    SHRINKING edge list (stars collapse edge multiplicity fast), with
+    the round's (count, sum, sum) fingerprint riding the materializing
+    count via observe(). The fingerprint only NOMINATES a fixed point —
+    equality triggers one exact exceptAll check, so convergence is
+    never declared on a fingerprint collision. Same lineage hygiene as
+    label propagation: superseded caches unpersist, localCheckpoint
+    every 4 rounds, final labels checkpointed so every intermediate
+    cache is released before returning."""
+    spark = pairs.sparkSession
+    w = Window.partitionBy("u")
+    edges = (
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("u"),
+            F.least("a_id", "b_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    prev_stats = None
+    rounds = 0
+    for i in range(40):  # O(log n); the bound is a runaway backstop
+        rounds = i + 1
+        # large-star: over the symmetrized list, hook every neighbor
+        # v > u onto m = min(N(u) ∪ {u})
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges are (u > v); hook u and all its smaller
+        # neighbors onto m = min(N(u))
+        stars = ls.withColumn("m", F.min("v").over(w))
+        obs = Observation(f"dd06_star_round_{i}")
+        new_edges = (
+            stars.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(stars.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("u").alias("su"),
+                F.sum("v").alias("sv"),
+            )
+            .persist()
+        )
+        new_edges.count()  # one job: cache + convergence fingerprint
+        stats = (obs.get["cnt"], obs.get["su"], obs.get["sv"])
+        if (i + 1) % 4 == 0:
+            ckpt = new_edges.localCheckpoint(eager=True)
+            new_edges.unpersist()
+            new_edges = ckpt
+        if stats == prev_stats and new_edges.exceptAll(edges).isEmpty():
+            edges.unpersist()
+            edges = new_edges
+            break
+        edges.unpersist()
+        edges, prev_stats = new_edges, stats
+    # fixed point: every component is a star (v = root); the root
+    # labels itself via the union branch
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    final = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return final, rounds
 
 
 _DD07_SQL = (

@@ -308,6 +308,51 @@ def test_dd08_auto_bits_tracks_corpus_size(spark, sf_dir):
     assert auto == explicit
 
 
+def test_dd06_star_contraction_matches_labelprop(spark, sf_dir):
+    """The O(log n) star-contraction kernel must produce exactly the
+    label propagation kernel's clusters on the real near-dup graph."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd06_neardup_clusters,
+    )
+
+    lp = {
+        (r.doc_id, r.cluster_id)
+        for r in dd06_neardup_clusters(spark, sf_dir).collect()
+    }
+    st = {
+        (r.doc_id, r.cluster_id)
+        for r in dd06_neardup_clusters(spark, sf_dir, impl="star").collect()
+    }
+    assert lp == st
+
+
+def test_star_contraction_bounds_rounds_on_chains(spark):
+    """The adversarial fixture star contraction exists for: a
+    24-node chain has diameter 23, so min-label propagation pays one
+    full shuffle round per hop while alternating large/small-star
+    contracts it in O(log n) rounds. Same labels (everything reaches
+    node 0), measurably fewer rounds."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _cc_label_prop,
+        _cc_star_contraction,
+    )
+
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    lp_labels, lp_rounds = _cc_label_prop(pairs)
+    st_labels, st_rounds = _cc_star_contraction(pairs)
+    lp = {(r.node, r.label) for r in lp_labels.collect()}
+    st = {(r.node, r.label) for r in st_labels.collect()}
+    assert lp == st == {(i, 0) for i in range(n)}
+    assert st_rounds < lp_rounds, (st_rounds, lp_rounds)
+    assert st_rounds <= 7, f"star contraction took {st_rounds} rounds on a 24-chain"
+    assert lp_rounds >= n - 2, (
+        f"label propagation finished in {lp_rounds} rounds — fixture not adversarial?"
+    )
+
+
 def test_nn03_arrow_path_matches_sql_path(spark, sf_dir):
     """The batched-numpy IVF path must be rank-identical to the
     oracle-pinned SQL form — same raw-space assignment, same probe
