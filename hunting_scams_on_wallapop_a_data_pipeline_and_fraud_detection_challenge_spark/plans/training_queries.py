@@ -2081,6 +2081,20 @@ _SIMHAM_BANDS = _SIMHAM_MAX + 1
 _SIMHAM_BAND_BITS = _SIMHAM_SIG_BITS // _SIMHAM_BANDS
 
 
+def _band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) of each contiguous signature band, widths within
+    1 bit of each other — the single source for dd08 AND the streaming
+    ingest's near-dup stage, so batch and stream can never band a
+    signature differently."""
+    base, extra = divmod(bits, n_bands)
+    slices, off = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        slices.append((off, width))
+        off += width
+    return slices
+
+
 @query(
     "dd08_simhash_neardup",
     oracle=f"""
@@ -2147,12 +2161,7 @@ def dd08_simhash_neardup(
         bits = n_bands * per_band
     if not 0 < n_bands <= bits:
         raise ValueError(f"max_hamming={max_hamming} needs 0..{bits - 1}")
-    base, extra = divmod(bits, n_bands)
-    slices, off = [], 0
-    for b in range(n_bands):
-        width = base + (1 if b < extra else 0)
-        slices.append((off, width))
-        off += width
+    slices = _band_slices(bits, n_bands)
     sig = dd03_simhash(spark, sf_dir, bits=bits).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",

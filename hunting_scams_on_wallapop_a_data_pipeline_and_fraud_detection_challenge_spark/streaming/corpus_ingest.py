@@ -46,12 +46,45 @@ def read_document_stream(
     return spark.readStream.schema(schema).json(landing_dir)
 
 
-def curated_stream(stream: DataFrame, horizon: str = DEDUPE_HORIZON) -> DataFrame:
-    """Quality-filter + watermark-bounded exact dedupe.
+def simhash_expr(text, bits: int):
+    """Per-row stateless twin of dd03's explode+groupBy simhash: ±1
+    votes per bit over distinct-token hashes, bit set where the vote is
+    positive. Integer sums are order-free, so this equals the batch
+    operator EXACTLY (gated in tests/test_streaming_corpus.py) — the
+    stream and a batch backfill can never sign the same text
+    differently. The hash array is bound as a lambda variable so the
+    tokenizer runs once per row, not once per bit (shingles lesson)."""
+    from ..functions.hashing import hmod
+    from ..functions.textstats import distinct_tokens
 
-    Every derived column is computed in the stateless projection (same
-    discipline as cp01: text never enters the stateful operator — only
-    the 32-hex fingerprint does, keeping per-key state tiny)."""
+    hs = F.transform(distinct_tokens(text), lambda t: hmod(t))
+
+    def _of(h_arr):
+        sim = None
+        for j in range(bits):
+            vote = F.aggregate(
+                h_arr,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            term = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return sim.cast("bigint")
+
+    return F.element_at(F.transform(F.array(hs), _of), 1)
+
+
+def _curated_projection(
+    stream: DataFrame, horizon: str, sig_bits: int | None = None
+) -> DataFrame:
+    """The stateless curation projection both dedupe stages share:
+    watermark, quality battery, fingerprint, token count — plus the
+    simhash signature when the near-dup stage asks for it. Text never
+    survives the projection (cp01 discipline: only fixed-width keys
+    enter any stateful operator)."""
     from functools import reduce
 
     from ..functions.textstats import tokens
@@ -64,23 +97,208 @@ def curated_stream(stream: DataFrame, horizon: str = DEDUPE_HORIZON) -> DataFram
     text = F.col("text")
     keep = reduce(lambda a, b: a & b, _gopher_rule_cols(text).values())
     fp = F.md5(F.lower(F.trim(text)))
-    curated = (
+    cols = [
+        "doc_id",
+        "lang",
+        "source",
+        "ingest_ts",
+        fp.alias("fp"),
+        # the shared tokenizer, so stream and batch (cp01/ds02)
+        # can never disagree on token accounting
+        F.size(tokens(text)).alias("n_tok"),
+    ]
+    if sig_bits is not None:
+        cols.append(simhash_expr(text, sig_bits).alias("simhash"))
+    return (
         stream.withWatermark("ingest_ts", horizon)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "ingest_ts",
-            fp.alias("fp"),
-            # the shared tokenizer, so stream and batch (cp01/ds02)
-            # can never disagree on token accounting
-            F.size(tokens(text)).alias("n_tok"),
-            keep.alias("keep"),
-        )
+        .select(*cols, keep.alias("keep"))
         .filter(F.col("keep"))
         .drop("keep")
     )
-    return curated.dropDuplicatesWithinWatermark(["fp"])
+
+
+def curated_stream(stream: DataFrame, horizon: str = DEDUPE_HORIZON) -> DataFrame:
+    """Quality-filter + watermark-bounded exact dedupe.
+
+    Every derived column is computed in the stateless projection (same
+    discipline as cp01: text never enters the stateful operator — only
+    the 32-hex fingerprint does, keeping per-key state tiny)."""
+    return _curated_projection(stream, horizon).dropDuplicatesWithinWatermark(["fp"])
+
+
+def _interval_ms(horizon: str) -> int:
+    """'N second(s)/minute(s)/hour(s)/day(s)' → milliseconds (the same
+    grammar the watermark string uses)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", horizon)
+    if not m:
+        raise ValueError(f"unsupported horizon: {horizon!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    return n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit] * 1000
+
+
+def neardup_curated_stream(
+    stream: DataFrame,
+    horizon: str = DEDUPE_HORIZON,
+    max_hamming: int | None = None,
+    bits: int | None = None,
+) -> DataFrame:
+    """Quality filter + watermark-bounded NEAR-dup dedupe — dd08's
+    simhash banding as stream state, closing the batch/stream asymmetry
+    where ``curated_stream`` only catches byte-identical re-ingests
+    while the batch side has five near-dup families.
+
+    Shape: the stateless projection signs each doc (``simhash_expr`` —
+    bit-exact with batch dd03), the signature is sliced into dd08's
+    ``max_hamming + 1`` pigeonhole bands (shared ``_band_slices``), and
+    each (band, key) bucket runs a custom stateful operator
+    (``applyInPandasWithState``): state is the bucket's recent
+    signatures + event times — a handful of ints, never text. A doc is
+    flagged in a bucket when some earlier signature there is within
+    ``max_hamming`` (exact by pigeonhole: every qualifying pair shares
+    at least one band verbatim, so per-bucket checking has recall 1;
+    hamming 0 subsumes the exact-dup stage). Output is per-(doc, band)
+    append rows; all of a doc's bands ride the SAME input row, so
+    ``reduce_band_verdicts`` can fold them per micro-batch without a
+    second stateful operator (applyInPandasWithState cannot be chained
+    into further stateful aggregation).
+
+    State is BOUNDED exactly like the exact-dup stage: signatures older
+    than the watermark are pruned on every visit, and each bucket
+    registers an event-time timeout at its newest signature + horizon —
+    when the watermark passes that, the whole entry drops (the
+    realert_suppressed pattern). Semantics match
+    ``dropDuplicatesWithinWatermark``: dedupe against anything still in
+    state, first arrival (event time, then doc_id) wins."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.training_queries import (
+        _SIMHAM_MAX,
+        _SIMHAM_SIG_BITS,
+        _band_slices,
+    )
+
+    max_hamming = _SIMHAM_MAX if max_hamming is None else max_hamming
+    bits = _SIMHAM_SIG_BITS if bits is None else bits
+    slices = _band_slices(bits, max_hamming + 1)
+    horizon_ms = _interval_ms(horizon)
+
+    proj = _curated_projection(stream, horizon, sig_bits=bits)
+    doc_cols = ["doc_id", "lang", "source", "ingest_ts", "fp", "n_tok"]
+    banded = proj.select(
+        *doc_cols,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("k"),
+                    )
+                    for b, (off, width) in enumerate(slices)
+                ]
+            )
+        ).alias("bk"),
+    ).select(*doc_cols, "simhash", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+            T.StructField("fp", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("dup", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sims", T.ArrayType(T.LongType())),
+            T.StructField("ts_ms", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _dedupe_bucket(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        sims, ts_ms = ([], []) if not state.exists else [
+            list(x) for x in state.get
+        ]
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and sims:
+            kept = [(s, t) for s, t in zip(sims, ts_ms) if t >= wm_ms]
+            sims = [s for s, _ in kept]
+            ts_ms = [t for _, t in kept]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ingest_ts", "doc_id"]).reset_index(drop=True)
+        dup = []
+        for sim, ts in zip(rows["simhash"], rows["ingest_ts"]):
+            sim = int(sim)
+            dup.append(any((sim ^ s).bit_count() <= max_hamming for s in sims))
+            # every SEEN signature becomes a representative (kept or
+            # dropped), mirroring dropDuplicatesWithinWatermark's
+            # seen-anything semantics and matching chained dd08 pairs
+            sims.append(sim)
+            ts_ms.append(int(ts.value // 1_000_000))
+        state.update((sims, ts_ms))
+        state.setTimeoutTimestamp(max(ts_ms) + horizon_ms)
+        out = rows[["doc_id", "lang", "source", "ingest_ts", "fp", "n_tok"]].copy()
+        out["dup"] = dup
+        yield out
+
+    return banded.groupBy("b", "k").applyInPandasWithState(
+        _dedupe_bucket,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def reduce_band_verdicts(batch_df: DataFrame) -> DataFrame:
+    """Per-doc verdict from the per-(doc, band) append rows: a doc is
+    dropped when ANY band flagged it. All of a doc's band rows ride the
+    same input row through the stream, so they land in the same
+    micro-batch and this is a plain BATCH aggregation inside
+    foreachBatch — no second stateful operator."""
+    return (
+        batch_df.groupBy("doc_id", "lang", "source", "ingest_ts", "fp", "n_tok")
+        .agg(F.max("dup").alias("dup"))
+        .filter(~F.col("dup"))
+        .drop("dup")
+    )
+
+
+def start_neardup_ingest_query(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    available_now: bool = True,
+    horizon: str = DEDUPE_HORIZON,
+):
+    """The near-dup twin of :func:`start_ingest_query`: curation +
+    simhash-band dedupe, band verdicts folded per micro-batch before
+    the user sink sees the surviving docs."""
+    stream = read_document_stream(spark, landing_dir)
+
+    def _sink(batch_df, batch_id):
+        sink(reduce_band_verdicts(batch_df), batch_id)
+
+    writer = (
+        neardup_curated_stream(stream, horizon)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_ingest_query(

@@ -126,3 +126,127 @@ def test_ingest_drops_malformed_lines_gracefully(spark, tmp_path):
     q = start_ingest_query(spark, str(landing), str(ckpt), sink)
     q.awaitTermination(120)
     assert [r["doc_id"] for r in got] == [1], got
+
+
+def test_stream_simhash_matches_batch_dd03(spark):
+    """simhash_expr (the per-row stateless form) must be BIT-EXACT with
+    the batch dd03 explode+groupBy operator — integer vote sums are
+    order-free, so any mismatch is a real divergence."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _SIMHAM_SIG_BITS,
+        dd03_simhash,
+    )
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        simhash_expr,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.doc_id: r.simhash
+        for r in dd03_simhash(spark, sf, bits=_SIMHAM_SIG_BITS).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stream_form = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", simhash_expr(F.col("text"), _SIMHAM_SIG_BITS).alias("sh")
+        ).collect()
+    }
+    assert batch, "empty batch signature table"
+    for doc_id, sig in batch.items():
+        assert stream_form[doc_id] == sig, doc_id
+
+
+def test_neardup_stream_matches_dd08_batch_verdicts(spark, tmp_path):
+    """Replaying a batch with near-dup perturbations through the stream
+    must drop exactly the docs that have an EARLIER dd08 pair partner
+    (pairs are (a_id < b_id); ingest order follows doc_id) — the
+    batch/stream asymmetry item: the stream now catches the same
+    near-dups dd08's banding catches, not just byte-identical
+    re-ingests. A checkpointed second run then replays a near-dup
+    within the horizon (must stay dropped: state restored) plus a
+    fresh doc (must flow)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd08_simhash_neardup,
+    )
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_neardup_ingest_query,
+    )
+
+    base2 = (
+        "buyers should meet sellers in a public place and verify the "
+        "item works before any payment changes hands because scammers "
+        "often push for speed and secrecy while honest people accept "
+        "normal checks and patience during a sale"
+    )
+    texts = {
+        1: GOOD,
+        2: GOOD,  # byte-dup of 1 -> hamming 0
+        3: GOOD.replace("quick", "rapid"),  # near perturbation of 1
+        4: base2,
+        5: base2.replace("patience", "calmness"),  # near perturbation of 4
+        6: GOOD.replace("forest", "desert").replace("songs", "tunes")
+        + " with several extra closing tokens appended here to drift the vote",
+    }
+    # the dd08 ground truth runs on the SAME quality-surviving corpus
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src1", len(t)) for i, t in sorted(texts.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    bdir = tmp_path / "batchtbl"
+    docs.write.parquet(str(bdir / "documents.parquet"))
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dd08_simhash_neardup(spark, str(bdir)).collect()
+    }
+    assert any(p in pairs for p in [(1, 2)]), pairs  # byte-dup must pair
+    expected_dropped = {b for a, b in pairs}
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    _write_ndjson(
+        landing / "b1.json",
+        [
+            _doc(i, texts[i], ts=f"2026-08-13T10:00:{i:02d}")
+            for i in sorted(texts)
+        ],
+    )
+
+    got: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    q = start_neardup_ingest_query(spark, str(landing), str(ckpt), sink)
+    q.awaitTermination(120)
+    survivors = {r["doc_id"] for r in got}
+    assert survivors == set(texts) - expected_dropped, (
+        survivors,
+        expected_dropped,
+        pairs,
+    )
+
+    # resume within the horizon: a near-dup re-ingest of doc 1 must be
+    # dropped against CHECKPOINTED state; a genuinely new doc flows
+    _write_ndjson(
+        landing / "b2.json",
+        [
+            _doc(7, texts[3], ts="2026-08-13T10:10:00"),  # near-dup replay
+            _doc(8, base2.upper(), ts="2026-08-13T10:10:01"),  # case-flip near-dup of 4
+            _doc(
+                9,
+                "completely different content about boats engines and tides "
+                "with enough ordinary words to pass every quality rule while "
+                "sharing almost no vocabulary with the other documents in "
+                "this little fixture corpus today",
+                ts="2026-08-13T10:10:02",
+            ),
+        ],
+    )
+    q2 = start_neardup_ingest_query(spark, str(landing), str(ckpt), sink)
+    q2.awaitTermination(120)
+    new_ids = {r["doc_id"] for r in got} - survivors
+    assert 7 not in new_ids, "near-dup replay escaped the checkpointed state"
+    assert 9 in new_ids, "fresh doc was dropped"
