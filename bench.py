@@ -65,8 +65,10 @@ HEADLINE = [
     "ds06_token_budget_select",
     "nn04_pq_adc",
     "nn05_ivfpq",
-    # round-5 addition: residual IVF-PQ (codebooks on v - centroid)
+    # round-5 additions: residual IVF-PQ (codebooks on v - centroid) and
+    # the corpus-wide boilerplate-span (line-level) dedup pass
     "nn06_residual_ivfpq",
+    "dd09_boilerplate_spans",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,

@@ -1120,8 +1120,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            is retired from the registry this round — a01c hash-verifies
 #            its sketch contract, bench VARIANTS still times the plan —
 #            so every driver row can now be fully green. The round-5
-#            addition nn06 (residual IVF-PQ) needs its first row and
-#            sits in-window; registry 75 = window 50 + tail 25.
+#            additions nn06 (residual IVF-PQ) and dd09 (boilerplate
+#            span dedup) need first rows and sit in-window; dd01
+#            (triple-green) re-parks to make room. Registry 76 =
+#            window 50 + tail 26.
 #   round 6+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1162,6 +1164,9 @@ _ROTATION_TAIL = [
     "pii01_redact_props",
     "nn03_ivf_ann",
     "ud1_spam_truncate",
+    # re-parked from the r04 tail (triple-green) to make window room for
+    # the round-5 additions nn06 + dd09
+    "dd01_exact_dedup",
 ]
 
 

@@ -3844,3 +3844,92 @@ def rep02_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.max("c") / F.sum("c"), 4).alias("top_share"),
         _r(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (line) dedupe: corpus-wide boilerplate n-gram removal
+# ---------------------------------------------------------------------------
+
+#: span width (token n-gram) standing in for a "line" — this corpus has
+#: no newline/sentence structure, so the line unit of published
+#: line-dedup pipelines degenerates to a fixed token window here; on
+#: real web text swap the span generator for split('\n') and the rest
+#: of the plan is unchanged.
+_SPAN_N = 5
+#: a span present in >= this many DISTINCT documents is boilerplate
+_SPAN_DF = 3
+
+
+def _dd09_sql() -> str:
+    from ..functions.textstats import sql_ngrams
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+    g AS (SELECT doc_id, unnest({sql_ngrams("t", _SPAN_N)}) AS g
+          FROM toks),
+    df AS (SELECT g, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g),
+    boiler AS (SELECT g FROM df WHERE df >= {_SPAN_DF}),
+    per AS (
+        SELECT g.doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM g LEFT JOIN boiler b USING (g)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT)  AS n_spans,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_spans + 1e-6, 4) AS boiler_share
+    FROM per
+    """
+
+
+@query("dd09_boilerplate_spans", oracle=_dd09_sql, ops=("DEDUP-LINE",))
+def dd09_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup (the RefinedWeb/CCNet pass the other dedup
+    families don't cover): spans repeated across MANY documents are
+    boilerplate — headers, navigation, templates — and get removed
+    per-occurrence even when the documents containing them are not
+    near-dups of each other. Per doc: span count, boilerplate-span
+    count (corpus document frequency >= {_SPAN_DF}), and the share —
+    'scrub' is then a filter on the flagged occurrences; the share is
+    the audit number a curation run reports.
+
+    Scale shape (100 TB): the explode collapses map-side into
+    (doc_id, span) presence before the distinct shuffle; the
+    document-frequency table shrinks to the boilerplate dictionary
+    (df >= threshold — vocabulary-sized, like txt06's rarity
+    dictionary) which broadcasts back onto the span stream, so the
+    corpus text never shuffles — one distinct + one dictionary agg +
+    one broadcast-join agg. Integer-first: both counts aggregate as
+    BIGINT, the one division happens per doc at the end."""
+    from ..functions.textstats import ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.explode(ngrams(tokens(F.col("text")), _SPAN_N)).alias("g")
+    )
+    df = (
+        spans.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = df.filter(F.col("df") >= _SPAN_DF).select("g", F.lit(1).alias("hit"))
+    return (
+        spans.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_boiler",
+            _r(F.col("n_boiler").cast("double") / F.col("n_spans"), 4).alias(
+                "boiler_share"
+            ),
+        )
+    )
