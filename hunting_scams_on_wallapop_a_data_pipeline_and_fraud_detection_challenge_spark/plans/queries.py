@@ -1120,10 +1120,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            is retired from the registry this round — a01c hash-verifies
 #            its sketch contract, bench VARIANTS still times the plan —
 #            so every driver row can now be fully green. The round-5
-#            additions nn06 (residual IVF-PQ) and dd09 (boilerplate
-#            span dedup) need first rows and sit in-window; dd01
-#            (triple-green) re-parks to make room. Registry 76 =
-#            window 50 + tail 26.
+#            additions nn06 (residual IVF-PQ), dd09 (boilerplate span
+#            dedup) and txt07 (vocab + OOV rate) need first rows and
+#            sit in-window; dd01 and dd02 (both triple-green) re-park
+#            to make room. Registry 77 = window 50 + tail 27.
 #   round 6+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1165,8 +1165,9 @@ _ROTATION_TAIL = [
     "nn03_ivf_ann",
     "ud1_spam_truncate",
     # re-parked from the r04 tail (triple-green) to make window room for
-    # the round-5 additions nn06 + dd09
+    # the round-5 additions nn06 + dd09 + txt07
     "dd01_exact_dedup",
+    "dd02_minhash_lsh_pairs",
 ]
 
 

@@ -3933,3 +3933,82 @@ def dd09_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary builder + OOV rate (tokenizer-prep over the corpus)
+# ---------------------------------------------------------------------------
+
+#: vocabulary size — top-K tokens by corpus frequency (tie → token asc).
+#: Sized to the synthetic corpus's ~31-token vocabulary so the OOV rate
+#: is a real signal; production corpora raise this to tokenizer scale
+#: (the plan is K-independent: the dictionary stays broadcast-sized).
+_VOCAB_K = 16
+
+
+@query(
+    "txt07_vocab_oov",
+    oracle=f"""
+    WITH e AS (SELECT doc_id, unnest({sql_tokens("text")}) AS tok
+               FROM documents),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM e GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K})
+    ),
+    per AS (
+        SELECT e.doc_id,
+               count(*) AS n_tok,
+               sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM e LEFT JOIN vocab v USING (tok)
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           round(CAST(n_oov AS DOUBLE) / n_tok + 1e-6, 4) AS oov_share
+    FROM per
+    """,
+    ops=("TXT-VOCAB",),
+)
+def txt07_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer prep: build the corpus vocabulary (top-{_VOCAB_K}
+    tokens by total frequency, ties broken by token — fully
+    deterministic, so both engines pin the same dictionary) and score
+    every document's out-of-vocabulary rate against it — the signal
+    that catches encoding damage, wrong-language shards and
+    tokenizer-hostile text before a training run pays for them.
+
+    Scale shape (100 TB): pass 1 collapses map-side into per-token
+    counts (vocabulary-sized) and takes the top-K as
+    TakeOrderedAndProject — no global sort; pass 2 broadcasts the
+    K-row dictionary back onto the token stream (left join ≡ set
+    probe) and aggregates per doc. Integer-first counts, one division
+    per doc at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        e.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("hit"))
+    )
+    return (
+        e.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            _r(F.col("n_oov").cast("double") / F.col("n_tok"), 4).alias(
+                "oov_share"
+            ),
+        )
+    )

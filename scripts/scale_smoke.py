@@ -41,6 +41,7 @@ OPS = [
     "rep02_ngram_repetition",
     "dd01_exact_dedup",
     "dd02_minhash_lsh_pairs",
+    "dd09_boilerplate_spans",
     "ds05_source_mixture",
     "ds06_token_budget_select",
     "cp01_corpus_curation_pipeline",

@@ -22,7 +22,11 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 
 #: Entries with ZERO green driver rows entering round 5 — the operators
 #: added this round. They must be inside the 50-slot window.
-NEEDS_FIRST_ROW: set[str] = {"nn06_residual_ivfpq", "dd09_boilerplate_spans"}
+NEEDS_FIRST_ROW: set[str] = {
+    "nn06_residual_ivfpq",
+    "dd09_boilerplate_spans",
+    "txt07_vocab_oov",
+}
 
 #: Single-green entries (first row earned in r04) — the schedule keeps
 #: any entry with <2 green rows in-window until it has two.
@@ -45,12 +49,11 @@ BACK_IN_WINDOW = {
     "f05_market_segmentation", "f07_keyword_filter",
     "j01_fallback_stats_join", "j03_enrichment_join",
     "st01_windowed_frequency", "txt01_language_id",
-    "txt02_quality_scores", "txt03_fingerprint",
-    "dd02_minhash_lsh_pairs", "dd03_simhash",
+    "txt02_quality_scores", "txt03_fingerprint", "dd03_simhash",
     "dd04_ngram_jaccard_pairs", "nn01_cosine_topk",
 }
-# (dd01_exact_dedup re-parked directly: triple-green, gave its window
-# slot to the round-5 additions)
+# (dd01_exact_dedup and dd02_minhash_lsh_pairs re-parked directly:
+# triple-green, gave their window slots to the round-5 additions)
 
 
 def test_window_contains_every_entry_needing_rows():
