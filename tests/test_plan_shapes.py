@@ -281,3 +281,30 @@ def test_ds06_distributed_prefix_sum_shape(spark, sf_dir):
             assert "b#" in order and "doc_id#" not in order, (
                 f"unpartitioned window must be the stratum rollup, got [{order}]"
             )
+
+
+def test_dd09_dictionary_broadcasts_spans_never_sortmerge(spark, sf_dir):
+    """dd09's boilerplate dictionary (df >= threshold — vocabulary-
+    sized) must come back onto the span stream as a broadcast join; a
+    SortMergeJoin here would shuffle every span of the corpus."""
+    plan = _plan(spark, sf_dir, "dd09_boilerplate_spans")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_txt07_vocab_is_topk_and_broadcast(spark, sf_dir):
+    """txt07's dictionary build must be TakeOrderedAndProject (top-K
+    without a global sort) and probe back via broadcast."""
+    plan = _plan(spark, sf_dir, "txt07_vocab_oov")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nn06_probe_join_broadcasts_queries_not_corpus(spark, sf_dir):
+    """nn06's probe join must broadcast the dimension-sized query block
+    (probes x queries rows, each with its per-cell ADC tables); the
+    encoded corpus side must never shuffle for it."""
+    plan = _plan(spark, sf_dir, "nn06_residual_ivfpq")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
