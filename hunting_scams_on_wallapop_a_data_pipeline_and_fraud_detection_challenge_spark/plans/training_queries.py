@@ -1100,6 +1100,16 @@ def _cc_label_prop(pairs: DataFrame) -> tuple[DataFrame, int]:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # the cap is a runaway backstop, not a tolerance: stopping with
+        # labels still moving would SILENTLY return wrong clusters (the
+        # min hasn't reached every member). Components deeper than the
+        # cap are exactly what the O(log n) star kernel is for.
+        raise RuntimeError(
+            "label propagation did not converge within 30 rounds — "
+            f"{changed} labels still changing; a component's diameter "
+            "exceeds the cap. Use dd06_neardup_clusters(impl='star')."
+        )
     # checkpoint the result so the caches it was built from can be freed
     # before the caller ever consumes it
     final = labels.localCheckpoint(eager=True)

@@ -476,3 +476,27 @@ def test_pq_arrow_paths_drop_malformed_embeddings(spark, sf_dir, tmp_path, op_na
     out = fn(spark, str(tmp_path), impl="arrow").collect()
     assert len(out) > 0
     assert all(r.vec_id < 1_000_000 for r in out)
+
+
+def test_labelprop_refuses_to_return_unconverged_clusters(spark):
+    """The 30-round cap is a runaway backstop, not a tolerance: a
+    component deeper than the cap must raise (pointing at the star
+    kernel), never silently return labels the min hasn't reached."""
+    import pytest
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _cc_label_prop,
+        _cc_star_contraction,
+    )
+
+    n = 40  # diameter 39 > the 30-round cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    with pytest.raises(RuntimeError, match="impl='star'"):
+        _cc_label_prop(pairs)
+    labels, rounds = _cc_star_contraction(pairs)
+    assert {(r.node, r.label) for r in labels.collect()} == {
+        (i, 0) for i in range(n)
+    }
+    assert rounds <= 8
