@@ -4022,3 +4022,137 @@ def txt07_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-prep pipeline: dedup → boilerplate gate → OOV gate → pack
+# ---------------------------------------------------------------------------
+
+#: survive the boilerplate gate with at most this fraction of spans
+#: flagged as corpus boilerplate (unrounded share, both engines IEEE)
+_CP2_MAX_BOILER = 0.05
+#: survive the vocabulary gate with at most this OOV rate
+_CP2_MAX_OOV = 0.45
+
+
+def _cp02_sql() -> str:
+    from ..functions.textstats import sql_ngrams
+
+    nrm = "lower(trim(text))"
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, text, md5({nrm}) AS tk FROM documents
+    ),
+    winner AS (SELECT tk, min(doc_id) AS doc_id FROM keyed GROUP BY tk),
+    dedup AS (
+        SELECT k.doc_id, k.lang, k.source, k.text
+        FROM keyed k JOIN winner w ON w.tk = k.tk AND w.doc_id = k.doc_id
+    ),
+    toks AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+    g AS (SELECT doc_id, unnest({sql_ngrams("t", _SPAN_N)}) AS g FROM toks),
+    bdict AS (SELECT g FROM (
+        SELECT g, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g)
+        WHERE df >= {_SPAN_DF}),
+    bo AS (
+        SELECT g.doc_id, count(*) AS n_spans,
+               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM g LEFT JOIN bdict b USING (g) GROUP BY g.doc_id
+    ),
+    e AS (SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents),
+    vocab AS (SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM e GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K})),
+    ov AS (
+        SELECT e.doc_id, count(*) AS n_tok,
+               sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM e LEFT JOIN vocab v USING (tok) GROUP BY e.doc_id
+    ),
+    surv AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(ov.n_tok AS BIGINT) AS n_tok,
+               CAST(coalesce(bo.n_boiler, 0) AS BIGINT) AS n_boiler,
+               CAST(ov.n_oov AS BIGINT) AS n_oov
+        FROM dedup d
+        JOIN ov ON ov.doc_id = d.doc_id
+        LEFT JOIN bo ON bo.doc_id = d.doc_id
+        WHERE coalesce(CAST(bo.n_boiler AS DOUBLE) / bo.n_spans, 0.0)
+                  <= {_CP2_MAX_BOILER}
+          AND CAST(ov.n_oov AS DOUBLE) / ov.n_tok <= {_CP2_MAX_OOV}
+    ),
+    run AS (
+        SELECT doc_id, CAST(sum(n_tok) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+        FROM surv
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_tok, s.n_boiler, s.n_oov,
+           (run.r - s.n_tok) // {_PACK_BUDGET} AS pack_id,
+           (run.r - s.n_tok) % {_PACK_BUDGET}  AS pack_offset
+    FROM surv s JOIN run ON run.doc_id = s.doc_id
+    """
+
+
+@query(
+    "cp02_tokenizer_prep_pipeline",
+    oracle=_cp02_sql,
+    ops=("PIPELINE", "DEDUP-LINE", "TXT-VOCAB"),
+)
+def cp02_tokenizer_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-prep loop in ONE composed plan — exact dedup →
+    boilerplate-span gate (dd09's corpus dictionary; unrounded share
+    <= {_CP2_MAX_BOILER}) → vocabulary/OOV gate (txt07's dictionary;
+    unrounded rate <= {_CP2_MAX_OOV}) → per-lang sequence packing of
+    the survivors. Both dictionaries are computed over the FULL corpus
+    (matching the standalone operators bit-for-bit) and applied to the
+    dedup survivors; the DuckDB oracle replays the entire composition,
+    so the stage hand-offs — which docs reach which gate with which
+    integer counts — are hash-verified, not just the stages.
+
+    Composition discipline: the gates consume the INTEGER outputs of
+    dd09 and txt07 (the operators themselves, not re-derived
+    fragments) and compare unrounded IEEE divisions, which both
+    engines compute bit-identically; packing is the shared ds02
+    two-level prefix sum. Text never shuffles — the dedup key is the
+    only text-derived column and it's computed in the scan
+    projection; everything downstream moves ids and counts."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("tk"),
+    )
+    w = Window.partitionBy("tk").orderBy("doc_id")
+    dedup = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "tk")
+    )
+    bo = dd09_boilerplate_spans(spark, sf_dir).select(
+        "doc_id", "n_spans", "n_boiler"
+    )
+    ov = txt07_vocab_oov(spark, sf_dir).select("doc_id", "n_tok", "n_oov")
+    surv = (
+        dedup.join(ov, "doc_id")
+        .join(bo, "doc_id", "left")
+        .filter(
+            (
+                F.coalesce(
+                    F.col("n_boiler").cast("double") / F.col("n_spans"),
+                    F.lit(0.0),
+                )
+                <= _CP2_MAX_BOILER
+            )
+            & (F.col("n_oov").cast("double") / F.col("n_tok") <= _CP2_MAX_OOV)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tok",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+            "n_oov",
+        )
+    )
+    return _pack_prefix(surv, _PACK_BUDGET)
