@@ -65,10 +65,13 @@ HEADLINE = [
     "ds06_token_budget_select",
     "nn04_pq_adc",
     "nn05_ivfpq",
-    # round-5 additions: residual IVF-PQ (codebooks on v - centroid) and
-    # the corpus-wide boilerplate-span (line-level) dedup pass
+    # round-5 additions: residual IVF-PQ (codebooks on v - centroid),
+    # the corpus-wide boilerplate-span (line-level) dedup pass, and the
+    # composed tokenizer-prep pipeline (dedup → dd09 gate → txt07 gate
+    # → pack)
     "nn06_residual_ivfpq",
     "dd09_boilerplate_spans",
+    "cp02_tokenizer_prep_pipeline",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,

@@ -250,3 +250,63 @@ def test_neardup_stream_matches_dd08_batch_verdicts(spark, tmp_path):
     new_ids = {r["doc_id"] for r in got} - survivors
     assert 7 not in new_ids, "near-dup replay escaped the checkpointed state"
     assert 9 in new_ids, "fresh doc was dropped"
+
+
+def test_neardup_state_ages_out_past_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics for the near-dup stage:
+    a signature older than the watermark can no longer suppress — a
+    byte-identical re-ingest lands AFTER the horizon and must re-emit
+    (state aged out), while one within the horizon stays suppressed."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_neardup_ingest_query,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    got: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    _write_ndjson(
+        landing / "b1.json", [_doc(1, GOOD, ts="2026-08-13T10:00:00")]
+    )
+    q = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in got} == {1}
+
+    # batch 2 advances the watermark far past doc 1's signature (a
+    # fresh doc at +2h drives the watermark), then batch 3 re-ingests
+    # doc 1's exact text — by then the state must have aged out
+    _write_ndjson(
+        landing / "b2.json",
+        [
+            _doc(
+                2,
+                "entirely different filler about gardens stones rivers and "
+                "weather with plenty of ordinary words to pass every rule "
+                "while sharing very little vocabulary with the first text "
+                "in this fixture so it cannot collide in any band",
+                ts="2026-08-13T12:00:00",
+            )
+        ],
+    )
+    q2 = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q2.awaitTermination(120)
+    _write_ndjson(
+        landing / "b3.json", [_doc(3, GOOD, ts="2026-08-13T12:00:01")]
+    )
+    q3 = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q3.awaitTermination(120)
+    ids = {r["doc_id"] for r in got}
+    assert 2 in ids, "the watermark-driving doc was dropped"
+    assert 3 in ids, (
+        "re-ingest past the horizon stayed suppressed — state did not age out"
+    )
