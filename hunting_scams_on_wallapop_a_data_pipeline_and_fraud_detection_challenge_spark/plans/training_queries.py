@@ -4156,3 +4156,78 @@ def cp02_tokenizer_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _pack_prefix(surv, _PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: clean→noisy training schedule, rank distributed
+# ---------------------------------------------------------------------------
+
+#: curriculum stage cuts on the UNROUNDED quality score (IEEE-identical
+#: in both engines): stage 0 trains first (cleanest), then 1, then 2.
+#: Chosen at the corpus terciles (measured 0.37..0.82, median ~0.60).
+_CURR_HI = 0.64
+_CURR_LO = 0.55
+
+
+def _ds08_sql() -> str:
+    q = sql_quality_score("text")
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN {q} >= {_CURR_HI} THEN 0
+                    WHEN {q} >= {_CURR_LO} THEN 1
+                    ELSE 2 END AS stage,
+               {sql_seeded(sql_hmod("CAST(doc_id AS VARCHAR)"), "0")} AS h
+        FROM documents
+    )
+    SELECT doc_id, stage, h,
+           CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+               AS curriculum_rank
+    FROM t
+    """
+
+
+@query("ds08_curriculum_order", oracle=_ds08_sql, ops=("DS-CURRICULUM",))
+def ds08_curriculum_order(
+    spark: SparkSession, sf_dir: str, *, epoch: int = 0
+) -> DataFrame:
+    """Curriculum schedule: every doc gets a global training position
+    that ramps clean → noisy — stage 0 (quality >= {_CURR_HI}) trains
+    first, then 1, then 2, with ds04's seeded-hash shuffle INSIDE each
+    stage so the curriculum doesn't impose a spurious deterministic
+    order within a difficulty band. Stage cuts compare the UNROUNDED
+    quality score (both engines compute it bit-identically), so no doc
+    can land in different stages across engines.
+
+    Scale shape: the naive rank is ONE task (global sort). Here the
+    (stage, hash) space is cut into 3×{_SHUF_BUCKETS} contiguous
+    buckets: local ranks come from per-bucket windows (parallel),
+    bucket counts roll up in a tiny global window over the bucket
+    table, and per-bucket base offsets broadcast back — ds04's
+    two-level rank with a composite bucket, same oracle-replayed
+    single window at correctness SF. The quality score and hash are
+    computed in the scan projection; text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        F.when(q >= _CURR_HI, 0).when(q >= _CURR_LO, 1).otherwise(2).alias("stage"),
+        seeded(hmod(F.col("doc_id").cast("string")), F.lit(epoch)).alias("h"),
+    ).withColumn(
+        "cb", F.col("stage") * _SHUF_BUCKETS + F.expr(f"h DIV {_SHUF_WIDTH}")
+    )
+    local_w = Window.partitionBy("cb").orderBy("h", "doc_id")
+    local = t.withColumn("lr", F.row_number().over(local_w))
+    bucket_w = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        t.groupBy("cb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("base", F.coalesce(F.sum("n").over(bucket_w), F.lit(0)))
+        .select("cb", "base")
+    )
+    return local.join(F.broadcast(bases), "cb").select(
+        "doc_id",
+        "stage",
+        "h",
+        (F.col("base") + F.col("lr")).cast("bigint").alias("curriculum_rank"),
+    )
