@@ -72,6 +72,7 @@ HEADLINE = [
     "nn06_residual_ivfpq",
     "dd09_boilerplate_spans",
     "cp02_tokenizer_prep_pipeline",
+    "dd10_semantic_dedup",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,

@@ -1122,9 +1122,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            so every driver row can now be fully green. The round-5
 #            additions nn06 (residual IVF-PQ), dd09 (boilerplate span
 #            dedup), txt07 (vocab + OOV rate), cp02 (composed
-#            tokenizer-prep pipeline) and ds08 (curriculum order) need
-#            first rows and sit in-window; dd01-dd04 (all triple-green)
-#            re-park to make room. Registry 79 = window 50 + tail 29.
+#            tokenizer-prep pipeline), ds08 (curriculum order) and
+#            dd10 (SemDeDup) need first rows and sit in-window;
+#            dd01-dd04 and nn01 (all triple-green) re-park to make
+#            room. Registry 80 = window 50 + tail 30.
 #   round 6+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1166,11 +1167,12 @@ _ROTATION_TAIL = [
     "nn03_ivf_ann",
     "ud1_spam_truncate",
     # re-parked from the r04 tail (triple-green) to make window room for
-    # the round-5 additions nn06 + dd09 + txt07 + cp02 + ds08
+    # the round-5 additions nn06 + dd09 + txt07 + cp02 + ds08 + dd10
     "dd01_exact_dedup",
     "dd02_minhash_lsh_pairs",
     "dd03_simhash",
     "dd04_ngram_jaccard_pairs",
+    "nn01_cosine_topk",
 ]
 
 

@@ -3481,14 +3481,23 @@ def _residual_ivfpq_fit(
     Both engines consume the returned constants verbatim."""
     import numpy as np
 
-    X = _pq_sample_matrix(vecs)
-    nrm = np.sqrt((X * X).sum(axis=1))
-    Xn = X[nrm > 0] / nrm[nrm > 0, None]
+    Xn = _normalized_sample_matrix(vecs)
     cents = _fit_centroids([list(r) for r in Xn], k=cells)
     C = np.asarray(cents, dtype=np.float64)
     lab = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
     cbs = _pq_codebooks_from_rows(Xn - C[lab], codes=codes)
     return cents, cbs
+
+
+def _normalized_sample_matrix(vecs: list):
+    """Normalized (n, dim) float64 sample with the shared malformed-row
+    and zero-norm guards — the fit front-end of every normalized-space
+    quantizer (nn06's residual IVF-PQ, dd10's SemDeDup cells)."""
+    import numpy as np
+
+    X = _pq_sample_matrix(vecs)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    return X[nrm > 0] / nrm[nrm > 0, None]
 
 
 def _nn06_oracle() -> str:
@@ -4230,4 +4239,141 @@ def ds08_curriculum_order(
         "stage",
         "h",
         (F.col("base") + F.col("lr")).cast("bigint").alias("curriculum_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-confined semantic dedup over the embedding space
+# ---------------------------------------------------------------------------
+
+
+def _dd10_sql() -> str:
+    """Replay the normalized-space cell fit (nn06's assignment space)
+    and pin the cluster-confined dedup verdicts: within each cell, a
+    vector is a dup when a SMALLER-id cell-mate sits within the cosine
+    threshold."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cents = _fit_centroids(
+        [list(r) for r in _normalized_sample_matrix(emb)], k=_IVF_CELLS
+    )
+    ce_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    d_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(vn)+1), "
+            f"i -> (vn[i] - ce[{j + 1}][i]) * (vn[i] - ce[{j + 1}][i]))"
+        )
+        for j in range(_IVF_CELLS)
+    )
+    return f"""
+    WITH ce_t AS (SELECT {ce_sql} AS ce),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+             FROM n0 WHERE nrm > 0),
+    celld AS (SELECT vec_id, vn, [{d_exprs}] AS dl FROM base CROSS JOIN ce_t),
+    a AS (SELECT vec_id, vn,
+                 list_position(dl, list_aggregate(dl, 'min')) - 1 AS cell
+          FROM celld),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+        WHERE {_sql_dot("x.vn", "b.vn")} >= {_NEARDUP_COS}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """
+
+
+@query("dd10_semantic_dedup", oracle=_dd10_sql, ops=("DEDUP-SEMANTIC",))
+def dd10_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _NEARDUP_COS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the pair
+    search confined to k-means CELLS of the embedding space instead of
+    LSH buckets (dd05) — the published method for pruning web-scale
+    corpora of semantically redundant documents that share no tokens.
+    Each vector keeps or drops by its own cell: a vector is a dup when
+    a smaller-id cell-mate is within the cosine threshold (the paper
+    keeps one representative per dup-group; lowest id is the pinned
+    deterministic choice — the farthest-from-centroid variant is the
+    same plan with a different order key). Cross-cell near-dups are
+    missed by construction — SemDeDup's documented recall tradeoff
+    against dd05's multi-table LSH, in exchange for a candidate stage
+    with NO banding tables and cells that double as topic strata.
+
+    Scale shape: assignment happens in the scan projection (one fold
+    over the centroid literal per row, nn06's normalized space); the
+    within-cell self-join is the only shuffle, bounded by cell
+    occupancy (size cells ~sqrt(corpus) so cell joins stay flat as
+    data grows); the dup-id set collapses distinct map-side and comes
+    back as a broadcast-sized left join. The seeded fit replays in the
+    oracle, so every keep/drop verdict is hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
+    cents = _fit_centroids(
+        [list(r) for r in _normalized_sample_matrix([r.embedding for r in sample])],
+        k=_IVF_CELLS,
+    )
+    cent_arr = _cents_spark_literal(cents)
+
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+        )
+    )
+    cell = F.element_at(
+        F.transform(
+            F.array(F.col("vn")),
+            lambda vn: F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.transform(
+                            cent_arr,
+                            lambda c: _fold_sum(
+                                F.zip_with(vn, c, lambda a, b: (a - b) * (a - b))
+                            ),
+                        ),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                    )
+                ),
+                1,
+            )["cell"],
+        ),
+        1,
+    )
+    assigned = base.select("vec_id", "vn", cell.alias("cell"))
+    dups = (
+        assigned.alias("x")
+        .join(assigned.alias("b"), "cell")
+        .filter(F.col("x.vec_id") < F.col("b.vec_id"))
+        .filter(_dot(F.col("x.vn"), F.col("b.vn")) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(True).alias("is_dup"))
+    )
+    return assigned.join(F.broadcast(dups), "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("is_dup").isNull().alias("keep"),
     )

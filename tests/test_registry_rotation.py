@@ -28,6 +28,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "txt07_vocab_oov",
     "cp02_tokenizer_prep_pipeline",
     "ds08_curriculum_order",
+    "dd10_semantic_dedup",
 }
 
 #: Single-green entries (first row earned in r04) — the schedule keeps
@@ -51,10 +52,10 @@ BACK_IN_WINDOW = {
     "f05_market_segmentation", "f07_keyword_filter",
     "j01_fallback_stats_join", "j03_enrichment_join",
     "st01_windowed_frequency", "txt01_language_id",
-    "txt02_quality_scores", "txt03_fingerprint", "nn01_cosine_topk",
+    "txt02_quality_scores", "txt03_fingerprint",
 }
-# (dd01, dd02, dd03 and dd04 re-parked directly: triple-green, gave
-# their window slots to the round-5 additions)
+# (dd01-dd04 and nn01 re-parked directly: triple-green, gave their
+# window slots to the round-5 additions)
 
 
 def test_window_contains_every_entry_needing_rows():
