@@ -4304,6 +4304,7 @@ def dd10_semantic_dedup(
     sf_dir: str,
     *,
     threshold: float = _NEARDUP_COS,
+    cells: int = _IVF_CELLS,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup with the pair
     search confined to k-means CELLS of the embedding space instead of
@@ -4329,7 +4330,7 @@ def dd10_semantic_dedup(
     sample = emb.sort("vec_id").limit(_IVF_TRAIN_SAMPLE).select("embedding").collect()
     cents = _fit_centroids(
         [list(r) for r in _normalized_sample_matrix([r.embedding for r in sample])],
-        k=_IVF_CELLS,
+        k=cells,
     )
     cent_arr = _cents_spark_literal(cents)
 

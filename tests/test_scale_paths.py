@@ -500,3 +500,76 @@ def test_labelprop_refuses_to_return_unconverged_clusters(spark):
         (i, 0) for i in range(n)
     }
     assert rounds <= 8
+
+
+def test_dd10_single_cell_is_exact_and_pruning_only_loses(spark, sf_dir):
+    """SemDeDup's operating-point contract: cells=1 removes the
+    confinement entirely (one cell == all-pairs), so its verdicts are
+    the exact ground truth — a vector drops iff ANY smaller-id vector
+    is within the cosine threshold (verified against a numpy
+    brute-force). Confinement (the default cells) can only LOSE
+    cross-cell dups, never invent one: its drop set must nest inside
+    the exact drop set."""
+    import numpy as np
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _NEARDUP_COS,
+        dd10_semantic_dedup,
+    )
+
+    rows = sorted(
+        (r.vec_id, r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+        if r.embedding is not None
+    )
+    ids = np.array([i for i, _ in rows])
+    X = np.asarray([v for _, v in rows], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(1))
+    keep_mask = nrm > 0
+    ids, Xn = ids[keep_mask], X[keep_mask] / nrm[keep_mask, None]
+    C = Xn @ Xn.T
+    expected_dropped = {
+        int(ids[j])
+        for j in range(len(ids))
+        if any(C[i, j] >= _NEARDUP_COS for i in range(len(ids)) if ids[i] < ids[j])
+    }
+
+    exact = {r.vec_id: r.keep for r in dd10_semantic_dedup(spark, sf_dir, cells=1).collect()}
+    assert {v for v, k in exact.items() if not k} == expected_dropped
+
+    confined = {
+        r.vec_id: r.keep for r in dd10_semantic_dedup(spark, sf_dir).collect()
+    }
+    confined_dropped = {v for v, k in confined.items() if not k}
+    assert confined_dropped <= expected_dropped, (
+        "cell confinement invented a dup that no all-pairs scan finds"
+    )
+    assert expected_dropped, "fixture corpus has no semantic dups at the threshold"
+
+
+def test_ds08_epoch_reshuffles_within_stages_only(spark, sf_dir):
+    """Re-keying the epoch must reshuffle the order INSIDE each
+    curriculum stage while stage membership (a pure function of the
+    quality score) stays fixed, and each stage must still occupy one
+    contiguous rank range that ramps clean -> noisy."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        ds08_curriculum_order,
+    )
+
+    e0 = {r.doc_id: (r.stage, r.curriculum_rank)
+          for r in ds08_curriculum_order(spark, sf_dir).collect()}
+    e1 = {r.doc_id: (r.stage, r.curriculum_rank)
+          for r in ds08_curriculum_order(spark, sf_dir, epoch=1).collect()}
+    assert e0.keys() == e1.keys()
+    assert all(e0[d][0] == e1[d][0] for d in e0), "stage membership moved with epoch"
+    assert any(e0[d][1] != e1[d][1] for d in e0), "epoch re-key changed no order"
+    for epoch_map in (e0, e1):
+        ranks = sorted(epoch_map.values())  # (stage, rank) sorted by stage
+        assert [r for _, r in sorted(ranks, key=lambda t: t[1])] == list(
+            range(1, len(ranks) + 1)
+        ), "ranks are not a dense 1..n sequence"
+        # ranks ordered by stage must be the same as ranks ordered by rank
+        by_rank = [s for s, _ in sorted(epoch_map.values(), key=lambda t: t[1])]
+        assert by_rank == sorted(by_rank), "a noisier stage ranked before a cleaner one"
