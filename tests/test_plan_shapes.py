@@ -308,3 +308,14 @@ def test_nn06_probe_join_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nn06_residual_ivfpq")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cp02_text_never_shuffles(spark, sf_dir):
+    """The tokenizer-prep pipeline computes its only text-derived
+    column (the dedup key) in the scan projection; no exchange —
+    shuffle or broadcast — may carry the raw text column."""
+    fmt = _formatted_plan(spark, sf_dir, "cp02_tokenizer_prep_pipeline")
+    payloads = _exchange_payloads(fmt)
+    assert payloads, "no exchanges found — plan parse failed?"
+    for p in payloads:
+        assert "text#" not in p, f"exchange carries raw text: {p}"
