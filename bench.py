@@ -92,6 +92,9 @@ VARIANTS = {
     "nn04_pq_adc_arrow": ("nn04_pq_adc", {"impl": "arrow"}),
     "nn05_ivfpq_arrow": ("nn05_ivfpq", {"impl": "arrow"}),
     "nn06_residual_ivfpq_arrow": ("nn06_residual_ivfpq", {"impl": "arrow"}),
+    # the O(log n) star-contraction CC kernel next to the default
+    # label propagation (equivalence-gated in tests/test_scale_paths.py)
+    "dd06_neardup_clusters_star": ("dd06_neardup_clusters", {"impl": "star"}),
 }
 
 
