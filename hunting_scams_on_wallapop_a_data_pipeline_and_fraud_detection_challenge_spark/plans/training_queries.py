@@ -4218,12 +4218,22 @@ def ds08_curriculum_order(
     computed in the scan projection; text never shuffles."""
     docs = _t(spark, sf_dir, "documents")
     q = quality_score(F.col("text"))
-    t = docs.select(
-        "doc_id",
-        F.when(q >= _CURR_HI, 0).when(q >= _CURR_LO, 1).otherwise(2).alias("stage"),
-        seeded(hmod(F.col("doc_id").cast("string")), F.lit(epoch)).alias("h"),
-    ).withColumn(
-        "cb", F.col("stage") * _SHUF_BUCKETS + F.expr(f"h DIV {_SHUF_WIDTH}")
+    t = (
+        docs.select(
+            "doc_id",
+            F.when(q >= _CURR_HI, 0)
+            .when(q >= _CURR_LO, 1)
+            .otherwise(2)
+            .alias("stage"),
+            seeded(hmod(F.col("doc_id").cast("string")), F.lit(epoch)).alias("h"),
+        )
+        .withColumn(
+            "cb", F.col("stage") * _SHUF_BUCKETS + F.expr(f"h DIV {_SHUF_WIDTH}")
+        )
+        # the quality score (tokenize + regex per row) feeds both the
+        # local-rank side and the bucket-count side — materialize once
+        # (GC-reclaimed lazy checkpoint) instead of scoring twice
+        .localCheckpoint(eager=False)
     )
     local_w = Window.partitionBy("cb").orderBy("h", "doc_id")
     local = t.withColumn("lr", F.row_number().over(local_w))
@@ -4363,7 +4373,13 @@ def dd10_semantic_dedup(
         ),
         1,
     )
-    assigned = base.select("vec_id", "vn", cell.alias("cell"))
+    # the assignment fold (cells x dim per row) feeds BOTH self-join
+    # sides and the final verdict join — materialize it once
+    # (GC-reclaimed lazy checkpoint, the dd08 signature pattern) instead
+    # of recomputing it per consumer
+    assigned = base.select("vec_id", "vn", cell.alias("cell")).localCheckpoint(
+        eager=False
+    )
     dups = (
         assigned.alias("x")
         .join(assigned.alias("b"), "cell")

@@ -110,7 +110,11 @@ def _curated_projection(
     if sig_bits is not None:
         cols.append(simhash_expr(text, sig_bits).alias("simhash"))
     return (
-        stream.withWatermark("ingest_ts", horizon)
+        # a row with NULL event time has undefined watermark semantics
+        # (it can neither expire nor be ordered) — quarantine it like a
+        # malformed line rather than feeding it to the stateful stages
+        stream.filter(F.col("ingest_ts").isNotNull())
+        .withWatermark("ingest_ts", horizon)
         .select(*cols, keep.alias("keep"))
         .filter(F.col("keep"))
         .drop("keep")

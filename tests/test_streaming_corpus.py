@@ -310,3 +310,34 @@ def test_neardup_state_ages_out_past_horizon(spark, tmp_path):
     assert 3 in ids, (
         "re-ingest past the horizon stayed suppressed — state did not age out"
     )
+
+
+def test_null_event_time_rows_are_quarantined(spark, tmp_path):
+    """A row with NULL ingest_ts has undefined watermark semantics —
+    both dedupe stages must drop it like a malformed line, not feed it
+    to the state store."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_ingest_query,
+        start_neardup_ingest_query,
+    )
+
+    for starter, sub in (
+        (start_ingest_query, "exact"),
+        (start_neardup_ingest_query, "near"),
+    ):
+        landing = tmp_path / f"landing_{sub}"
+        landing.mkdir()
+        rows = [
+            _doc(1, GOOD),
+            {**_doc(2, GOOD + " and a few extra distinct closing words here"),
+             "ingest_ts": None},
+        ]
+        _write_ndjson(landing / "b.json", rows)
+        got: list[dict] = []
+
+        def sink(batch_df, batch_id):
+            got.extend(r.asDict() for r in batch_df.collect())
+
+        q = starter(spark, str(landing), str(tmp_path / f"ckpt_{sub}"), sink)
+        q.awaitTermination(120)
+        assert [r["doc_id"] for r in got] == [1], (sub, got)
