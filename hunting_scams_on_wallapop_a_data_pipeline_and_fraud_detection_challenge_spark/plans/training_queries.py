@@ -1104,7 +1104,11 @@ def _cc_label_prop(pairs: DataFrame) -> tuple[DataFrame, int]:
         # the cap is a runaway backstop, not a tolerance: stopping with
         # labels still moving would SILENTLY return wrong clusters (the
         # min hasn't reached every member). Components deeper than the
-        # cap are exactly what the O(log n) star kernel is for.
+        # cap are exactly what the O(log n) star kernel is for. Release
+        # the corpus-sized caches before raising — a long-lived session
+        # retrying with impl='star' must not keep them pinned.
+        mat.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             "label propagation did not converge within 30 rounds — "
             f"{changed} labels still changing; a component's diameter "
@@ -1200,6 +1204,16 @@ def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
             break
         edges.unpersist()
         edges, prev_stats = new_edges, stats
+    else:
+        # same contract as the label-propagation cap: the 40-round
+        # bound is a runaway backstop — reading labels off a
+        # non-fixed-point edge set would silently return wrong
+        # clusters, so refuse (and release the cache first)
+        edges.unpersist()
+        raise RuntimeError(
+            "star contraction did not reach its fixed point within 40 "
+            "rounds — refusing to label a non-star edge set"
+        )
     # fixed point: every component is a star (v = root); the root
     # labels itself via the union branch
     labels = (
@@ -2871,12 +2885,43 @@ def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
     vectors (PQ encodes directions; zero and malformed vectors are
     dropped like every cosine path — see _fit_centroids). Deterministic
     — both engines consume these constants verbatim."""
-    import numpy as np
+    return _pq_codebooks_from_rows(_normalized_sample_matrix(vecs), codes=codes)
 
-    X = _pq_sample_matrix(vecs)
-    nrm = np.sqrt((X * X).sum(axis=1))
-    X = X[nrm > 0] / nrm[nrm > 0, None]
-    return _pq_codebooks_from_rows(X, codes=codes)
+
+def _normalized_vn_base(emb: DataFrame) -> DataFrame:
+    """(vec_id, vn) scan projection with the shared NULL/zero-norm
+    guards — the corpus front-end of every normalized-space operator
+    (nn04 PQ, nn06 residual IVF-PQ, dd10 SemDeDup)."""
+    return (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+        )
+    )
+
+
+def _ranked_cells_of(vn, cent_arr):
+    """Cells of ``cent_arr`` ranked by squared L2 distance to the bound
+    vector ``vn`` — array of struct(d, cell), ties → lowest cell (the
+    array_sort twin of the oracles' list_position-of-min). Shared by
+    nn06 and dd10 so the assignment algebra cannot drift between
+    them."""
+    return F.array_sort(
+        F.transform(
+            F.transform(
+                cent_arr,
+                lambda c: _fold_sum(
+                    F.zip_with(vn, c, lambda a, b: (a - b) * (a - b))
+                ),
+            ),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+        )
+    )
 
 
 def _pq_sub_d_sql(var: str = "vn") -> str:
@@ -3061,16 +3106,7 @@ def nn04_pq_adc(
     cbs = _pq_codebooks([r.embedding for r in sample], codes=codes)
     cb_lit = _pq_spark_literal(cbs)
 
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .filter(F.col("nrm") > 0)
-        .select(
-            "vec_id",
-            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-        )
-    )
-
+    base = _normalized_vn_base(emb)
 
     dls_bound = F.element_at(
         F.transform(F.array(F.col("vn")), lambda vn: _pq_dls(vn, cb_lit)), 1
@@ -3624,28 +3660,10 @@ def nn06_residual_ivfpq(
     cent_arr = _cents_spark_literal(cents)
     cb_lit = _pq_spark_literal(cbs)
 
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .filter(F.col("nrm") > 0)
-        .select(
-            "vec_id",
-            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-        )
-    )
+    base = _normalized_vn_base(emb)
 
     def _ranked_cells(vn):
-        return F.array_sort(
-            F.transform(
-                F.transform(
-                    cent_arr,
-                    lambda c: _fold_sum(
-                        F.zip_with(vn, c, lambda a, b: (a - b) * (a - b))
-                    ),
-                ),
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-            )
-        )
+        return _ranked_cells_of(vn, cent_arr)
 
     def _res_dls(vn, cell):
         # bind the residual as a lambda variable so its producer (the
@@ -3926,9 +3944,13 @@ def dd09_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textstats import ngrams
 
     docs = _t(spark, sf_dir, "documents")
+    # the tokenize+ngram explode feeds BOTH the dictionary aggregation
+    # and the probe-side join — materialize it once (GC-reclaimed lazy
+    # checkpoint, the dd08/ds08/dd10 pattern) instead of re-tokenizing
+    # the corpus per consumer
     spans = docs.select(
         "doc_id", F.explode(ngrams(tokens(F.col("text")), _SPAN_N)).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     df = (
         spans.select("doc_id", "g")
         .distinct()
@@ -4005,7 +4027,11 @@ def txt07_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe) and aggregates per doc. Integer-first counts, one division
     per doc at the end."""
     docs = _t(spark, sf_dir, "documents")
-    e = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # tokenized explode feeds both the vocab build and the probe join —
+    # materialize once (same lazy-checkpoint discipline as dd09)
+    e = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
     vocab = (
         e.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -4344,32 +4370,11 @@ def dd10_semantic_dedup(
     )
     cent_arr = _cents_spark_literal(cents)
 
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .filter(F.col("nrm") > 0)
-        .select(
-            "vec_id",
-            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-        )
-    )
+    base = _normalized_vn_base(emb)
     cell = F.element_at(
         F.transform(
             F.array(F.col("vn")),
-            lambda vn: F.element_at(
-                F.array_sort(
-                    F.transform(
-                        F.transform(
-                            cent_arr,
-                            lambda c: _fold_sum(
-                                F.zip_with(vn, c, lambda a, b: (a - b) * (a - b))
-                            ),
-                        ),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-                    )
-                ),
-                1,
-            )["cell"],
+            lambda vn: F.element_at(_ranked_cells_of(vn, cent_arr), 1)["cell"],
         ),
         1,
     )

@@ -207,7 +207,17 @@ def neardup_curated_stream(
                 ]
             )
         ).alias("bk"),
-    ).select(*doc_cols, "simhash", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    ).select(
+        *doc_cols,
+        "simhash",
+        # epoch milliseconds computed JVM-side: pandas Timestamp.value on
+        # a session-localized NAIVE timestamp is shifted by the session
+        # timezone, while getCurrentWatermarkMs() is true epoch — mixing
+        # the two breaks state pruning on any non-UTC session
+        F.unix_millis(F.col("ingest_ts")).alias("ev_ms"),
+        F.col("bk.b").alias("b"),
+        F.col("bk.k").alias("k"),
+    )
 
     out_schema = T.StructType(
         [
@@ -240,18 +250,22 @@ def neardup_curated_stream(
             sims = [s for s, _ in kept]
             ts_ms = [t for _, t in kept]
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ingest_ts", "doc_id"]).reset_index(drop=True)
+        rows = rows.sort_values(["ev_ms", "doc_id"]).reset_index(drop=True)
         dup = []
-        for sim, ts in zip(rows["simhash"], rows["ingest_ts"]):
+        for sim, ev in zip(rows["simhash"], rows["ev_ms"]):
             sim = int(sim)
             dup.append(any((sim ^ s).bit_count() <= max_hamming for s in sims))
             # every SEEN signature becomes a representative (kept or
             # dropped), mirroring dropDuplicatesWithinWatermark's
             # seen-anything semantics and matching chained dd08 pairs
             sims.append(sim)
-            ts_ms.append(int(ts.value // 1_000_000))
+            ts_ms.append(int(ev))
         state.update((sims, ts_ms))
-        state.setTimeoutTimestamp(max(ts_ms) + horizon_ms)
+        # clamp above the watermark: applyInPandasWithState does NOT
+        # auto-drop late rows, and a bare max(ts)+horizon below the
+        # watermark is an IllegalArgumentException that kills the query
+        # (the alerts.py realert clamp, same reason)
+        state.setTimeoutTimestamp(max(max(ts_ms) + horizon_ms, wm_ms + 1))
         out = rows[["doc_id", "lang", "source", "ingest_ts", "fp", "n_tok"]].copy()
         out["dup"] = dup
         yield out

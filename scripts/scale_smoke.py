@@ -126,6 +126,9 @@ def skew_scenario(spark, out_dir: str) -> dict:
     saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
+    # confs that were UNSET before (e.g. adaptive.autoBroadcastJoinThreshold,
+    # which falls back to the non-adaptive knob) must be unset again, not
+    # left pinned to the scenario's -1 for the rest of the session
     try:
         def run(df):
             t0 = time.monotonic()
@@ -140,6 +143,8 @@ def skew_scenario(spark, out_dir: str) -> dict:
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     assert naive_n == salted_n, (naive_n, salted_n)
     return {
         "naive_s": round(naive_s, 2),

@@ -341,3 +341,77 @@ def test_null_event_time_rows_are_quarantined(spark, tmp_path):
         q = starter(spark, str(landing), str(tmp_path / f"ckpt_{sub}"), sink)
         q.awaitTermination(120)
         assert [r["doc_id"] for r in got] == [1], (sub, got)
+
+
+def test_late_row_does_not_kill_the_neardup_query(spark, tmp_path):
+    """A replayed landing file older than the watermark must never be
+    able to push a bucket's event-time timeout below the watermark (an
+    IllegalArgumentException that terminates the query) — the timeout
+    is clamped above the watermark as defense in depth. Observed
+    engine behavior (pinned here): Spark's stateful-operator late-row
+    filter silently DROPS the late doc before the operator, standard
+    watermark semantics — the query survives and emits nothing for
+    it."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_neardup_ingest_query,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    got: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.asDict() for r in batch_df.collect())
+
+    _write_ndjson(landing / "b1.json", [_doc(1, GOOD, ts="2026-08-13T10:00:00")])
+    q = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q.awaitTermination(120)
+    # advance the watermark far past b1, then replay a LATE near-dup
+    _write_ndjson(
+        landing / "b2.json",
+        [
+            _doc(
+                2,
+                "fresh filler about deserts camels and starry skies with "
+                "plenty of ordinary words to pass every quality rule while "
+                "sharing almost no vocabulary with the first document here",
+                ts="2026-08-13T12:00:00",
+            )
+        ],
+    )
+    q2 = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q2.awaitTermination(120)
+    _write_ndjson(
+        landing / "b3.json", [_doc(3, GOOD, ts="2026-08-13T10:05:00")]
+    )  # LATE: watermark is ~11:50
+    q3 = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q3.awaitTermination(120)  # raises StreamingQueryException on crash
+    assert 3 not in {r["doc_id"] for r in got}, (
+        "late row escaped the watermark filter"
+    )
+    # and the state machinery is still alive: an on-time doc flows
+    _write_ndjson(
+        landing / "b4.json",
+        [
+            _doc(
+                4,
+                "another ordinary document about rivers bridges and towns "
+                "using plain simple words so that it passes each of the "
+                "quality rules while keeping its own distinct vocabulary "
+                "for this final check of the streaming state today",
+                ts="2026-08-13T12:00:05",
+            )
+        ],
+    )
+    q4 = start_neardup_ingest_query(
+        spark, str(landing), str(ckpt), sink, horizon="10 minutes"
+    )
+    q4.awaitTermination(120)
+    assert 4 in {r["doc_id"] for r in got}, "stream died after the late row"
