@@ -1105,8 +1105,11 @@ def _cc_label_prop(pairs: DataFrame) -> tuple[DataFrame, int]:
         # labels still moving would SILENTLY return wrong clusters (the
         # min hasn't reached every member). Components deeper than the
         # cap are exactly what the O(log n) star kernel is for. Release
-        # the corpus-sized caches before raising — a long-lived session
-        # retrying with impl='star' must not keep them pinned.
+        # what is still CacheManager-persisted before raising (the edge
+        # list, and the label table on non-checkpoint rounds); at the
+        # cap mat is usually the round-30 localCheckpoint, whose blocks
+        # are GC-reclaimed once the raise unwinds — unpersist() is a
+        # harmless no-op there.
         mat.unpersist()
         edges.unpersist()
         raise RuntimeError(
@@ -1208,7 +1211,10 @@ def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
         # same contract as the label-propagation cap: the 40-round
         # bound is a runaway backstop — reading labels off a
         # non-fixed-point edge set would silently return wrong
-        # clusters, so refuse (and release the cache first)
+        # clusters, so refuse. unpersist() releases the edge list on
+        # non-checkpoint rounds; at the cap (a %4 round) edges is the
+        # round-40 localCheckpoint, whose blocks are GC-reclaimed once
+        # the raise unwinds.
         edges.unpersist()
         raise RuntimeError(
             "star contraction did not reach its fixed point within 40 "

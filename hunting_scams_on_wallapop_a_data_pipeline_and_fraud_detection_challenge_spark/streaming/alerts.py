@@ -149,10 +149,15 @@ def realert_suppressed(
         last = state.get[0] if state.exists else None
         pdfs = [p for p in pdf_iter if len(p)]
         fired = None
+        out_cols = [f.name for f in out_schema.fields]
         if pdfs:
             pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-            pdf = pdf.sort_values("crawl_timestamp", kind="stable").reset_index(drop=True)
-            ts = pdf["crawl_timestamp"].astype("int64").to_numpy() // 1000  # µs
+            # ev_us is TRUE epoch µs computed JVM-side (unix_micros):
+            # pandas int64 on a session-localized naive timestamp is
+            # shifted by the session timezone, which must never mix
+            # with getCurrentWatermarkMs() in the timeout clamp below
+            pdf = pdf.sort_values("ev_us", kind="stable").reset_index(drop=True)
+            ts = pdf["ev_us"].to_numpy(dtype=np.int64)
             idx: list[int] = []
             i = 0 if last is None else int(np.searchsorted(ts, last + realert_us))
             while i < len(ts):
@@ -160,7 +165,7 @@ def realert_suppressed(
                 last = int(ts[i])
                 i = int(np.searchsorted(ts, last + realert_us))
             if idx:
-                fired = pdf.iloc[idx]
+                fired = pdf.iloc[idx][out_cols]
         if last is not None:
             state.update((int(last),))
             # event-time timeouts must be re-registered per invocation
@@ -173,6 +178,7 @@ def realert_suppressed(
 
     return (
         stream.withWatermark("crawl_timestamp", buffer)
+        .withColumn("ev_us", F.unix_micros(F.col("crawl_timestamp")))
         .groupBy("id")
         .applyInPandasWithState(
             fire,

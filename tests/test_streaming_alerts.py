@@ -256,3 +256,77 @@ def test_alert_stream_with_realert_layer(spark, tmp_path):
     run()
     assert [a["id"] for a in got] == ["it1", "it1"]
     assert len({a["crawl_timestamp"] for a in got}) == 2
+
+
+def test_realert_suppression_is_timezone_independent(spark, tmp_path):
+    """Regression: the realert timeout clamp mixes event-derived
+    milliseconds with getCurrentWatermarkMs(), so event epoch-ms MUST
+    be computed JVM-side (unix_micros) — pandas int64 on a
+    session-localized naive timestamp is shifted by the session
+    timezone. Under a tz behind UTC the old code registered timeouts
+    hours in the past (always clamped to watermark+1), so the
+    suppression state aged out on the next watermark advance and a
+    duplicate inside the realert window RE-FIRED. Same scenario as the
+    UTC test, run under America/New_York."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.alerts import (
+        read_listing_stream,
+        realert_suppressed,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        rows: list[tuple] = []
+
+        def run():
+            stream = read_listing_stream(spark, str(landing))
+
+            def sink(batch_df, batch_id):
+                rows.extend(
+                    (r.id, r.crawl_timestamp.isoformat(), r.risk_score)
+                    for r in batch_df.collect()
+                )
+
+            q = (
+                realert_suppressed(stream, realert_minutes=30)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write_ndjson(
+            landing / "b1.json",
+            [
+                _listing(1, 90, "2026-08-13T10:00:00"),
+                _listing(2, 91, "2026-08-13T10:05:00", dup="it1"),
+                _listing(3, 92, "2026-08-13T10:40:00", dup="it1"),
+            ],
+        )
+        run()
+        # restart within the 10:40 window: the checkpointed state must
+        # still suppress — premature state aging here is the tz bug
+        _write_ndjson(
+            landing / "b2.json",
+            [
+                _listing(5, 94, "2026-08-13T10:50:00", dup="it1"),
+                _listing(6, 95, "2026-08-13T11:30:00", dup="it1"),
+            ],
+        )
+        run()
+        # assert on risk scores (rendered timestamps shift with the
+        # session tz; the id→score mapping is unambiguous): 90 fires,
+        # 91 suppressed (+5m), 92 re-fires (+40m), 94 suppressed
+        # (restart +10m inside the window — premature state aging here
+        # IS the tz bug), 95 re-fires (+50m)
+        fired_scores = sorted(s for i, _, s in rows if i == "it1")
+        assert fired_scores == [90, 92, 95], (
+            f"realert verdicts changed under a non-UTC session: {fired_scores}"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
