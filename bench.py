@@ -73,6 +73,7 @@ HEADLINE = [
     "dd09_boilerplate_spans",
     "cp02_tokenizer_prep_pipeline",
     "dd10_semantic_dedup",
+    "nn07_opq_pq",
 ]
 
 # Implementation variants of registered queries (name -> (registry name,
@@ -92,6 +93,7 @@ VARIANTS = {
     "nn04_pq_adc_arrow": ("nn04_pq_adc", {"impl": "arrow"}),
     "nn05_ivfpq_arrow": ("nn05_ivfpq", {"impl": "arrow"}),
     "nn06_residual_ivfpq_arrow": ("nn06_residual_ivfpq", {"impl": "arrow"}),
+    "nn07_opq_pq_arrow": ("nn07_opq_pq", {"impl": "arrow"}),
     # the O(log n) star-contraction CC kernel next to the default
     # label propagation (equivalence-gated in tests/test_scale_paths.py)
     "dd06_neardup_clusters_star": ("dd06_neardup_clusters", {"impl": "star"}),

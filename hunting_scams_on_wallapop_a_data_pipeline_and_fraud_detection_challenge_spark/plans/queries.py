@@ -1122,10 +1122,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            so every driver row can now be fully green. The round-5
 #            additions nn06 (residual IVF-PQ), dd09 (boilerplate span
 #            dedup), txt07 (vocab + OOV rate), cp02 (composed
-#            tokenizer-prep pipeline), ds08 (curriculum order) and
-#            dd10 (SemDeDup) need first rows and sit in-window;
-#            dd01-dd04 and nn01 (all triple-green) re-park to make
-#            room. Registry 80 = window 50 + tail 30.
+#            tokenizer-prep pipeline), ds08 (curriculum order), dd10
+#            (SemDeDup) and nn07 (OPQ rotated PQ) need first rows and
+#            sit in-window; dd01-dd04, nn01 and txt01 (all
+#            triple-green) re-park to make room. Registry 81 =
+#            window 50 + tail 31.
 #   round 6+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1167,12 +1168,13 @@ _ROTATION_TAIL = [
     "nn03_ivf_ann",
     "ud1_spam_truncate",
     # re-parked from the r04 tail (triple-green) to make window room for
-    # the round-5 additions nn06 + dd09 + txt07 + cp02 + ds08 + dd10
+    # the round-5 additions nn06 + dd09 + txt07 + cp02 + ds08 + dd10 + nn07
     "dd01_exact_dedup",
     "dd02_minhash_lsh_pairs",
     "dd03_simhash",
     "dd04_ngram_jaccard_pairs",
     "nn01_cosine_topk",
+    "txt01_language_id",
 ]
 
 

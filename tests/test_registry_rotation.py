@@ -29,6 +29,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "cp02_tokenizer_prep_pipeline",
     "ds08_curriculum_order",
     "dd10_semantic_dedup",
+    "nn07_opq_pq",
 }
 
 #: Single-green entries (first row earned in r04) — the schedule keeps
@@ -51,11 +52,11 @@ BACK_IN_WINDOW = {
     "w01_last_value_per_group", "f01_freshness_filter",
     "f05_market_segmentation", "f07_keyword_filter",
     "j01_fallback_stats_join", "j03_enrichment_join",
-    "st01_windowed_frequency", "txt01_language_id",
+    "st01_windowed_frequency",
     "txt02_quality_scores", "txt03_fingerprint",
 }
-# (dd01-dd04 and nn01 re-parked directly: triple-green, gave their
-# window slots to the round-5 additions)
+# (dd01-dd04, nn01 and txt01 re-parked directly: triple-green, gave
+# their window slots to the round-5 additions)
 
 
 def test_window_contains_every_entry_needing_rows():

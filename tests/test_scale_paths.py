@@ -447,7 +447,8 @@ def test_nn06_arrow_path_matches_sql_path(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "op_name", ["nn04_pq_adc", "nn05_ivfpq", "nn06_residual_ivfpq"]
+    "op_name",
+    ["nn04_pq_adc", "nn05_ivfpq", "nn06_residual_ivfpq", "nn07_opq_pq"],
 )
 def test_pq_arrow_paths_drop_malformed_embeddings(spark, sf_dir, tmp_path, op_name):
     """NULL and wrong-dimension embedding rows must be dropped by the
@@ -573,3 +574,25 @@ def test_ds08_epoch_reshuffles_within_stages_only(spark, sf_dir):
         # ranks ordered by stage must be the same as ranks ordered by rank
         by_rank = [s for s, _ in sorted(epoch_map.values(), key=lambda t: t[1])]
         assert by_rank == sorted(by_rank), "a noisier stage ranked before a cleaner one"
+
+
+def test_nn07_arrow_path_matches_sql_path(spark, sf_dir):
+    """The batched-numpy rotated-PQ path must be rank-identical to the
+    oracle-pinned SQL form — same rotation, same codes, same ADC."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn07_opq_pq,
+    )
+
+    sql_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn07_opq_pq(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        (r.q_id, r.rk): (r.vec_id, r.approx_cosine)
+        for r in nn07_opq_pq(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows.keys() == arrow_rows.keys()
+    for key, (vec_id, cos) in sql_rows.items():
+        a_vec, a_cos = arrow_rows[key]
+        assert a_vec == vec_id, f"rank mismatch at {key}"
+        assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
