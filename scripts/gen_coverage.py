@@ -93,7 +93,9 @@ def union_check() -> int:
     for path in rounds:
         for name, row in json.load(open(path)).items():
             seen_rows.add(name)
-            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+            # spark_rows > 0: a 0-row match proves nothing (VERDICT r05,
+            # st01) — union coverage requires a NON-vacuous green
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match") and row.get("spark_rows", 0) > 0:
                 green.add(name)
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle_text() is not None}
     rows_only = set(REGISTRY) - oracle_backed
@@ -127,7 +129,9 @@ def propose_tail() -> int:
     greens: dict[str, int] = {n: 0 for n in REGISTRY}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
-            if name in greens and row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+            # a 0-row match is vacuous (st01 was "green" four rounds while
+            # matching nothing — VERDICT r05); it earns no parking credit
+            if name in greens and row.get("rows_match") and row.get("schema_match") and row.get("hash_match") and row.get("spark_rows", 0) > 0:
                 greens[name] += 1
     n_tail = max(0, len(REGISTRY) - 50)
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle_text() is not None]

@@ -20,43 +20,41 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 5 — the operators
+#: Entries with ZERO green driver rows entering round 6 — the operators
 #: added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
-    "nn06_residual_ivfpq",
-    "dd09_boilerplate_spans",
-    "txt07_vocab_oov",
-    "cp02_tokenizer_prep_pipeline",
-    "ds08_curriculum_order",
-    "dd10_semantic_dedup",
-    "nn07_opq_pq",
+    "nn08_recall_gate",
 }
 
-#: Single-green entries (first row earned in r04) — the schedule keeps
-#: any entry with <2 green rows in-window until it has two.
+#: Single-green entries (first row earned in r05) — the schedule keeps
+#: any entry with <2 green rows in-window until it has two. Also pinned
+#: here: st01_windowed_frequency, whose four nominal greens were all
+#: vacuous 0-row matches (VERDICT r05) — it must stay in-window until
+#: the retuned thresholds earn a green row with spark_rows > 0.
 SINGLE_GREEN = {
-    "rp01_end_to_end_risk", "a01c_approx_median_rank_gate",
-    "ds05_source_mixture", "ds06_token_budget_select",
-    "txt05_gopher_filters", "pii02_detection_stats",
-    "mm02_frame_sample", "cp01_corpus_curation_pipeline",
-    "txt06_token_rarity", "ds07_weighted_interleave", "nn04_pq_adc",
-    "nn05_ivfpq", "rep02_ngram_repetition",
+    "nn06_residual_ivfpq", "dd09_boilerplate_spans", "txt07_vocab_oov",
+    "cp02_tokenizer_prep_pipeline", "ds08_curriculum_order",
+    "dd10_semantic_dedup", "nn07_opq_pq",
+    "st01_windowed_frequency",
 }
 
-#: The 25 triple-greens parked in round 4 rotate back in for a fourth row.
+#: The 27 multi-greens parked in round 5 rotate back in for a fourth row.
 BACK_IN_WINDOW = {
-    "a06_weighted_zscore", "a07_daily_activity", "a11_top_users",
-    "x15_risk_assembly", "x22_factor_normalize",
-    "x22_painless_normalizer", "x21_runtime_fields",
-    "f08_gated_enrichment", "k01_newest_first_cap", "a04_stats_export",
-    "w01_last_value_per_group", "f01_freshness_filter",
-    "f05_market_segmentation", "f07_keyword_filter",
-    "j01_fallback_stats_join", "j03_enrichment_join",
-    "st01_windowed_frequency",
-    "txt02_quality_scores", "txt03_fingerprint",
+    "a01_grouped_price_stats", "a02_component_stats",
+    "a03_secondary_segment_stats", "a05_review_stats_per_user",
+    "a08_price_histogram", "a09_risk_buckets", "a10_heatmap_share",
+    "a12_top_terms_other", "a13_minmax_metrics",
+    "w02_topk_by_last_value", "w03_global_share", "k03_hidden_price_max",
+    "u12_token_set_ops", "dd07_cluster_survivors",
+    "ds01_stratified_sample", "ds02_sequence_packing",
+    "ct01_benchmark_contamination", "rep01_repetition_scores",
+    "pii01_redact_props", "nn03_ivf_ann", "ud1_spam_truncate",
+    "dd01_exact_dedup", "dd02_minhash_lsh_pairs", "dd03_simhash",
+    "dd04_ngram_jaccard_pairs", "nn01_cosine_topk", "txt01_language_id",
 }
-# (dd01-dd04, nn01 and txt01 re-parked directly: triple-green, gave
-# their window slots to the round-5 additions)
+# (dd08 and ud2 park in st01's place: both triple-green, and ud2 is the
+# single most expensive SQL entry in the window — see the schedule
+# comment in plans/queries.py)
 
 
 def test_window_contains_every_entry_needing_rows():
@@ -108,7 +106,9 @@ def test_tail_entries_all_multi_green():
             last = bool(
                 row["rows_match"] and row["schema_match"] and row["hash_match"]
             )
-            greens += last
+            # 0-row matches are vacuous (VERDICT r05: st01) — they keep an
+            # entry un-parkable even though the row itself is "green"
+            greens += last and row.get("spark_rows", 0) > 0
         assert greens >= 3, (
             f"parked entry {name} has only {greens} green driver rows — "
             f"parking requires at least three"

@@ -503,6 +503,32 @@ def test_labelprop_refuses_to_return_unconverged_clusters(spark):
     assert rounds <= 8
 
 
+def test_auto_kernel_switches_to_star_on_deep_graphs(spark):
+    """VERDICT r05 item 4: a deep-graph input must complete WITHOUT the
+    caller knowing an ``impl=`` knob exists. The auto kernel (dd06's
+    default) runs label propagation to the switch cap, then restarts on
+    star contraction — correct labels on a chain whose diameter exceeds
+    both the switch cap and the full labelprop cap, in star-bounded
+    rounds (well under what propagation would have needed)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _CC_AUTO_SWITCH_ROUNDS,
+        _cc_auto,
+    )
+
+    n = 40  # diameter 39 > switch cap AND > labelprop's 30-round cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    labels, rounds = _cc_auto(pairs)
+    assert {(r.node, r.label) for r in labels.collect()} == {
+        (i, 0) for i in range(n)
+    }
+    # the returned round count is the star kernel's, not the abandoned
+    # propagation attempt's — O(log n), nowhere near the 39 hops
+    assert rounds <= 8, rounds
+    assert _CC_AUTO_SWITCH_ROUNDS < n - 1  # fixture stays adversarial
+
+
 def test_dd10_single_cell_is_exact_and_pruning_only_loses(spark, sf_dir):
     """SemDeDup's operating-point contract: cells=1 removes the
     confinement entirely (one cell == all-pairs), so its verdicts are
