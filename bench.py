@@ -76,6 +76,68 @@ HEADLINE = [
     "nn07_opq_pq",
 ]
 
+def bench_streaming_neardup_drain(spark, sf_dir):
+    """AvailableNow drain of a fixed landing corpus through the
+    near-dup (simhash-band) ingest stream — VERDICT r05 item 8: the
+    stateful streaming path gets a round-over-round number so state
+    overhead regressions surface like any other plan's.
+
+    The landing corpus derives deterministically from sf_dir's
+    documents — a fixed 1-in-5 doc_id slice (bounded: the bench tracks
+    per-doc state overhead, which a bigger corpus would only multiply),
+    with every 10th sliced doc re-ingested 30 minutes later inside the
+    dedupe horizon so the band state takes real hits — and is built
+    once per SF; every timed run drains it end-to-end with a FRESH
+    checkpoint, so the measurement covers the full stateful lifecycle —
+    band explode, applyInPandasWithState, verdict fold — not a warm
+    no-op resume. Returns a trivial DataFrame (the drain happens in the
+    function body, inside the timed window)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_neardup_ingest_query,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    landing = f"/tmp/bench_neardup_landing_{tag}"
+    if not os.path.exists(f"{landing}/_SUCCESS"):
+        shutil.rmtree(landing, ignore_errors=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % 5 == 0
+        )
+        first = docs.select(
+            "doc_id", "text", "lang", "source",
+            F.expr(
+                "timestamp'2026-01-01 00:00:00' "
+                "+ make_interval(0, 0, 0, 0, 0, 0, doc_id % 1200)"
+            ).alias("ingest_ts"),
+        )
+        dups = docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "text", "lang", "source",
+            F.expr(
+                "timestamp'2026-01-01 00:30:00' "
+                "+ make_interval(0, 0, 0, 0, 0, 0, doc_id % 1200)"
+            ).alias("ingest_ts"),
+        )
+        first.unionByName(dups).coalesce(8).write.mode("overwrite").json(landing)
+    ckpt = f"/tmp/bench_neardup_ckpt_{uuid.uuid4().hex}"
+    survivors = []
+    try:
+        q = start_neardup_ingest_query(
+            spark, landing, ckpt,
+            sink=lambda df, _bid: survivors.append(df.count()),
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.range(sum(survivors))
+
+
 # Implementation variants of registered queries (name -> (registry name,
 # kwargs)): timed alongside HEADLINE so alternate scale paths get
 # round-over-round numbers too (nn01's Arrow path is equivalence-gated
@@ -97,6 +159,10 @@ VARIANTS = {
     # the O(log n) star-contraction CC kernel next to the default
     # label propagation (equivalence-gated in tests/test_scale_paths.py)
     "dd06_neardup_clusters_star": ("dd06_neardup_clusters", {"impl": "star"}),
+    # the stateful streaming ingest: AvailableNow drain of a fixed
+    # landing corpus (fresh checkpoint per run) through simhash-band
+    # near-dup dedupe — state overhead tracked round-over-round
+    "neardup_ingest_stream_drain": (bench_streaming_neardup_drain, {}),
 }
 
 

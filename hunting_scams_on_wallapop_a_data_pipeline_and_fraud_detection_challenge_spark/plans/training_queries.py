@@ -1208,7 +1208,12 @@ def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
         # NOT deduped here: the small-star window min is insensitive to
         # row multiplicity and the round's output gets the one real
         # distinct below — deduping ls too spent a whole extra shuffle
-        # per round for nothing (the r05→r06 constant-factor trim)
+        # per round for nothing (the r05→r06 constant-factor trim; a
+        # groupBy-min + join-back form was ALSO tried and reverted: it
+        # references the round input ~16x in the logical plan, needing
+        # 2x-frequent lineage cuts, and its extra AQE join stages cost
+        # more wall-clock than the window sorts it removed — 4.5s vs
+        # 2.0s kernel-only at sf0.1)
         ls = (
             sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .filter(F.col("v") > F.col("u"))
@@ -4269,7 +4274,11 @@ _CURR_HI = 0.64
 _CURR_LO = 0.55
 
 
-def _ds08_sql() -> str:
+def _ds08_sql(epoch: int = 0) -> str:
+    # parameterized on epoch (ADVICE r05): the operator exposes an epoch
+    # kwarg, so the oracle must describe the same plan for ANY epoch —
+    # the registry binds the zero-arg default (the driver's call),
+    # tests replay other epochs through this same builder
     q = sql_quality_score("text")
     return f"""
     WITH t AS (
@@ -4277,7 +4286,7 @@ def _ds08_sql() -> str:
                CASE WHEN {q} >= {_CURR_HI} THEN 0
                     WHEN {q} >= {_CURR_LO} THEN 1
                     ELSE 2 END AS stage,
-               {sql_seeded(sql_hmod("CAST(doc_id AS VARCHAR)"), "0")} AS h
+               {sql_seeded(sql_hmod("CAST(doc_id AS VARCHAR)"), str(epoch))} AS h
         FROM documents
     )
     SELECT doc_id, stage, h,

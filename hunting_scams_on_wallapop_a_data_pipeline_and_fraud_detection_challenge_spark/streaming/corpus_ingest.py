@@ -131,15 +131,32 @@ def curated_stream(stream: DataFrame, horizon: str = DEDUPE_HORIZON) -> DataFram
 
 
 def _interval_ms(horizon: str) -> int:
-    """'N second(s)/minute(s)/hour(s)/day(s)' → milliseconds (the same
-    grammar the watermark string uses)."""
+    """Watermark-horizon string → milliseconds, accepting the same
+    fixed-length interval grammar Spark's ``withWatermark`` does:
+    one or more ``N unit`` terms (``'90 minutes 30 seconds'``), units
+    millisecond/second/minute/hour/day/week (ADVICE r05 — the old
+    single-term second..day grammar rejected compound horizons that
+    ``curated_stream`` happily accepted, so the two stages disagreed
+    on which strings are valid). Variable-length units (month/year)
+    have no fixed millisecond value and still raise."""
     import re
 
-    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", horizon)
-    if not m:
+    units = {
+        "millisecond": 1,
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 604_800_000,
+    }
+    s = horizon.strip().lower()
+    unit_re = "|".join(units)
+    if not re.fullmatch(rf"(?:\s*\d+\s*(?:{unit_re})s?)+\s*", s):
         raise ValueError(f"unsupported horizon: {horizon!r}")
-    n, unit = int(m.group(1)), m.group(2)
-    return n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit] * 1000
+    return sum(
+        int(n) * units[u]
+        for n, u in re.findall(rf"(\d+)\s*({unit_re})s?", s)
+    )
 
 
 def neardup_curated_stream(
@@ -174,7 +191,10 @@ def neardup_curated_stream(
     when the watermark passes that, the whole entry drops (the
     realert_suppressed pattern). Semantics match
     ``dropDuplicatesWithinWatermark``: dedupe against anything still in
-    state, first arrival (event time, then doc_id) wins."""
+    state, first arrival (event time, then doc_id) wins, and rows below
+    the watermark are dropped in-operator — never emitted, never added
+    to state — even if the engine's own late-row filter let one
+    through."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -250,6 +270,21 @@ def neardup_curated_stream(
             sims = [s for s, _ in kept]
             ts_ms = [t for _, t in kept]
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # drop rows below the watermark (ADVICE r05): Spark's stateful
+        # late-row filter normally removes them before the operator ever
+        # runs, but matching dropDuplicatesWithinWatermark's contract
+        # must not DEPEND on that — a late re-ingest of expired content
+        # that slipped through would otherwise be emitted AND seed state
+        # with an already-expired signature
+        if wm_ms > 0:
+            rows = rows[rows["ev_ms"] >= wm_ms]
+        if rows.empty:
+            if sims:
+                state.update((sims, ts_ms))
+                state.setTimeoutTimestamp(max(max(ts_ms) + horizon_ms, wm_ms + 1))
+            elif state.exists:
+                state.remove()
+            return
         rows = rows.sort_values(["ev_ms", "doc_id"]).reset_index(drop=True)
         dup = []
         for sim, ev in zip(rows["simhash"], rows["ev_ms"]):

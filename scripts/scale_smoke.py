@@ -16,6 +16,7 @@ Writes nothing outside /tmp; prints one JSON line per op + a summary.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -48,6 +49,54 @@ OPS = [
 ]
 
 
+#: embedding-table operators (VERDICT r05 item 6): each entry is
+#: (label, fn(spark, sf_dir, k)) where k=1 is the untouched sf0.1
+#: baseline and k>1 runs against the drifted K-times corpus with the
+#: operator's own documented scale knob matched to the corpus growth —
+#: occupancy-constant schedules, so a flat per-bucket/per-cell join is a
+#: measured property instead of a docstring claim.
+def _emb_op_dd05(spark, sf_dir, k):
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _NEARDUP_BITS,
+        dd05_embedding_neardup,
+    )
+
+    # +log2(K) hyperplane bits per table keeps expected bucket occupancy
+    # flat as the corpus grows (the docstring's "tune bits with corpus
+    # size" discipline)
+    bits = _NEARDUP_BITS + (max(0, round(math.log2(k))) if k > 1 else 0)
+    return dd05_embedding_neardup(spark, sf_dir, bits=bits)
+
+
+def _emb_op_dd10(spark, sf_dir, k):
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _IVF_CELLS,
+        dd10_semantic_dedup,
+    )
+
+    # cells proportional to corpus size == constant cell occupancy ==
+    # linear total within-cell join work (dd10's cell-count scale knob)
+    return dd10_semantic_dedup(spark, sf_dir, cells=_IVF_CELLS * k)
+
+
+def _emb_op_nn06(spark, sf_dir, k):
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        nn06_residual_ivfpq,
+    )
+
+    # fixed cells/probes: the probed candidate stream is a constant
+    # FRACTION of the corpus, so the Arrow scale path should scale
+    # linearly with no knob change
+    return nn06_residual_ivfpq(spark, sf_dir, impl="arrow")
+
+
+EMB_OPS = [
+    ("dd05_embedding_neardup", _emb_op_dd05),
+    ("dd10_semantic_dedup", _emb_op_dd10),
+    ("nn06_residual_ivfpq_arrow", _emb_op_nn06),
+]
+
+
 def build_scaled(spark, k: int, out_dir: str) -> None:
     """K near-dup-perturbed copies of the corpus, ids disjoint."""
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
@@ -76,11 +125,65 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
         .withColumn("n_chars", F.length("text"))
     )
     copies.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
-    # the non-document tables are referenced by some composed plans;
+    # embeddings: K drifted copies per vector with GROWING per-copy
+    # noise (copy c gets noise of relative magnitude 0.4 + 0.25*c), so
+    # any base spawns a BOUNDED band of mutual near-dups at the 0.4
+    # cosine threshold (~13 pairs per base, independent of K) instead
+    # of a K-clique — realistic dup structure whose pair count grows
+    # linearly with the corpus, which is what lets the ratio gate tell
+    # a quadratic candidate stage from honest dup growth. The noise
+    # components come from Murmur3 (F.hash) over (vec_id, copy, dim) —
+    # deterministic AND decorrelated across bases; a first cut used
+    # phase-shifted cos(vec_id*a + i*b) curves, which are mutually
+    # correlated at corr=cos(Δphase), so every high-noise copy of EVERY
+    # base drifted toward one shared direction and the "bounded band"
+    # became a 40k-wide cross-base clique (120M pairs at K=20).
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    m = emb.count()
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    ecopies = (
+        emb.crossJoin(spark.range(k).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") + F.col("copy") * (m * 10)).alias("vec_id"),
+            vd.alias("v"),
+            "copy",
+            "label",
+        )
+        .withColumn(
+            "nrm", F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("copy") == 0, F.col("v"))
+            .otherwise(
+                # noise vector of ~unit RMS per dim, scaled to
+                # (0.4 + 0.25*copy) * |v| overall (dim 64 -> norm of the
+                # cos() noise ~ sqrt(64/2))
+                F.transform(
+                    "v",
+                    lambda x, i: x
+                    + (0.4 + 0.25 * F.col("copy"))
+                    * F.col("nrm")
+                    # uniform [-1, 1] per (vec_id, copy, dim): RMS 1/sqrt(3),
+                    # so the 64-dim noise norm ~ sqrt(64/3)
+                    / math.sqrt(64.0 / 3.0)
+                    * (
+                        (F.pmod(F.hash(F.col("vec_id"), F.col("copy"), i), F.lit(2001)) - 1000)
+                        / 1000.0
+                    ),
+                )
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+            "label",
+        )
+    )
+    ecopies.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # the remaining tables are referenced by some composed plans;
     # link them through unchanged
     for t in [
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "embeddings",
+        "orders", "lineitem", "events",
     ]:
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
             "overwrite"
@@ -190,10 +293,38 @@ def main() -> None:
         }
         print(json.dumps({"op": name, **results[name]}), flush=True)
 
+    # embedding-side operators (VERDICT r05 item 6): baseline on the
+    # untouched sf0.1 embeddings, Kx on the drifted corpus with each
+    # op's scale knob matched to the growth (see EMB_OPS)
+    for label, fn in EMB_OPS:
+        t0 = time.monotonic()
+        base_rows = fn(spark, BASE, 1).count()
+        base_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        big_rows = fn(spark, out_dir, k).count()
+        big_s = time.monotonic() - t0
+        ratio = big_s / base_s if base_s > 0 else float("inf")
+        results[label] = {
+            "base_s": round(base_s, 2),
+            f"x{k}_s": round(big_s, 2),
+            "ratio": round(ratio, 1),
+            "rows": [base_rows, big_rows],
+        }
+        print(json.dumps({"op": label, **results[label]}), flush=True)
+
     skew = skew_scenario(spark, out_dir)
     print(json.dumps({"op": "skewed_join_salted_vs_naive", **skew}), flush=True)
 
     worst = max(results.items(), key=lambda kv: kv[1]["ratio"])
+    # The skew scenario gets its OWN ok flag (ADVICE r05): on small K or
+    # few-core boxes the salting overhead can legitimately leave the
+    # salted join at parity, and that should not flip an otherwise
+    # healthy linear-scaling run red. Parity tolerance 0.9; the skew
+    # gate only binds once the hot side is big enough for one reducer
+    # to actually be the bottleneck.
+    skew_binding = k >= 10  # hot side ~0.9*K*|docs| rows — big enough
+    # for the single overloaded reducer to dominate only at real K
+    skew_ok = (skew["speedup"] >= 0.9) if skew_binding else True
     print(
         json.dumps(
             {
@@ -205,7 +336,8 @@ def main() -> None:
                 # anything well beyond K signals a quadratic stage
                 "linear_bound": k * 2,
                 "skew_speedup": skew["speedup"],
-                "ok": worst[1]["ratio"] <= k * 2 and skew["speedup"] > 1.0,
+                "skew_ok": skew_ok,
+                "ok": worst[1]["ratio"] <= k * 2,
             }
         ),
         flush=True,

@@ -345,3 +345,76 @@ def test_nn07_rotation_is_parity_on_isotropic_data(spark, sf):
         f"rotated quantization error {rotated:.4f} drifted >5% above flat "
         f"{flat:.4f} at {sf} — the rotation is supposed to be neutral here"
     )
+
+
+def test_dd10_semdedup_dup_recall_vs_exact_and_dd05(spark, tmp_path):
+    """VERDICT r05 item 3: SemDeDup's cross-cell miss rate, MEASURED.
+
+    Build a corpus with real dup structure (two noisy copies of every
+    even-id sf0.01 vector, seeded — copies sit at cosine ~0.9 / ~0.7 to
+    their base, well above the 0.4 threshold), then:
+
+    - cross-operator exactness: dd10 with cells=1 (confinement removed)
+      must produce EXACTLY the drop set dd05's exact all-pairs verdict
+      implies (a vector drops iff it has a smaller-id partner within
+      the threshold) — the two operators' dup semantics are the same
+      contract, verified operator-against-operator;
+    - the cell-confined default can only lose cross-cell dups (nesting);
+    - dup-recall of the confined default vs the exact set is GATED at
+      0.65 — measured 0.79 on this corpus, floor ~0.1 below, the same
+      margin discipline as the ANN operating-point gates above. The
+      docstring tradeoff ("cross-cell near-dups are missed by
+      construction") is now a number, not an assertion."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd10_semantic_dedup,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
+    rng = np.random.default_rng(11)
+    X = np.array([list(e) for e in t.embedding], dtype=np.float64)
+    dim = X.shape[1]
+    recs = [
+        (int(v), list(map(float, X[i])), int(t.label[i]))
+        for i, v in enumerate(t.vec_id)
+    ]
+    for i, v in enumerate(t.vec_id):
+        if v % 2:
+            continue
+        for c in (1, 2):
+            noise = rng.standard_normal(dim)
+            noise *= 0.5 * np.linalg.norm(X[i]) / np.linalg.norm(noise) * c
+            recs.append(
+                (
+                    int(v + c * 100_000),
+                    list(map(float, X[i] + noise)),
+                    int(t.label[i]),
+                )
+            )
+    spark.createDataFrame(
+        recs, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    sf = str(tmp_path)
+
+    exact = {
+        r.vec_id for r in dd10_semantic_dedup(spark, sf, cells=1).collect()
+        if not r.keep
+    }
+    dd05_drop = {
+        max(r.a_id, r.b_id)
+        for r in dd05_embedding_neardup(spark, sf, bits=0, tables=1).collect()
+    }
+    assert exact, "perturbed corpus produced no dups — fixture broken"
+    assert exact == dd05_drop, (
+        "dd10(cells=1) and dd05-exact disagree on the dup set: "
+        f"{len(exact)} vs {len(dd05_drop)}"
+    )
+
+    approx = {
+        r.vec_id for r in dd10_semantic_dedup(spark, sf).collect() if not r.keep
+    }
+    assert approx <= exact, "cell confinement invented a dup"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.65, f"dd10 dup-recall={recall:.2f} < 0.65"

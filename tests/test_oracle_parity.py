@@ -40,6 +40,22 @@ def test_entry_smoke(spark):
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
+@pytest.mark.parametrize("epoch", [1, 3])
+def test_ds08_curriculum_exact_for_any_epoch(epoch, spark, sf_dir, ddb):
+    """ADVICE r05: the registry oracle binds epoch=0 (the driver's
+    call), but the operator exposes an epoch kwarg — the oracle builder
+    must describe the same plan for any epoch, verified by replaying it
+    with the epoch substituted."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ds08_sql,
+        ds08_curriculum_order,
+    )
+
+    actual = ds08_curriculum_order(spark, sf_dir, epoch=epoch).toPandas()
+    expected = ddb.execute(_ds08_sql(epoch=epoch)).fetchdf()
+    assert_frames_match(actual, expected, f"ds08@epoch={epoch}")
+
+
 @pytest.mark.parametrize("budget", [7, 384, 500])
 def test_ds02_packing_exact_for_any_budget(budget, spark, sf_dir, ddb):
     """ADVICE r02: pack_id must use integer division so parity holds for

@@ -415,3 +415,24 @@ def test_late_row_does_not_kill_the_neardup_query(spark, tmp_path):
     )
     q4.awaitTermination(120)
     assert 4 in {r["doc_id"] for r in got}, "stream died after the late row"
+
+
+def test_interval_ms_accepts_sparks_interval_grammar():
+    """ADVICE r05: any horizon string curated_stream's withWatermark
+    accepts must also parse here — compound multi-unit terms and the
+    ms/week units included. Variable-length units stay rejected (no
+    fixed millisecond value)."""
+    import pytest
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        _interval_ms,
+    )
+
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("90 minutes 30 seconds") == 90 * 60_000 + 30_000
+    assert _interval_ms("500 milliseconds") == 500
+    assert _interval_ms("2 weeks 1 day") == 2 * 604_800_000 + 86_400_000
+    assert _interval_ms(" 10  Minutes ") == 600_000
+    for bad in ("1 month", "3 years", "soon", "10", "minutes 10"):
+        with pytest.raises(ValueError):
+            _interval_ms(bad)
