@@ -1151,8 +1151,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            for a fourth row; the 7 single-green round-5 arrivals
 #            (nn06, dd09, txt07, cp02, ds08, dd10, nn07) and the 13
 #            r04 arrivals (now double-green) stay in-window; the new
-#            nn08_recall_gate needs its first row. Registry 82 =
-#            window 50 + tail 32.
+#            nn08_recall_gate (ANN recall as a hash-verified row) and
+#            ds09_weighted_sample (deterministic importance sampling)
+#            need first rows, with x19_geo_struct (triple-green)
+#            parked to fund the second slot. Registry 83 =
+#            window 50 + tail 33.
 #   round 7+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1200,9 +1203,11 @@ _ROTATION_TAIL = [
     "ct02_decontaminated_train",
     # deliberate swaps vs the --propose-tail base set (see schedule):
     # st01 stays in-window until its retuned row is green with rows>0;
-    # these two triple-greens park instead.
+    # these three triple-greens park instead (x19 makes room for the
+    # new ds09_weighted_sample entry).
     "dd08_simhash_neardup",
     "ud2_spec_extraction",
+    "x19_geo_struct",
 ]
 
 

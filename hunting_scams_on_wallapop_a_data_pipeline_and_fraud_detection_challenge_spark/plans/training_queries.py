@@ -4415,6 +4415,7 @@ def dd10_semantic_dedup(
     *,
     threshold: float = _NEARDUP_COS,
     cells: int = _IVF_CELLS,
+    impl: str = "sql",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup with the pair
     search confined to k-means CELLS of the embedding space instead of
@@ -4432,10 +4433,32 @@ def dd10_semantic_dedup(
     Scale shape: assignment happens in the scan projection (one fold
     over the centroid literal per row, nn06's normalized space); the
     within-cell self-join is the only shuffle, bounded by cell
-    occupancy (size cells ~sqrt(corpus) so cell joins stay flat as
-    data grows); the dup-id set collapses distinct map-side and comes
+    occupancy; the dup-id set collapses distinct map-side and comes
     back as a broadcast-sized left join. The seeded fit replays in the
-    oracle, so every keep/drop verdict is hash-verified."""
+    oracle, so every keep/drop verdict is hash-verified.
+
+    Cost law (measured, scripts/scale_smoke.py K=20): assignment costs
+    rows*cells, the cell join costs rows*occupancy = rows^2/cells —
+    the optimal single-level schedule is cells ~ sqrt(rows), where
+    BOTH terms are Θ(rows^1.5). That is single-level SemDeDup's
+    inherent cost, and the smoke gates it against 2*K^1.5 (not the
+    linear bound the banded/bucketed dedups meet). An
+    occupancy-constant cells ~ rows schedule does NOT help: it makes
+    the join linear but the assignment fold quadratic. Going below
+    n^1.5 requires a hierarchical (coarse->fine) quantizer for the
+    assignment — the standard FAISS-style extension, out of scope for
+    the oracle-pinned single-level form.
+
+    ``impl="arrow"`` cuts the CONSTANT of both n^1.5 terms (same law,
+    same verdicts — the nn-family twin architecture): assignment is
+    one (batch, cells) numpy distance reduction per Arrow batch, and
+    the within-cell pair search becomes a per-cell gram matrix in
+    ``applyInPandas`` instead of a self-join of interpreted dot folds.
+    Equivalence-gated on (vec_id, cell, keep) in
+    tests/test_scale_paths.py; the SQL form stays the oracle
+    subject."""
+    if impl == "arrow":
+        return _dd10_arrow(spark, sf_dir, threshold=threshold, cells=cells)
     emb = _t(spark, sf_dir, "embeddings")
     cents = _fit_centroids(
         [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
@@ -4471,6 +4494,79 @@ def dd10_semantic_dedup(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.col("is_dup").isNull().alias("keep"),
+    )
+
+
+def _dd10_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _NEARDUP_COS,
+    cells: int = _IVF_CELLS,
+) -> DataFrame:
+    """Vectorized SemDeDup (see dd10 docstring): per Arrow batch, one
+    (n, cells) distance reduction assigns cells (argmin = first-lowest
+    cell on ties, the SQL form's tie rule); then ONE shuffle by cell
+    and a per-cell gram matrix decides keep/drop — a vector drops iff
+    any smaller-id cell-mate is within the cosine threshold, read
+    straight off the matrix's lower triangle. Corpus-side guards match
+    `_normalized_vn_base` (NULL/wrong-dim/zero-norm rows dropped)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = np.asarray(
+        _fit_centroids(
+            [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
+            k=cells,
+        ),
+        dtype=np.float64,
+    )
+    dim = C.shape[1]
+
+    def assign(batches):
+        for pdf in batches:
+            ok = pdf["embedding"].map(
+                lambda e: e is not None and len(e) == dim
+            )
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            V = np.asarray([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            nrm = np.sqrt((V**2).sum(1))
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            Vn = V[keep] / nrm[keep, None]
+            ids = pdf["vec_id"].to_numpy()[keep]
+            cell = ((Vn[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cell.astype("int32"),
+                    "vn": list(Vn),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cell int, vn array<double>"
+    )
+
+    def per_cell(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.asarray(list(pdf["vn"]), dtype=np.float64)
+        G = X @ X.T
+        dup = [bool((G[:j, j] >= threshold).any()) for j in range(len(pdf))]
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "keep": [not d for d in dup],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, "vec_id bigint, cell int, keep boolean"
     )
 
 
@@ -4823,3 +4919,77 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted Bernoulli sampling — deterministic importance sampling
+# ---------------------------------------------------------------------------
+#: universal-hash seed for the sampling coin (ds04's seeded family)
+_WS_SEED = 1
+
+
+def _ds09_sql(seed: int = _WS_SEED) -> str:
+    # parameterized on the seed from day one (the ds08 ADVICE lesson):
+    # the registry binds the zero-arg default, tests replay other seeds
+    from ..functions.hashing import M31, sql_hmod, sql_seeded
+    from ..functions.textstats import sql_quality_score, sql_tokens
+
+    q = sql_quality_score("text")
+    return f"""
+    SELECT doc_id, lang, source,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           round(q + 1e-6, 4) AS quality
+    FROM (
+        SELECT doc_id, lang, source,
+               len({sql_tokens("text")}) AS n_tok,
+               {q} AS q,
+               {sql_seeded(sql_hmod("CAST(doc_id AS VARCHAR)"), str(seed))} AS h
+        FROM documents)
+    WHERE h < CAST(floor(q * q * {M31}) AS BIGINT)
+    """
+
+
+@query("ds09_weighted_sample", oracle=_ds09_sql, ops=("DS-WEIGHTED-SAMPLE",))
+def ds09_weighted_sample(
+    spark: SparkSession, sf_dir: str, *, seed: int = _WS_SEED
+) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: every document keeps with
+    probability quality^2 — the importance-sampling pass modern corpus
+    recipes run between filtering and mixing (sample good data MORE
+    OFTEN rather than hard-thresholding it away; squaring sharpens the
+    weight toward the high-quality tail). The coin is DETERMINISTIC:
+    a seeded universal hash of the doc id (ds04's portable family)
+    compared against floor(q^2 * M31), so re-runs, backfills and both
+    engines make the identical keep decision on every row — sampling
+    as reproducible data lineage, not RNG. Changing ``seed`` redraws
+    an independent sample (epoch resampling), replayed in the oracle
+    builder for any seed.
+
+    Scale shape (100 TB): a pure scan-side projection + filter — NO
+    shuffle, no state, no dictionary; quality score, token count, hash
+    and threshold all live in one whole-stage-codegen span, and the
+    filter prunes at the scan. The acceptance test is integer-vs-
+    integer (floor of an IEEE product of the bit-identical quality
+    score), so cross-engine parity is exact."""
+    from ..functions.hashing import M31, hmod, seeded
+    from ..functions.textstats import quality_score, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+            q.alias("q"),
+            seeded(hmod(F.col("doc_id").cast("string")), F.lit(seed)).alias("h"),
+        )
+        .filter(
+            F.col("h")
+            < F.floor(F.col("q") * F.col("q") * F.lit(M31)).cast("bigint")
+        )
+        .select(
+            "doc_id", "lang", "source", "n_tok", _r(F.col("q"), 4).alias("quality")
+        )
+    )

@@ -56,6 +56,21 @@ def test_ds08_curriculum_exact_for_any_epoch(epoch, spark, sf_dir, ddb):
     assert_frames_match(actual, expected, f"ds08@epoch={epoch}")
 
 
+@pytest.mark.parametrize("seed", [2, 9])
+def test_ds09_weighted_sample_exact_for_any_seed(seed, spark, sf_dir, ddb):
+    """The sampling coin must redraw an INDEPENDENT but equally
+    hash-exact sample for any seed (epoch resampling) — the oracle
+    builder is parameterized, replayed here off the registry default."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ds09_sql,
+        ds09_weighted_sample,
+    )
+
+    actual = ds09_weighted_sample(spark, sf_dir, seed=seed).toPandas()
+    expected = ddb.execute(_ds09_sql(seed=seed)).fetchdf()
+    assert_frames_match(actual, expected, f"ds09@seed={seed}")
+
+
 @pytest.mark.parametrize("budget", [7, 384, 500])
 def test_ds02_packing_exact_for_any_budget(budget, spark, sf_dir, ddb):
     """ADVICE r02: pack_id must use integer division so parity holds for

@@ -24,6 +24,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 #: added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
     "nn08_recall_gate",
+    "ds09_weighted_sample",
 }
 
 #: Single-green entries (first row earned in r05) — the schedule keeps

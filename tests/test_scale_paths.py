@@ -622,3 +622,24 @@ def test_nn07_arrow_path_matches_sql_path(spark, sf_dir):
         a_vec, a_cos = arrow_rows[key]
         assert a_vec == vec_id, f"rank mismatch at {key}"
         assert abs(a_cos - cos) < 1e-6, f"adc drift at {key}"
+
+
+def test_dd10_arrow_path_matches_sql_path(spark, sf_dir):
+    """The vectorized SemDeDup path must reproduce the oracle-pinned
+    SQL form VERDICT-FOR-VERDICT: same cell assignment (argmin ==
+    lowest-cell tie rule), same keep/drop for every vector — the gram
+    matrix's lower triangle is exactly the self-join's a < b pair
+    set."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd10_semantic_dedup,
+    )
+
+    sql_rows = {
+        r.vec_id: (r.cell, r.keep)
+        for r in dd10_semantic_dedup(spark, sf_dir).collect()
+    }
+    arrow_rows = {
+        r.vec_id: (r.cell, r.keep)
+        for r in dd10_semantic_dedup(spark, sf_dir, impl="arrow").collect()
+    }
+    assert sql_rows == arrow_rows
