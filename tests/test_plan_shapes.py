@@ -319,3 +319,23 @@ def test_cp02_text_never_shuffles(spark, sf_dir):
     assert payloads, "no exchanges found — plan parse failed?"
     for p in payloads:
         assert "text#" not in p, f"exchange carries raw text: {p}"
+
+
+def test_ds09_weighted_sample_is_shuffle_free(spark, sf_dir):
+    """Quality-weighted sampling is a pure scan projection + filter: no
+    exchange anywhere (the whole op is one codegen span over the scan),
+    and the documents scan reads only the columns the sample needs."""
+    plan = _plan(spark, sf_dir, "ds09_weighted_sample")
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read and "doc_id" in read
+    assert "n_chars" not in read
+
+
+def test_nn08_recall_gate_joins_broadcast_the_exact_set(spark, sf_dir):
+    """The recall gate's six hit-counting joins probe the 50-row exact
+    answer as broadcasts — no sort-merge join may appear anywhere in
+    the composed plan."""
+    plan = _plan(spark, sf_dir, "nn08_recall_gate")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
