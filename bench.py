@@ -74,35 +74,32 @@ HEADLINE = [
     "cp02_tokenizer_prep_pipeline",
     "dd10_semantic_dedup",
     "nn07_opq_pq",
+    # round-7 addition: hierarchical (coarse->fine) SemDeDup — the
+    # sub-n^1.5 assignment path
+    "dd11_hierarchical_semdedup",
 ]
 
-def bench_streaming_neardup_drain(spark, sf_dir):
-    """AvailableNow drain of a fixed landing corpus through the
-    near-dup (simhash-band) ingest stream — VERDICT r05 item 8: the
-    stateful streaming path gets a round-over-round number so state
-    overhead regressions surface like any other plan's.
+#: landing-corpus recipe version — part of the cache path, so editing
+#: the slice/dup recipe below rebuilds the corpus instead of silently
+#: benching a stale one (ADVICE r06)
+_LANDING_RECIPE = "v2"
 
-    The landing corpus derives deterministically from sf_dir's
-    documents — a fixed 1-in-5 doc_id slice (bounded: the bench tracks
-    per-doc state overhead, which a bigger corpus would only multiply),
-    with every 10th sliced doc re-ingested 30 minutes later inside the
-    dedupe horizon so the band state takes real hits — and is built
-    once per SF; every timed run drains it end-to-end with a FRESH
-    checkpoint, so the measurement covers the full stateful lifecycle —
-    band explode, applyInPandasWithState, verdict fold — not a warm
-    no-op resume. Returns a trivial DataFrame (the drain happens in the
-    function body, inside the timed window)."""
+
+def _ensure_neardup_landing(spark, sf_dir) -> str:
+    """Build (once per SF per recipe) the deterministic landing corpus
+    the streaming-drain bench drains: a fixed 1-in-5 doc_id slice of
+    sf_dir's documents (bounded: the bench tracks per-doc state
+    overhead, which a bigger corpus would only multiply), with every
+    10th sliced doc re-ingested 30 minutes later inside the dedupe
+    horizon so the band state takes real hits. Called at warm-up time
+    so the corpus build never lands inside a timed window (ADVICE r06:
+    it used to inflate sample 1 — and the median at BENCH_RUNS=1)."""
     import shutil
-    import uuid
 
     from pyspark.sql import functions as F
 
-    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
-        start_neardup_ingest_query,
-    )
-
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    landing = f"/tmp/bench_neardup_landing_{tag}"
+    landing = f"/tmp/bench_neardup_landing_{_LANDING_RECIPE}_{tag}"
     if not os.path.exists(f"{landing}/_SUCCESS"):
         shutil.rmtree(landing, ignore_errors=True)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
@@ -124,6 +121,30 @@ def bench_streaming_neardup_drain(spark, sf_dir):
             ).alias("ingest_ts"),
         )
         first.unionByName(dups).coalesce(8).write.mode("overwrite").json(landing)
+    return landing
+
+
+def bench_streaming_neardup_drain(spark, sf_dir):
+    """AvailableNow drain of a fixed landing corpus through the
+    near-dup (simhash-band) ingest stream — VERDICT r05 item 8: the
+    stateful streaming path gets a round-over-round number so state
+    overhead regressions surface like any other plan's.
+
+    The landing corpus comes from ``_ensure_neardup_landing`` (built at
+    warm-up, outside any timed window); every timed run drains it
+    end-to-end with a FRESH checkpoint, so the measurement covers the
+    full stateful lifecycle — band explode, applyInPandasWithState,
+    verdict fold — not a warm no-op resume. Returns a trivial DataFrame
+    (the drain happens in the function body, inside the timed
+    window)."""
+    import shutil
+    import uuid
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_neardup_ingest_query,
+    )
+
+    landing = _ensure_neardup_landing(spark, sf_dir)
     ckpt = f"/tmp/bench_neardup_ckpt_{uuid.uuid4().hex}"
     survivors = []
     try:
@@ -191,6 +212,9 @@ def main() -> None:
                 fn(spark, warm_dir, **kw).count()
             except Exception:
                 pass
+    # the streaming drain's landing corpus builds here, NOT inside its
+    # first timed run (ADVICE r06)
+    _ensure_neardup_landing(spark, sf_dir)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     runs = [(name, name, {}) for name in HEADLINE if name in REGISTRY] + [
@@ -217,9 +241,8 @@ def main() -> None:
         timings[label] = round(med, 3)
         spreads[label] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
+    payload = json.dumps(
+        {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -235,8 +258,17 @@ def main() -> None:
                 ),
                 "spread": spreads,
             }
-        )
     )
+    print(payload)
+    # Durable copy (VERDICT r06 item 6): the driver's stored BENCH tail
+    # head-truncates the queries dict, so persist the FULL line in-repo
+    # where round-over-round numbers survive without a judge re-run.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_latest.json"), "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

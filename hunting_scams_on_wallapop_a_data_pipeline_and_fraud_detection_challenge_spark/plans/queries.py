@@ -1156,7 +1156,20 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            need first rows, with x19_geo_struct (triple-green)
 #            parked to fund the second slot. Registry 83 =
 #            window 50 + tail 33.
-#   round 7+ rotate a different set of multi-greens back (use
+#   round 7  tail: the 33 four-green entries `--propose-tail` picked
+#            (the 27 r05-parked entries that took their fourth row in
+#            r06, plus a06/a07/a11/w01/f01/f05 at four greens) with ONE
+#            deliberate addition: ud2_spec_extraction (triple-green, the
+#            single most expensive SQL entry) stays parked to fund the
+#            window slot for the new dd11_hierarchical_semdedup (the
+#            sub-n^1.5 SemDeDup assignment, needs a first row). The 26
+#            r06-parked entries rotate back in (fourth/fifth rows); the
+#            r06 arrivals nn08/ds09 and st01 (single non-vacuous green)
+#            stay in-window for their second rows, and the seven r05
+#            arrivals (nn06, dd09, txt07, cp02, ds08, dd10, nn07 —
+#            double-green) stay in for third rows. Registry 84 =
+#            window 50 + tail 34.
+#   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
 #
@@ -1171,43 +1184,43 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # parked entries summed to ~2 s, so the window grows ~11 s — well inside
 # the driver's per-run budget (r02's window ran ~90 s total).
 _ROTATION_TAIL = [
+    "a01_grouped_price_stats",
+    "a02_component_stats",
+    "a03_secondary_segment_stats",
+    "a05_review_stats_per_user",
+    "a08_price_histogram",
+    "a09_risk_buckets",
+    "a10_heatmap_share",
+    "a12_top_terms_other",
+    "a13_minmax_metrics",
+    "w02_topk_by_last_value",
+    "w03_global_share",
+    "k03_hidden_price_max",
+    "u12_token_set_ops",
+    "txt01_language_id",
+    "dd01_exact_dedup",
+    "dd02_minhash_lsh_pairs",
+    "dd03_simhash",
+    "dd04_ngram_jaccard_pairs",
+    "nn01_cosine_topk",
+    "dd07_cluster_survivors",
+    "ds01_stratified_sample",
+    "ds02_sequence_packing",
+    "ct01_benchmark_contamination",
+    "rep01_repetition_scores",
+    "pii01_redact_props",
+    "nn03_ivf_ann",
+    "ud1_spam_truncate",
     "a06_weighted_zscore",
     "a07_daily_activity",
     "a11_top_users",
     "w01_last_value_per_group",
     "f01_freshness_filter",
     "f05_market_segmentation",
-    "f07_keyword_filter",
-    "j01_fallback_stats_join",
-    "j03_enrichment_join",
-    "txt02_quality_scores",
-    "txt03_fingerprint",
-    "x15_risk_assembly",
-    "x22_factor_normalize",
-    "x22_painless_normalizer",
-    "x21_runtime_fields",
-    "f08_gated_enrichment",
-    "k01_newest_first_cap",
-    "a04_stats_export",
-    "x02_hidden_price_structured",
-    "f09_nested_json_projection",
-    "f06_condition_normalize",
-    "k45_best_component",
-    "x18_badge_scan",
-    "nn02_lsh_ann",
-    "dd05_embedding_neardup",
-    "dd06_neardup_clusters",
-    "mm01_media_features",
-    "ds03_leakage_safe_split",
-    "ds04_training_order",
-    "ct02_decontaminated_train",
-    # deliberate swaps vs the --propose-tail base set (see schedule):
-    # st01 stays in-window until its retuned row is green with rows>0;
-    # these three triple-greens park instead (x19 makes room for the
-    # new ds09_weighted_sample entry).
-    "dd08_simhash_neardup",
+    # deliberate addition vs the --propose-tail base set (see schedule):
+    # ud2 (triple-green, the most expensive SQL entry in any window)
+    # stays parked to fund the slot for the new dd11 entry.
     "ud2_spec_extraction",
-    "x19_geo_struct",
 ]
 
 

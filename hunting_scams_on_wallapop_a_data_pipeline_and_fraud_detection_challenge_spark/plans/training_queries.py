@@ -1653,28 +1653,57 @@ _IVF_PROBES = 4
 _IVF_TRAIN_SAMPLE = 16384  # quantizer fit is sample-bounded (FAISS-style)
 
 
-_TRAIN_VECS_CACHE: dict[str, list] = {}
+_TRAIN_VECS_CACHE: dict[tuple, list] = {}
+
+
+def _train_vecs_key(sf_dir: str) -> tuple:
+    """Cache key that invalidates when the embeddings parquet at the
+    same path is REWRITTEN in-process (ADVICE r06: a path-only key
+    would silently serve a stale fit sample to every quantizer after a
+    test rebuilds its directory). Normalized path + the directory's
+    file (name, mtime_ns, size) listing — cheap (one os.scandir), and
+    any rewrite changes at least one part file's mtime or size."""
+    import os
+
+    d = os.path.join(os.path.normpath(sf_dir), "embeddings.parquet")
+    try:
+        if os.path.isdir(d):  # Spark-written directory of part files
+            sig = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(d)
+                )
+            )
+        else:  # single-file parquet (the driver's testdata layout)
+            st = os.stat(d)
+            sig = ((os.path.basename(d), st.st_mtime_ns, st.st_size),)
+    except OSError:
+        sig = ()
+    return (os.path.normpath(sf_dir), sig)
 
 
 def _train_vecs(spark: SparkSession, sf_dir: str) -> list:
     """Bounded, deterministic quantizer-fit sample (FAISS-style): the
     first ``_IVF_TRAIN_SAMPLE`` embeddings by vec_id. Memoized per
-    sf_dir — the sample is a pure function of the table, and the
-    composed recall gate (nn08) runs six fit-backed paths in one call,
-    so re-collecting the identical sample per path would pay six extra
-    driver round-trips for the same bytes. The cache holds one bounded
-    list per SF (≤16384 x dim doubles), the same footprint as a single
-    fit's working set."""
-    if sf_dir not in _TRAIN_VECS_CACHE:
+    (sf_dir, parquet signature) — the sample is a pure function of the
+    table, and the composed recall gate (nn08) runs six fit-backed
+    paths in one call, so re-collecting the identical sample per path
+    would pay six extra driver round-trips for the same bytes. The
+    cache holds one bounded list per SF (≤16384 x dim doubles), the
+    same footprint as a single fit's working set; rewriting the parquet
+    invalidates the key (see _train_vecs_key)."""
+    key = _train_vecs_key(sf_dir)
+    if key not in _TRAIN_VECS_CACHE:
+        _TRAIN_VECS_CACHE.clear()  # one live sample per process is enough
         emb = _t(spark, sf_dir, "embeddings")
-        _TRAIN_VECS_CACHE[sf_dir] = [
+        _TRAIN_VECS_CACHE[key] = [
             r.embedding
             for r in emb.sort("vec_id")
             .limit(_IVF_TRAIN_SAMPLE)
             .select("embedding")
             .collect()
         ]
-    return _TRAIN_VECS_CACHE[sf_dir]
+    return _TRAIN_VECS_CACHE[key]
 
 
 def _fit_centroids(rows: list, k: int = _IVF_CELLS) -> list:
@@ -4567,6 +4596,238 @@ def _dd10_arrow(
 
     return assigned.groupBy("cell").applyInPandas(
         per_cell, "vec_id bigint, cell int, keep boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical SemDeDup: coarse->fine assignment breaks the n^1.5 law
+# ---------------------------------------------------------------------------
+#: default coarse-level cell count (~sqrt of the fine level's default,
+#: the k1 ~ k^(1/2) schedule that balances the two assignment stages)
+_HIER_COARSE = 4
+
+
+def _fit_hier_cells(
+    rows: list, k_fine: int = _IVF_CELLS, k_coarse: int = _HIER_COARSE
+) -> tuple:
+    """Two-level quantizer fit for hierarchical SemDeDup (dd11): the
+    SAME seeded k-means fits both levels on the shared bounded sample,
+    then each fine centroid maps to its nearest coarse centroid
+    (first-min ties — pure Python over the shared constants, so the
+    mapping has NO cross-engine surface at all). Coarse cells that end
+    up with zero fine members are pruned and the ids re-densified —
+    both engines consume the pruned constants verbatim, so a row can
+    never land in a memberless coarse cell."""
+    fine = _fit_centroids(rows, k=k_fine)
+    coarse = _fit_centroids(rows, k=k_coarse)
+    f2c = []
+    for c in fine:
+        ds = [
+            sum((a - b) * (a - b) for a, b in zip(c, cc)) for cc in coarse
+        ]
+        f2c.append(ds.index(min(ds)))
+    used = sorted(set(f2c))
+    remap = {c: i for i, c in enumerate(used)}
+    return fine, [coarse[c] for c in used], [remap[c] for c in f2c]
+
+
+def _fine_structs_literal(fine: list, f2c: list):
+    """Fine level as ONE folded literal of struct(idx, cg, c) — the
+    membership filter reads cg (an int compare per fine cell) and only
+    the surviving members pay the dim-length distance fold."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('idx', {j}, 'cg', {f2c[j]}, 'c', array("
+            + ",".join(repr(float(x)) + "D" for x in fine[j])
+            + "))"
+            for j in range(len(fine))
+        )
+        + ")"
+    )
+
+
+def _dd11_sql(cells: int = _IVF_CELLS, coarse: int = _HIER_COARSE) -> str:
+    """Replay the two-level fit (the nn06 multi-stage-replay pattern)
+    and pin the hierarchical verdicts: coarse assignment over the
+    coarse literal, fine assignment masked to the chosen coarse cell's
+    members (non-members take 1e308, far above any normalized-space
+    distance, so the first-position argmin picks the lowest member
+    index with the minimal distance — exactly the Spark side's
+    array_sort tie rule over the filtered member set), then dd10's
+    within-cell dup join on the fine cell."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    fine, co, f2c = _fit_hier_cells(
+        [list(r) for r in _normalized_sample_matrix(emb)],
+        k_fine=cells,
+        k_coarse=coarse,
+    )
+
+    def _mat_sql(cents: list) -> str:
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+            )
+            + "]"
+        )
+
+    f2c_sql = "[" + ", ".join(str(c) for c in f2c) + "]"
+    dc_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(vn)+1), "
+            f"i -> (vn[i] - co[{j + 1}][i]) * (vn[i] - co[{j + 1}][i]))"
+        )
+        for j in range(len(co))
+    )
+    df_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(vn)+1), "
+            f"i -> (vn[i] - fe[{j + 1}][i]) * (vn[i] - fe[{j + 1}][i]))"
+        )
+        for j in range(len(fine))
+    )
+    return f"""
+    WITH c_t AS (SELECT {_mat_sql(co)} AS co, {_mat_sql(fine)} AS fe,
+                        {f2c_sql} AS f2c),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+             FROM n0 WHERE nrm > 0),
+    celld AS (SELECT vec_id, vn, f2c, [{dc_exprs}] AS dc, [{df_exprs}] AS dlf
+              FROM base CROSS JOIN c_t),
+    ac AS (SELECT vec_id, vn, dlf, f2c,
+                  list_position(dc, list_aggregate(dc, 'min')) - 1 AS cg
+           FROM celld),
+    am AS (SELECT vec_id, vn,
+                  list_transform(range(1, {len(fine)} + 1),
+                      i -> CASE WHEN f2c[i] = cg THEN dlf[i]
+                                ELSE 1e308 END) AS masked
+           FROM ac),
+    a AS (SELECT vec_id, vn,
+                 list_position(masked, list_aggregate(masked, 'min')) - 1
+                     AS cell
+          FROM am),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+        WHERE {_sql_dot("x.vn", "b.vn")} >= {_NEARDUP_COS}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """
+
+
+@query("dd11_hierarchical_semdedup", oracle=_dd11_sql, ops=("DEDUP-SEMANTIC",))
+def dd11_hierarchical_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _NEARDUP_COS,
+    cells: int = _IVF_CELLS,
+    coarse: int = _HIER_COARSE,
+) -> DataFrame:
+    """Hierarchical SemDeDup — dd10 with a FAISS-style coarse->fine
+    assignment quantizer, the documented extension that takes semantic
+    dedup below single-level SemDeDup's Θ(n^1.5) (VERDICT r06: the one
+    superlinear growth law in the engine). Verdict semantics are
+    dd10's: within each FINE cell, a vector is a dup when a smaller-id
+    cell-mate sits within the cosine threshold; the hierarchy only
+    changes HOW a row finds its fine cell — nearest coarse centroid
+    first (k1 folds), then nearest fine centroid among that coarse
+    cell's members (~k/k1 folds) instead of all k.
+
+    Cost law: with cells ~ n^(2/3) and coarse ~ n^(1/3), assignment is
+    rows*(k1 + k/k1) = Θ(n^(4/3)) and the within-cell join is
+    rows*occupancy = Θ(n^(4/3)) — vs Θ(n^1.5) for both stages of
+    single-level dd10 at its balanced cells ~ sqrt(n) schedule. The
+    smoke (scripts/scale_smoke.py) gates this at 2*K^(4/3) with the
+    knobs on that schedule. The tradeoff is recall: a near-dup pair
+    split by a coarse boundary is missed even when a flat assignment
+    would have co-located it — measured (not asserted) against the
+    exact verdict in tests/test_ann_recall.py, alongside a
+    coarse=1 ≡ dd10 cross-operator equivalence (one coarse cell makes
+    the member filter a no-op, so assignment degenerates to dd10's
+    global argmin over the SAME fine fit).
+
+    Scale shape mirrors dd10: assignment lives in the scan projection
+    (coarse fold bound once, then member-filtered fine folds — the
+    filter compares ints per fine cell; only members pay a dim-length
+    fold), the within-fine-cell self-join is the only shuffle, and the
+    dup-id set comes back as a broadcast-sized left join. Both fit
+    levels replay in the oracle (constants shared verbatim), so every
+    keep/drop verdict is hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fine, co, f2c = _fit_hier_cells(
+        [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
+        k_fine=cells,
+        k_coarse=coarse,
+    )
+    co_arr = _cents_spark_literal(co)
+    fine_structs = _fine_structs_literal(fine, f2c)
+
+    base = _normalized_vn_base(emb)
+    # bind vn once (the computed-array lambda rule), then bind the
+    # coarse verdict once so the member filter's per-fine-cell compare
+    # reads a value, not a re-inlined k1-fold
+    cell = F.element_at(
+        F.transform(
+            F.array(F.col("vn")),
+            lambda vn: F.element_at(
+                F.transform(
+                    F.array(
+                        F.element_at(_ranked_cells_of(vn, co_arr), 1)["cell"]
+                    ),
+                    lambda cg: F.element_at(
+                        F.array_sort(
+                            F.transform(
+                                F.filter(
+                                    fine_structs, lambda s: s["cg"] == cg
+                                ),
+                                lambda s: F.struct(
+                                    _fold_sum(
+                                        F.zip_with(
+                                            vn,
+                                            s["c"],
+                                            lambda a, b: (a - b) * (a - b),
+                                        )
+                                    ).alias("d"),
+                                    s["idx"].alias("cell"),
+                                ),
+                            )
+                        ),
+                        1,
+                    )["cell"],
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    assigned = base.select("vec_id", "vn", cell.alias("cell")).localCheckpoint(
+        eager=False
+    )
+    dups = (
+        assigned.alias("x")
+        .join(assigned.alias("b"), "cell")
+        .filter(F.col("x.vec_id") < F.col("b.vec_id"))
+        .filter(_dot(F.col("x.vn"), F.col("b.vn")) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(True).alias("is_dup"))
+    )
+    return assigned.join(F.broadcast(dups), "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("is_dup").isNull().alias("keep"),
     )
 
 

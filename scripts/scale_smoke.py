@@ -85,6 +85,25 @@ def _emb_op_dd10(spark, sf_dir, k):
     )
 
 
+def _emb_op_dd11(spark, sf_dir, k):
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _HIER_COARSE,
+        _IVF_CELLS,
+        dd11_hierarchical_semdedup,
+    )
+
+    # the hierarchical schedule: fine cells ~ n^(2/3) keeps occupancy
+    # (and the within-cell join) at n^(1/3) per row, coarse ~ n^(1/3)
+    # keeps the per-row assignment at k1 + k/k1 ~ n^(1/3) folds — both
+    # stages land at Θ(n^(4/3)), below single-level dd10's Θ(n^1.5)
+    return dd11_hierarchical_semdedup(
+        spark,
+        sf_dir,
+        cells=_IVF_CELLS * math.ceil(k ** (2.0 / 3.0)),
+        coarse=_HIER_COARSE * math.ceil(k ** (1.0 / 3.0)),
+    )
+
+
 def _emb_op_nn06(spark, sf_dir, k):
     from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
         nn06_residual_ivfpq,
@@ -99,12 +118,16 @@ def _emb_op_nn06(spark, sf_dir, k):
 #: (label, fn, ratio_bound(k)) — each op is gated against its DOCUMENTED
 #: growth law, not a blanket linear bound: dd05 (occupancy-matched LSH)
 #: and nn06 (constant probed fraction) are linear; single-level SemDeDup
-#: is Θ(n^1.5) at its optimal sqrt-cells schedule (see _emb_op_dd10) —
-#: going below n^1.5 needs a hierarchical coarse quantizer for the
-#: assignment, which is the documented scale extension, not this plan.
+#: is Θ(n^1.5) at its optimal sqrt-cells schedule (see _emb_op_dd10);
+#: dd11's hierarchical coarse->fine assignment — the documented scale
+#: extension — drops that to Θ(n^(4/3)) and is gated at ITS law, so a
+#: regression back to single-level cost trips the smoke.
 EMB_OPS = [
     ("dd05_embedding_neardup", _emb_op_dd05, lambda k: 2 * k),
     ("dd10_semantic_dedup", _emb_op_dd10, lambda k: 2 * k**1.5),
+    # the hierarchical assignment's improved law (VERDICT r06 item 2):
+    # gated BELOW dd10's n^1.5 at its own documented n^(4/3)
+    ("dd11_hierarchical_semdedup", _emb_op_dd11, lambda k: 2 * k ** (4.0 / 3.0)),
     ("nn06_residual_ivfpq_arrow", _emb_op_nn06, lambda k: 2 * k),
 ]
 
@@ -152,6 +175,10 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     # became a 40k-wide cross-base clique (120M pairs at K=20).
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     m = emb.count()
+    # noise-norm calibration reads the ACTUAL embedding dimension (ADVICE
+    # r06: a hardcoded 64 would silently mis-scale the near-dup band if
+    # the corpus dim ever changed, drifting every ratio gate built on it)
+    dim = len(emb.select("embedding").first()[0])
     vd = F.transform("embedding", lambda x: x.cast("double"))
     ecopies = (
         emb.crossJoin(spark.range(k).select(F.col("id").alias("copy")))
@@ -169,16 +196,15 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
             F.when(F.col("copy") == 0, F.col("v"))
             .otherwise(
                 # noise vector of ~unit RMS per dim, scaled to
-                # (0.4 + 0.25*copy) * |v| overall (dim 64 -> norm of the
-                # cos() noise ~ sqrt(64/2))
+                # (0.4 + 0.25*copy) * |v| overall
                 F.transform(
                     "v",
                     lambda x, i: x
                     + (0.4 + 0.25 * F.col("copy"))
                     * F.col("nrm")
                     # uniform [-1, 1] per (vec_id, copy, dim): RMS 1/sqrt(3),
-                    # so the 64-dim noise norm ~ sqrt(64/3)
-                    / math.sqrt(64.0 / 3.0)
+                    # so the dim-dim noise norm ~ sqrt(dim/3)
+                    / math.sqrt(dim / 3.0)
                     * (
                         (F.pmod(F.hash(F.col("vec_id"), F.col("copy"), i), F.lit(2001)) - 1000)
                         / 1000.0
@@ -360,7 +386,11 @@ def main() -> None:
                 "linear_bound": k * 2,
                 "skew_speedup": skew["speedup"],
                 "skew_ok": skew_ok,
-                "ok": rel[worst] <= 1.0,
+                # the skew gate folds into the overall verdict whenever
+                # it is binding (k >= 10): a salted-join regression at
+                # real K must fail the smoke, not just flip its own flag
+                # (ADVICE r06)
+                "ok": rel[worst] <= 1.0 and skew_ok,
             }
         ),
         flush=True,

@@ -347,30 +347,13 @@ def test_nn07_rotation_is_parity_on_isotropic_data(spark, sf):
     )
 
 
-def test_dd10_semdedup_dup_recall_vs_exact_and_dd05(spark, tmp_path):
-    """VERDICT r05 item 3: SemDeDup's cross-cell miss rate, MEASURED.
-
-    Build a corpus with real dup structure (two noisy copies of every
-    even-id sf0.01 vector, seeded — copies sit at cosine ~0.9 / ~0.7 to
-    their base, well above the 0.4 threshold), then:
-
-    - cross-operator exactness: dd10 with cells=1 (confinement removed)
-      must produce EXACTLY the drop set dd05's exact all-pairs verdict
-      implies (a vector drops iff it has a smaller-id partner within
-      the threshold) — the two operators' dup semantics are the same
-      contract, verified operator-against-operator;
-    - the cell-confined default can only lose cross-cell dups (nesting);
-    - dup-recall of the confined default vs the exact set is GATED at
-      0.65 — measured 0.79 on this corpus, floor ~0.1 below, the same
-      margin discipline as the ANN operating-point gates above. The
-      docstring tradeoff ("cross-cell near-dups are missed by
-      construction") is now a number, not an assertion."""
+def _write_dup_corpus(spark, tmp_path) -> str:
+    """Corpus with real dup structure for the SemDeDup recall gates:
+    two noisy copies of every even-id sf0.01 vector, seeded — copies
+    sit at cosine ~0.9 / ~0.7 to their base, well above the 0.4
+    threshold."""
     import numpy as np
     import pyarrow.parquet as pq
-
-    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
-        dd10_semantic_dedup,
-    )
 
     t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
     rng = np.random.default_rng(11)
@@ -396,7 +379,32 @@ def test_dd10_semdedup_dup_recall_vs_exact_and_dd05(spark, tmp_path):
     spark.createDataFrame(
         recs, "vec_id bigint, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
-    sf = str(tmp_path)
+    return str(tmp_path)
+
+
+def test_dd10_semdedup_dup_recall_vs_exact_and_dd05(spark, tmp_path):
+    """VERDICT r05 item 3: SemDeDup's cross-cell miss rate, MEASURED.
+
+    Build a corpus with real dup structure (two noisy copies of every
+    even-id sf0.01 vector, seeded — copies sit at cosine ~0.9 / ~0.7 to
+    their base, well above the 0.4 threshold), then:
+
+    - cross-operator exactness: dd10 with cells=1 (confinement removed)
+      must produce EXACTLY the drop set dd05's exact all-pairs verdict
+      implies (a vector drops iff it has a smaller-id partner within
+      the threshold) — the two operators' dup semantics are the same
+      contract, verified operator-against-operator;
+    - the cell-confined default can only lose cross-cell dups (nesting);
+    - dup-recall of the confined default vs the exact set is GATED at
+      0.65 — measured 0.79 on this corpus, floor ~0.1 below, the same
+      margin discipline as the ANN operating-point gates above. The
+      docstring tradeoff ("cross-cell near-dups are missed by
+      construction") is now a number, not an assertion."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd10_semantic_dedup,
+    )
+
+    sf = _write_dup_corpus(spark, tmp_path)
 
     exact = {
         r.vec_id for r in dd10_semantic_dedup(spark, sf, cells=1).collect()
@@ -418,3 +426,49 @@ def test_dd10_semdedup_dup_recall_vs_exact_and_dd05(spark, tmp_path):
     assert approx <= exact, "cell confinement invented a dup"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.65, f"dd10 dup-recall={recall:.2f} < 0.65"
+
+
+def test_dd11_hierarchical_semdedup_recall_and_degeneracy(spark, tmp_path):
+    """dd11's recall tradeoff, MEASURED (the dd10 discipline applied to
+    the hierarchical path), on the same seeded dup corpus:
+
+    - coarse=1 degeneracy: one coarse cell makes the member filter a
+      no-op, so dd11 must equal dd10 on the SAME fine fit — verdict for
+      verdict, the cross-operator equivalence that pins the hierarchy
+      as pure assignment routing, not a semantics change;
+    - nesting: the hierarchical default can only LOSE dups relative to
+      the exact (cells=1) verdict, never invent one;
+    - dup-recall of the hierarchical default vs exact is GATED at 0.55
+      — measured 0.66 on this corpus (dd10's flat assignment measures
+      0.79: the coarse boundary adds misses on top of the fine-cell
+      misses), floor ~0.1 below, the same margin discipline as the ANN
+      operating-point gates."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd10_semantic_dedup,
+        dd11_hierarchical_semdedup,
+    )
+
+    sf = _write_dup_corpus(spark, tmp_path)
+    d11 = {
+        (r.vec_id, r.cell, r.keep)
+        for r in dd11_hierarchical_semdedup(spark, sf, coarse=1).collect()
+    }
+    d10 = {
+        (r.vec_id, r.cell, r.keep)
+        for r in dd10_semantic_dedup(spark, sf).collect()
+    }
+    assert d11 == d10, "dd11(coarse=1) diverged from dd10 on the same fit"
+
+    exact = {
+        r.vec_id for r in dd10_semantic_dedup(spark, sf, cells=1).collect()
+        if not r.keep
+    }
+    assert exact, "perturbed corpus produced no dups — fixture broken"
+    approx = {
+        r.vec_id
+        for r in dd11_hierarchical_semdedup(spark, sf).collect()
+        if not r.keep
+    }
+    assert approx <= exact, "hierarchical assignment invented a dup"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.55, f"dd11 dup-recall={recall:.2f} < 0.55"

@@ -56,6 +56,24 @@ def test_ds08_curriculum_exact_for_any_epoch(epoch, spark, sf_dir, ddb):
     assert_frames_match(actual, expected, f"ds08@epoch={epoch}")
 
 
+@pytest.mark.parametrize("cells,coarse", [(8, 2), (16, 8)])
+def test_dd11_hierarchical_exact_for_any_schedule(cells, coarse, spark, sf_dir, ddb):
+    """The registry oracle binds the default (cells=16, coarse=4)
+    schedule, but dd11's scale knobs move BOTH quantizer levels — the
+    oracle builder must replay the two-level fit for any schedule
+    (parameterized from day one, the ds08/ds09 ADVICE lesson)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _dd11_sql,
+        dd11_hierarchical_semdedup,
+    )
+
+    actual = dd11_hierarchical_semdedup(
+        spark, sf_dir, cells=cells, coarse=coarse
+    ).toPandas()
+    expected = ddb.execute(_dd11_sql(cells=cells, coarse=coarse)).fetchdf()
+    assert_frames_match(actual, expected, f"dd11@{cells}/{coarse}")
+
+
 @pytest.mark.parametrize("seed", [2, 9])
 def test_ds09_weighted_sample_exact_for_any_seed(seed, spark, sf_dir, ddb):
     """The sampling coin must redraw an INDEPENDENT but equally

@@ -20,42 +20,40 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 6 — the operators
+#: Entries with ZERO green driver rows entering round 7 — the operators
 #: added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
-    "nn08_recall_gate",
-    "ds09_weighted_sample",
+    "dd11_hierarchical_semdedup",
 }
 
-#: Single-green entries (first row earned in r05) — the schedule keeps
-#: any entry with <2 green rows in-window until it has two. Also pinned
-#: here: st01_windowed_frequency, whose four nominal greens were all
-#: vacuous 0-row matches (VERDICT r05) — it must stay in-window until
-#: the retuned thresholds earn a green row with spark_rows > 0.
+#: Single-green entries (first non-vacuous row earned in r06) — the
+#: schedule keeps any entry with <2 green rows in-window until it has
+#: two. st01's four nominal pre-r06 greens were all vacuous 0-row
+#: matches (VERDICT r05); its r06 row is its first REAL green.
 SINGLE_GREEN = {
-    "nn06_residual_ivfpq", "dd09_boilerplate_spans", "txt07_vocab_oov",
-    "cp02_tokenizer_prep_pipeline", "ds08_curriculum_order",
-    "dd10_semantic_dedup", "nn07_opq_pq",
+    "nn08_recall_gate",
+    "ds09_weighted_sample",
     "st01_windowed_frequency",
 }
 
-#: The 27 multi-greens parked in round 5 rotate back in for a fourth row.
+#: The 26 multi-greens parked in round 6 rotate back in for their next
+#: row (ud2 stays parked — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
-    "a01_grouped_price_stats", "a02_component_stats",
-    "a03_secondary_segment_stats", "a05_review_stats_per_user",
-    "a08_price_histogram", "a09_risk_buckets", "a10_heatmap_share",
-    "a12_top_terms_other", "a13_minmax_metrics",
-    "w02_topk_by_last_value", "w03_global_share", "k03_hidden_price_max",
-    "u12_token_set_ops", "dd07_cluster_survivors",
-    "ds01_stratified_sample", "ds02_sequence_packing",
-    "ct01_benchmark_contamination", "rep01_repetition_scores",
-    "pii01_redact_props", "nn03_ivf_ann", "ud1_spam_truncate",
-    "dd01_exact_dedup", "dd02_minhash_lsh_pairs", "dd03_simhash",
-    "dd04_ngram_jaccard_pairs", "nn01_cosine_topk", "txt01_language_id",
+    "f07_keyword_filter", "j01_fallback_stats_join", "j03_enrichment_join",
+    "txt02_quality_scores", "txt03_fingerprint", "x15_risk_assembly",
+    "x22_factor_normalize", "x22_painless_normalizer",
+    "x21_runtime_fields", "f08_gated_enrichment", "k01_newest_first_cap",
+    "a04_stats_export", "x02_hidden_price_structured",
+    "f09_nested_json_projection", "f06_condition_normalize",
+    "k45_best_component", "x18_badge_scan", "nn02_lsh_ann",
+    "dd05_embedding_neardup", "dd06_neardup_clusters",
+    "mm01_media_features", "ds03_leakage_safe_split",
+    "ds04_training_order", "ct02_decontaminated_train",
+    "dd08_simhash_neardup", "x19_geo_struct",
 }
-# (dd08 and ud2 park in st01's place: both triple-green, and ud2 is the
-# single most expensive SQL entry in the window — see the schedule
-# comment in plans/queries.py)
+#: The seven r05 arrivals (double-green) also stay in-window for third
+#: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
+#: SINGLE_GREEN ∪ the window check below (they are not in the tail).
 
 
 def test_window_contains_every_entry_needing_rows():
