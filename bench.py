@@ -135,8 +135,17 @@ def bench_streaming_neardup_drain(spark, sf_dir):
     end-to-end with a FRESH checkpoint, so the measurement covers the
     full stateful lifecycle — band explode, applyInPandasWithState,
     verdict fold — not a warm no-op resume. Returns a trivial DataFrame
-    (the drain happens in the function body, inside the timed
-    window)."""
+    (the drain happens in the function body, inside the timed window).
+
+    Cost breakdown, measured at sf0.1 (VERDICT r06 item 4): of the
+    ~3.7 s r06 drain, ~0.75 s is query-start fixed cost (a no-op
+    AvailableNow resume on the same checkpoint), ~0.75 s is the
+    stateless scan+curation+simhash projection (batch-timed), and the
+    remaining ~2.2 s was state-store + per-partition Arrow round-trips
+    — the session's 32 shuffle partitions baked into the state store
+    for ~4k bucket keys. state_partitions=8 right-sizes it (median
+    3.5 → 2.5 s); the knob is per-checkpoint, so production streams
+    size it to key cardinality × executor count at first start."""
     import shutil
     import uuid
 
@@ -152,6 +161,7 @@ def bench_streaming_neardup_drain(spark, sf_dir):
             spark, landing, ckpt,
             sink=lambda df, _bid: survivors.append(df.count()),
             available_now=True,
+            state_partitions=8,
         )
         q.awaitTermination()
     finally:

@@ -328,6 +328,31 @@ def reduce_band_verdicts(batch_df: DataFrame) -> DataFrame:
     )
 
 
+class _shuffle_partitions_at_start:
+    """Pin ``spark.sql.shuffle.partitions`` around a streaming
+    ``.start()`` call. Structured Streaming reads the session conf ONCE
+    at first query start and bakes the value into the checkpoint as the
+    state-store partition count for the query's whole life — so state
+    sizing is a per-query decision (match the stateful key cardinality
+    and executor count), not the session's batch shuffle width. On a
+    bounded ingest, oversized state partitioning is pure fixed cost:
+    every micro-batch pays one state-store open + Arrow round-trip per
+    partition (measured at sf0.1: 32 partitions 3.5 s/drain vs 8
+    partitions 2.5 s for ~4k bucket keys). No-op when ``n`` is None."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def start_neardup_ingest_query(
     spark: SparkSession,
     landing_dir: str,
@@ -335,10 +360,13 @@ def start_neardup_ingest_query(
     sink: Callable[[DataFrame, int], None],
     available_now: bool = True,
     horizon: str = DEDUPE_HORIZON,
+    state_partitions: int | None = None,
 ):
     """The near-dup twin of :func:`start_ingest_query`: curation +
     simhash-band dedupe, band verdicts folded per micro-batch before
-    the user sink sees the surviving docs."""
+    the user sink sees the surviving docs. ``state_partitions`` sizes
+    the state store at FIRST start (see _shuffle_partitions_at_start);
+    it is ignored on checkpoint resume — Spark keeps the baked count."""
     stream = read_document_stream(spark, landing_dir)
 
     def _sink(batch_df, batch_id):
@@ -351,7 +379,8 @@ def start_neardup_ingest_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    with _shuffle_partitions_at_start(spark, state_partitions):
+        return writer.start()
 
 
 def start_ingest_query(
@@ -361,11 +390,14 @@ def start_ingest_query(
     sink: Callable[[DataFrame, int], None],
     available_now: bool = True,
     horizon: str = DEDUPE_HORIZON,
+    state_partitions: int | None = None,
 ):
     """Run the curation stream into a foreachBatch sink. AvailableNow
     gives the cron-style micro-batch (drain the landing zone, keep the
     checkpointed dedupe state, stop); exactly-once re-runs come from
-    checkpointLocation, same as the alert engine (ST7)."""
+    checkpointLocation, same as the alert engine (ST7).
+    ``state_partitions`` sizes the state store at first start (see
+    _shuffle_partitions_at_start)."""
     stream = read_document_stream(spark, landing_dir)
     writer = (
         curated_stream(stream, horizon)
@@ -374,4 +406,5 @@ def start_ingest_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    with _shuffle_partitions_at_start(spark, state_partitions):
+        return writer.start()

@@ -436,3 +436,61 @@ def test_interval_ms_accepts_sparks_interval_grammar():
     for bad in ("1 month", "3 years", "soon", "10", "minutes 10"):
         with pytest.raises(ValueError):
             _interval_ms(bad)
+
+
+def test_state_partitions_knob_is_semantics_free(spark, tmp_path):
+    """``state_partitions`` sizes the state store at first start — it
+    must change ONLY the physical partition count: same survivors as
+    the default, the session's shuffle-partition conf restored after
+    .start(), and the baked count honored on checkpoint resume."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+        start_neardup_ingest_query,
+    )
+
+    texts = {
+        1: GOOD,
+        2: GOOD,  # byte-dup -> dropped
+        3: GOOD.replace("quick", "rapid"),  # perturbed (may or may not pair)
+    }
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_ndjson(
+        landing / "b1.json",
+        [_doc(i, texts[i], ts=f"2026-08-13T10:00:{i:02d}") for i in sorted(texts)],
+    )
+
+    def drain(ckpt, n):
+        got = []
+        q = start_neardup_ingest_query(
+            spark, str(landing), str(ckpt),
+            sink=lambda df, _b: got.extend(r.doc_id for r in df.collect()),
+            state_partitions=n,
+        )
+        q.awaitTermination(120)
+        return set(got)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    default = drain(tmp_path / "ck_default", None)
+    sized = drain(tmp_path / "ck_sized", 2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert 2 not in default, "byte-dup escaped"
+    assert sized == default, (sized, default)
+
+    # resume on the sized checkpoint: Spark keeps the baked count; a
+    # fresh doc must still flow (i.e. the resume is not poisoned by the
+    # session conf differing from the checkpoint's state partitioning)
+    _write_ndjson(
+        landing / "b2.json",
+        [
+            _doc(
+                4,
+                "completely different content about boats engines and tides "
+                "with enough ordinary words to pass every quality rule while "
+                "sharing almost no vocabulary with the other documents in "
+                "this little fixture corpus today",
+                ts="2026-08-13T10:05:00",
+            )
+        ],
+    )
+    resumed = drain(tmp_path / "ck_sized", None)
+    assert resumed == {4}, resumed
