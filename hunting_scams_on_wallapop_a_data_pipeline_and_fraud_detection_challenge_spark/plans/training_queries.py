@@ -1183,9 +1183,30 @@ def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
     never declared on a fingerprint collision. Same lineage hygiene as
     label propagation: superseded caches unpersist, localCheckpoint
     every 4 rounds, final labels checkpointed so every intermediate
-    cache is released before returning."""
+    cache is released before returning.
+
+    Measured floor at sf0.1 (r07, quiet box, medians of 3): the graph
+    topologically needs TWO rounds (edge fingerprint 256 -> 244 -> 244)
+    where label propagation needs one fused round, and the per-round
+    fixed cost is ~1.0-1.2 s (three shuffles over a 256-edge list) plus
+    edges materialize ~1.0 s, the one exceptAll ~0.5 s and the labels
+    fold+checkpoint ~1.0 s — star 5.3 s vs labelprop 2.6 s, a 2x
+    scheduler-fixed-cost gap that auto-selection already hides from
+    callers and that inverts at scale where round COUNT dominates.
+    Rewrites tried and rejected with numbers: groupBy-min+join-back
+    (r06: 16x plan-ref blowup, 4.5 s vs 2.0 s kernel-only);
+    ls-distinct (r06: removed, one shuffle/round saved);
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true to
+    let AQE coalesce the cached rounds' 64-task window stages (r07:
+    star 5.3 -> 4.7 s — inside the run spread — while labelprop moved
+    2.6 -> 2.9 s; not a win, reverted). What DID land (r07): the
+    convergence fingerprint is seeded from the INPUT edge set, so a
+    graph already at its fixed point (the common incremental-re-run
+    case) finishes in ONE round instead of paying a second full round
+    to see two loop-internal fingerprints agree."""
     spark = pairs.sparkSession
     w = Window.partitionBy("u")
+    obs0 = Observation("dd06_star_input")
     edges = (
         pairs.select(
             F.greatest("a_id", "b_id").alias("u"),
@@ -1193,10 +1214,21 @@ def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+        )
         .persist()
     )
     edges.count()
-    prev_stats = None
+    # seed the fingerprint with the INPUT edge set: a graph that is
+    # already all stars (the common shallow near-dup case) then
+    # nominates a fixed point after ROUND 1 instead of paying a second
+    # identical round just to see two loop-internal fingerprints match
+    # (r07: one full round of fixed cost saved; deep graphs unaffected)
+    prev_stats = (obs0.get["cnt"], obs0.get["su"], obs0.get["sv"])
     rounds = 0
     for i in range(40):  # O(log n); the bound is a runaway backstop
         rounds = i + 1

@@ -353,6 +353,27 @@ def test_star_contraction_bounds_rounds_on_chains(spark):
     )
 
 
+def test_star_contraction_converges_in_one_round_on_star_input(spark):
+    """r07: the convergence fingerprint is seeded from the INPUT edge
+    set, so a graph that is already all stars — the common incremental
+    re-run case — finishes after ONE round (the round that proves the
+    fixed point) instead of two. Labels must still be exact."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _cc_star_contraction,
+    )
+
+    # two disjoint stars, both already rooted at their minimum id
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(100, 100 + i) for i in range(1, 4)],
+        "a_id bigint, b_id bigint",
+    )
+    labels, rounds = _cc_star_contraction(pairs)
+    got = {(r.node, r.label) for r in labels.collect()}
+    want = {(i, 0) for i in range(6)} | {(100 + i, 100) for i in range(4)}
+    assert got == want
+    assert rounds == 1, f"already-star input took {rounds} rounds"
+
+
 def test_nn03_arrow_path_matches_sql_path(spark, sf_dir):
     """The batched-numpy IVF path must be rank-identical to the
     oracle-pinned SQL form — same raw-space assignment, same probe
