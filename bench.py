@@ -188,6 +188,9 @@ VARIANTS = {
     "nn06_residual_ivfpq_arrow": ("nn06_residual_ivfpq", {"impl": "arrow"}),
     "nn07_opq_pq_arrow": ("nn07_opq_pq", {"impl": "arrow"}),
     "dd10_semantic_dedup_arrow": ("dd10_semantic_dedup", {"impl": "arrow"}),
+    "dd11_hierarchical_semdedup_arrow": (
+        "dd11_hierarchical_semdedup", {"impl": "arrow"},
+    ),
     # the O(log n) star-contraction CC kernel next to the default
     # label propagation (equivalence-gated in tests/test_scale_paths.py)
     "dd06_neardup_clusters_star": ("dd06_neardup_clusters", {"impl": "star"}),

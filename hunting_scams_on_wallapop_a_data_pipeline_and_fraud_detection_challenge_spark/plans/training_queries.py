@@ -4766,6 +4766,7 @@ def dd11_hierarchical_semdedup(
     threshold: float = _NEARDUP_COS,
     cells: int = _IVF_CELLS,
     coarse: int = _HIER_COARSE,
+    impl: str = "sql",
 ) -> DataFrame:
     """Hierarchical SemDeDup — dd10 with a FAISS-style coarse->fine
     assignment quantizer, the documented extension that takes semantic
@@ -4796,7 +4797,21 @@ def dd11_hierarchical_semdedup(
     fold), the within-fine-cell self-join is the only shuffle, and the
     dup-id set comes back as a broadcast-sized left join. Both fit
     levels replay in the oracle (constants shared verbatim), so every
-    keep/drop verdict is hash-verified."""
+    keep/drop verdict is hash-verified.
+
+    ``impl="arrow"`` cuts the constant of both n^(4/3) terms (same law,
+    same verdicts — the family twin architecture): per Arrow batch, one
+    (batch, k1) distance reduction picks coarse cells, then each
+    coarse group takes an argmin over ONLY its member fine centroids
+    (first-min = lowest member index, the SQL masked-argmin tie rule),
+    and the within-cell pair search is dd10's per-cell gram matrix.
+    Equivalence-gated on (vec_id, cell, keep) in
+    tests/test_scale_paths.py; the SQL form stays the oracle
+    subject."""
+    if impl == "arrow":
+        return _dd11_arrow(
+            spark, sf_dir, threshold=threshold, cells=cells, coarse=coarse
+        )
     emb = _t(spark, sf_dir, "embeddings")
     fine, co, f2c = _fit_hier_cells(
         [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
@@ -4860,6 +4875,90 @@ def dd11_hierarchical_semdedup(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.col("is_dup").isNull().alias("keep"),
+    )
+
+
+def _dd11_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = _NEARDUP_COS,
+    cells: int = _IVF_CELLS,
+    coarse: int = _HIER_COARSE,
+) -> DataFrame:
+    """Vectorized hierarchical SemDeDup (see dd11 docstring): per Arrow
+    batch a (n, k1) distance reduction assigns coarse cells, then each
+    coarse group takes an argmin over only its MEMBER fine centroids
+    (np.argmin = first minimum, mapped back through the ascending
+    member-index list = the SQL form's masked-argmin tie rule); one
+    shuffle by fine cell and dd10's per-cell gram matrix decide
+    keep/drop. Corpus guards match `_normalized_vn_base`."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fine, co, f2c = _fit_hier_cells(
+        [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
+        k_fine=cells,
+        k_coarse=coarse,
+    )
+    Cf = np.asarray(fine, dtype=np.float64)
+    Cc = np.asarray(co, dtype=np.float64)
+    members = [
+        np.asarray([j for j in range(len(fine)) if f2c[j] == cg], dtype=np.int64)
+        for cg in range(len(co))
+    ]
+    dim = Cf.shape[1]
+
+    def assign(batches):
+        for pdf in batches:
+            ok = pdf["embedding"].map(
+                lambda e: e is not None and len(e) == dim
+            )
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            V = np.asarray([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            nrm = np.sqrt((V**2).sum(1))
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            Vn = V[keep] / nrm[keep, None]
+            ids = pdf["vec_id"].to_numpy()[keep]
+            cg = ((Vn[:, None, :] - Cc[None, :, :]) ** 2).sum(-1).argmin(1)
+            cell = np.empty(len(Vn), dtype=np.int64)
+            for g in np.unique(cg):
+                rows = cg == g
+                mem = members[g]
+                d = ((Vn[rows][:, None, :] - Cf[mem][None, :, :]) ** 2).sum(-1)
+                cell[rows] = mem[d.argmin(1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cell.astype("int32"),
+                    "vn": list(Vn),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cell int, vn array<double>"
+    )
+
+    def per_cell(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.asarray(list(pdf["vn"]), dtype=np.float64)
+        G = X @ X.T
+        dup = [bool((G[:j, j] >= threshold).any()) for j in range(len(pdf))]
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "keep": [not d for d in dup],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, "vec_id bigint, cell int, keep boolean"
     )
 
 

@@ -339,3 +339,44 @@ def test_nn08_recall_gate_joins_broadcast_the_exact_set(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nn08_recall_gate")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dd11_assignment_lives_in_the_scan_projection(spark, sf_dir):
+    """Hierarchical SemDeDup's scale contract in the executed plan: the
+    dup-id set comes back as a broadcast and no sort-merge join appears
+    anywhere in the full plan; and the assignment STAGE (rebuilt
+    pre-checkpoint, since the localCheckpoint hides its lineage from
+    the final plan) is pure scan-projection work — zero exchanges, with
+    the embeddings scan pruned to (vec_id, embedding)."""
+    plan = _plan(spark, sf_dir, "dd11_hierarchical_semdedup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _fine_structs_literal,
+        _fit_hier_cells,
+        _normalized_sample_matrix,
+        _normalized_vn_base,
+        _t,
+        _train_vecs,
+    )
+
+    fine, co, f2c = _fit_hier_cells(
+        [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))]
+    )
+    # the same projection dd11 checkpoints: base + a fine-cell column
+    # (the exact expression shape matters less than exchange-freedom,
+    # so a representative member-filtered fold stands in)
+    stage = _normalized_vn_base(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.size(
+            F.filter(_fine_structs_literal(fine, f2c), lambda s: s["cg"] == 0)
+        ).alias("probe"),
+    )
+    sp = stage._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sp
+    read = sp.split("ReadSchema:")[1].split("\n")[0]
+    assert "vec_id" in read and "embedding" in read
+    assert "label" not in read

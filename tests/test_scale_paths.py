@@ -664,3 +664,28 @@ def test_dd10_arrow_path_matches_sql_path(spark, sf_dir):
         for r in dd10_semantic_dedup(spark, sf_dir, impl="arrow").collect()
     }
     assert sql_rows == arrow_rows
+
+
+def test_dd11_arrow_path_matches_sql_path(spark, sf_dir):
+    """The vectorized hierarchical SemDeDup path must reproduce the
+    oracle-pinned SQL form VERDICT-FOR-VERDICT: same coarse->fine
+    routing (np.argmin over the ascending member list == the SQL
+    masked-argmin tie rule), same keep/drop for every vector. Run at a
+    non-default schedule too, so the member partition logic is
+    exercised beyond the default 16/4 fit."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd11_hierarchical_semdedup,
+    )
+
+    for kw in ({}, {"cells": 8, "coarse": 2}):
+        sql_rows = {
+            r.vec_id: (r.cell, r.keep)
+            for r in dd11_hierarchical_semdedup(spark, sf_dir, **kw).collect()
+        }
+        arrow_rows = {
+            r.vec_id: (r.cell, r.keep)
+            for r in dd11_hierarchical_semdedup(
+                spark, sf_dir, impl="arrow", **kw
+            ).collect()
+        }
+        assert sql_rows == arrow_rows, f"dd11 twin diverged at {kw or 'default'}"
