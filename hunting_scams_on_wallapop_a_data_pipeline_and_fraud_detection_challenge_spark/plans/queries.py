@@ -1167,8 +1167,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            r06 arrivals nn08/ds09 and st01 (single non-vacuous green)
 #            stay in-window for their second rows, and the seven r05
 #            arrivals (nn06, dd09, txt07, cp02, ds08, dd10, nn07 —
-#            double-green) stay in for third rows. Registry 84 =
-#            window 50 + tail 34.
+#            double-green) stay in for third rows; f07 (four-green)
+#            parks instead of rotating back, funding the second new
+#            entry ct03_semantic_contamination. Registry 85 =
+#            window 50 + tail 35.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1217,10 +1219,13 @@ _ROTATION_TAIL = [
     "w01_last_value_per_group",
     "f01_freshness_filter",
     "f05_market_segmentation",
-    # deliberate addition vs the --propose-tail base set (see schedule):
+    # deliberate additions vs the --propose-tail base set (see schedule):
     # ud2 (triple-green, the most expensive SQL entry in any window)
-    # stays parked to fund the slot for the new dd11 entry.
+    # stays parked to fund the slot for the new dd11 entry, and f07
+    # (four-green) parks instead of rotating back to fund the new ct03
+    # entry.
     "ud2_spec_extraction",
+    "f07_keyword_filter",
 ]
 
 

@@ -4963,6 +4963,136 @@ def _dd11_arrow(
 
 
 # ---------------------------------------------------------------------------
+# Semantic benchmark decontamination: embedding-similarity contamination
+# ---------------------------------------------------------------------------
+#: which vectors act as the held-out benchmark set: vec_id % MOD == 0 —
+#: a deterministic slice, the landing-corpus recipe discipline
+_CT_BENCH_MOD = 10
+
+
+def _ct03_sql(
+    cells: int = _IVF_CELLS,
+    bench_mod: int = _CT_BENCH_MOD,
+    threshold: float = _NEARDUP_COS,
+) -> str:
+    """Replay the cell fit and pin the semantic-contamination verdicts:
+    a corpus vector is contaminated when a benchmark vector in the SAME
+    cell sits within the cosine threshold. CTE structure mirrors
+    _dd10_sql — same normalized base, same assignment algebra — with
+    the dup self-join replaced by the corpus-x-benchmark split join."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cents = _fit_centroids(
+        [list(r) for r in _normalized_sample_matrix(emb)], k=cells
+    )
+    ce_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    d_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(vn)+1), "
+            f"i -> (vn[i] - ce[{j + 1}][i]) * (vn[i] - ce[{j + 1}][i]))"
+        )
+        for j in range(cells)
+    )
+    return f"""
+    WITH ce_t AS (SELECT {ce_sql} AS ce),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+             FROM n0 WHERE nrm > 0),
+    celld AS (SELECT vec_id, vn, [{d_exprs}] AS dl FROM base CROSS JOIN ce_t),
+    a AS (SELECT vec_id, vn,
+                 list_position(dl, list_aggregate(dl, 'min')) - 1 AS cell
+          FROM celld),
+    bench AS (SELECT * FROM a WHERE vec_id % {bench_mod} = 0),
+    corp AS (SELECT * FROM a WHERE vec_id % {bench_mod} <> 0),
+    hits AS (
+        SELECT DISTINCT c.vec_id
+        FROM corp c JOIN bench b ON c.cell = b.cell
+        WHERE {_sql_dot("c.vn", "b.vn")} >= {threshold}
+    )
+    SELECT corp.vec_id, CAST(corp.cell AS INT) AS cell,
+           (h.vec_id IS NOT NULL) AS contaminated
+    FROM corp LEFT JOIN hits h ON h.vec_id = corp.vec_id
+    """
+
+
+@query("ct03_semantic_contamination", oracle=_ct03_sql, ops=("CT-SEMANTIC",))
+def ct03_semantic_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cells: int = _IVF_CELLS,
+    bench_mod: int = _CT_BENCH_MOD,
+    threshold: float = _NEARDUP_COS,
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag training vectors whose
+    embedding sits within a cosine threshold of a held-out BENCHMARK
+    vector — the paraphrase-robust complement to ct01/ct02's n-gram
+    overlap (the published weakness of string decontamination is that a
+    rephrased benchmark sample survives it; embedding similarity is the
+    standard detector for that contamination class). The benchmark set
+    is the deterministic vec_id % bench_mod == 0 slice; the search is
+    cell-confined exactly like dd10's SemDeDup — same normalized base,
+    same seeded cell fit (replayed in the oracle), so the candidate
+    stage stays hash-bucketed with NO all-pairs stage.
+
+    Scale shape: assignment in the scan projection (one centroid-literal
+    fold per row, materialized once via lazy localCheckpoint and shared
+    by the benchmark and corpus sides of the split); the one shuffle is
+    the corpus-x-benchmark join on the cell key (occupancy-bounded like
+    dd10's self-join — cells ~ sqrt(n) keeps it at the documented
+    n^1.5; the dd11 coarse->fine assignment applies unchanged if the
+    corpus outgrows that); the contaminated-id set collapses distinct
+    map-side and returns as a broadcast-sized left join. Every verdict
+    row is hash-verified against the replayed-fit oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fit_centroids(
+        [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
+        k=cells,
+    )
+    cent_arr = _cents_spark_literal(cents)
+
+    base = _normalized_vn_base(emb)
+    cell = F.element_at(
+        F.transform(
+            F.array(F.col("vn")),
+            lambda vn: F.element_at(_ranked_cells_of(vn, cent_arr), 1)["cell"],
+        ),
+        1,
+    )
+    assigned = base.select("vec_id", "vn", cell.alias("cell")).localCheckpoint(
+        eager=False
+    )
+    bench = assigned.filter(F.col("vec_id") % bench_mod == 0)
+    corp = assigned.filter(F.col("vec_id") % bench_mod != 0)
+    hits = (
+        corp.alias("c")
+        .join(bench.alias("b"), "cell")
+        .filter(_dot(F.col("c.vn"), F.col("b.vn")) >= threshold)
+        .select(F.col("c.vec_id").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(True).alias("hit"))
+    )
+    return corp.join(F.broadcast(hits), "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("hit").isNotNull().alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # OPQ-style rotated PQ: learned rotation + balanced subspace allocation
 # ---------------------------------------------------------------------------
 

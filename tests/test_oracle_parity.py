@@ -74,6 +74,28 @@ def test_dd11_hierarchical_exact_for_any_schedule(cells, coarse, spark, sf_dir, 
     assert_frames_match(actual, expected, f"dd11@{cells}/{coarse}")
 
 
+@pytest.mark.parametrize("bench_mod,cells", [(5, 16), (10, 8)])
+def test_ct03_semantic_contamination_exact_for_any_split(
+    bench_mod, cells, spark, sf_dir, ddb
+):
+    """The registry oracle binds (cells=16, bench_mod=10); the builder
+    must replay the fit and the benchmark split for any knobs
+    (parameterized from day one, the ds08/ds09 ADVICE lesson)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ct03_sql,
+        ct03_semantic_contamination,
+    )
+
+    actual = ct03_semantic_contamination(
+        spark, sf_dir, cells=cells, bench_mod=bench_mod
+    ).toPandas()
+    expected = ddb.execute(
+        _ct03_sql(cells=cells, bench_mod=bench_mod)
+    ).fetchdf()
+    assert actual["contaminated"].any(), "fixture produced zero hits"
+    assert_frames_match(actual, expected, f"ct03@{bench_mod}/{cells}")
+
+
 @pytest.mark.parametrize("seed", [2, 9])
 def test_ds09_weighted_sample_exact_for_any_seed(seed, spark, sf_dir, ddb):
     """The sampling coin must redraw an INDEPENDENT but equally

@@ -24,6 +24,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 #: added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
     "dd11_hierarchical_semdedup",
+    "ct03_semantic_contamination",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -36,10 +37,12 @@ SINGLE_GREEN = {
     "st01_windowed_frequency",
 }
 
-#: The 26 multi-greens parked in round 6 rotate back in for their next
-#: row (ud2 stays parked — see the schedule comment in plans/queries.py).
+#: The multi-greens parked in round 6 rotate back in for their next row
+#: (ud2 stays parked to fund dd11's slot, and f07 parks instead of
+#: rotating back to fund ct03's — see the schedule comment in
+#: plans/queries.py).
 BACK_IN_WINDOW = {
-    "f07_keyword_filter", "j01_fallback_stats_join", "j03_enrichment_join",
+    "j01_fallback_stats_join", "j03_enrichment_join",
     "txt02_quality_scores", "txt03_fingerprint", "x15_risk_assembly",
     "x22_factor_normalize", "x22_painless_normalizer",
     "x21_runtime_fields", "f08_gated_enrichment", "k01_newest_first_cap",
