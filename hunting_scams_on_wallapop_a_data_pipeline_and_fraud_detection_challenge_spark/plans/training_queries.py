@@ -5385,17 +5385,19 @@ def _nn08_oracle() -> str:
     # SQL form; the oracle replays the SQL form once, so its expectation
     # is TOTAL agreement — any silent Arrow/SQL divergence leaves Spark's
     # hits short of total and turns the whole driver row red.
-    ctes.append(
-        "t_dd10 AS (SELECT count(*) AS total FROM ("
-        + REGISTRY["dd10_semantic_dedup"].oracle_text()
-        + ") s)"
-    )
-    selects.append(
-        "SELECT 'dd10_semantic_dedup' AS path, total AS hits, total,\n"
-        "       CAST(total AS DOUBLE) / total AS recall,\n"
-        "       CAST(total AS DOUBLE) / total >= 1.0 AS meets_floor\n"
-        "FROM t_dd10"
-    )
+    for dname in ("dd10_semantic_dedup", "dd11_hierarchical_semdedup"):
+        tag = dname.split("_")[0]
+        ctes.append(
+            f"t_{tag} AS (SELECT count(*) AS total FROM ("
+            + REGISTRY[dname].oracle_text()
+            + ") s)"
+        )
+        selects.append(
+            f"SELECT '{dname}' AS path, total AS hits, total,\n"
+            "       CAST(total AS DOUBLE) / total AS recall,\n"
+            "       CAST(total AS DOUBLE) / total >= 1.0 AS meets_floor\n"
+            f"FROM t_{tag}"
+        )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -5425,12 +5427,13 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     still hash-matches; a silent Arrow/SQL divergence would turn this
     row red, making the driver itself re-verify the twin contract.
 
-    A seventh row extends that driver-verified twin contract to the
-    DEDUP family (VERDICT r06 item 3): hits = (vec_id, cell, keep)
-    verdicts dd10's Arrow twin and SQL form agree on, total = the
-    verdict count, and the oracle (one replay of the SQL form) expects
-    full agreement — recall 1.0, floor 1.0 — so a single diverging
-    keep/drop verdict anywhere in the corpus turns the row red."""
+    Two further rows extend that driver-verified twin contract to the
+    DEDUP family (VERDICT r06 item 3): for dd10 AND dd11, hits =
+    (vec_id, cell, keep) verdicts the Arrow twin and SQL form agree on,
+    total = the verdict count, and the oracle (one replay of each SQL
+    form) expects full agreement — recall 1.0, floor 1.0 — so a single
+    diverging keep/drop verdict anywhere in the corpus turns the row
+    red."""
     exact = (
         nn01_cosine_topk(spark, sf_dir, impl="arrow")
         .select("q_id", "vec_id", "rk")
@@ -5463,29 +5466,34 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (recall >= F.lit(floor)).alias("meets_floor"),
         )
         out = row if out is None else out.unionByName(row)
-    # dd10 twin-contract row: hits = (vec_id, cell, keep) verdicts the
+    # dedup twin-contract rows: hits = (vec_id, cell, keep) verdicts the
     # Arrow twin and the SQL form AGREE on; the oracle's expectation is
     # hits == total, so one diverging verdict turns the row red — the
-    # nn-family twin verification extended to the dedup family. The
+    # nn-family twin verification extended to both SemDeDup forms. The
     # agreement join broadcasts the Arrow side (bounded at the
     # correctness SF this gate runs at; the production dedup paths
     # themselves never join verdict-to-verdict).
-    d_sql = dd10_semantic_dedup(spark, sf_dir)
-    d_arrow = dd10_semantic_dedup(spark, sf_dir, impl="arrow")
     d_recall = F.col("hits") / F.col("total")
-    d_row = (
-        d_sql.join(F.broadcast(d_arrow), ["vec_id", "cell", "keep"])
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .crossJoin(d_sql.agg(F.count(F.lit(1)).alias("total")))
-        .select(
-            F.lit("dd10_semantic_dedup").alias("path"),
-            "hits",
-            "total",
-            d_recall.alias("recall"),
-            (d_recall >= F.lit(1.0)).alias("meets_floor"),
+    for dname, dfn in (
+        ("dd10_semantic_dedup", dd10_semantic_dedup),
+        ("dd11_hierarchical_semdedup", dd11_hierarchical_semdedup),
+    ):
+        d_sql = dfn(spark, sf_dir)
+        d_arrow = dfn(spark, sf_dir, impl="arrow")
+        d_row = (
+            d_sql.join(F.broadcast(d_arrow), ["vec_id", "cell", "keep"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(d_sql.agg(F.count(F.lit(1)).alias("total")))
+            .select(
+                F.lit(dname).alias("path"),
+                "hits",
+                "total",
+                d_recall.alias("recall"),
+                (d_recall >= F.lit(1.0)).alias("meets_floor"),
+            )
         )
-    )
-    return out.unionByName(d_row)
+        out = out.unionByName(d_row)
+    return out
 
 
 # ---------------------------------------------------------------------------
