@@ -472,3 +472,44 @@ def test_dd11_hierarchical_semdedup_recall_and_degeneracy(spark, tmp_path):
     assert approx <= exact, "hierarchical assignment invented a dup"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.55, f"dd11 dup-recall={recall:.2f} < 0.55"
+
+
+def test_ct03_contamination_recall_and_probe_degeneracy(spark, tmp_path):
+    """ct03's confinement tradeoff, MEASURED (the dd10/dd11 discipline
+    applied to the decontamination split), on the seeded dup corpus —
+    contamination here = a corpus vector near a benchmark-slice vector:
+
+    - probes == cells degeneracy: the benchmark side probing every cell
+      makes the cell key vacuous, so the verdict must equal the exact
+      all-pairs (cells=1) contamination set — the pinned equivalence;
+    - nesting: confinement can only LOSE contaminated flags, never
+      invent one;
+    - recall of the multi-probe default vs exact is GATED at 0.55 —
+      measured 0.64 (single-probe measures 0.30: the benchmark-side
+      multi-probe is what recovers the cross-cell pairs), the same
+      ~0.1-margin discipline as the other recall gates."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        ct03_semantic_contamination,
+    )
+
+    sf = _write_dup_corpus(spark, tmp_path)
+    exact = {
+        r.vec_id
+        for r in ct03_semantic_contamination(spark, sf, cells=1).collect()
+        if r.contaminated
+    }
+    assert exact, "fixture produced no contamination — broken"
+    allp = {
+        r.vec_id
+        for r in ct03_semantic_contamination(spark, sf, probes=16).collect()
+        if r.contaminated
+    }
+    assert allp == exact, "probes=cells diverged from the exact verdict"
+    conf = {
+        r.vec_id
+        for r in ct03_semantic_contamination(spark, sf).collect()
+        if r.contaminated
+    }
+    assert conf <= exact, "confinement invented a contamination flag"
+    recall = len(conf & exact) / len(exact)
+    assert recall >= 0.55, f"ct03 recall={recall:.2f} < 0.55"
