@@ -1167,10 +1167,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            r06 arrivals nn08/ds09 and st01 (single non-vacuous green)
 #            stay in-window for their second rows, and the seven r05
 #            arrivals (nn06, dd09, txt07, cp02, ds08, dd10, nn07 —
-#            double-green) stay in for third rows; f07 (four-green)
-#            parks instead of rotating back, funding the second new
-#            entry ct03_semantic_contamination. Registry 85 =
-#            window 50 + tail 35.
+#            double-green) stay in for third rows; f07 and txt03 (both
+#            four-green) park instead of rotating back, funding the
+#            further new entries ct03_semantic_contamination and
+#            ds10_temperature_resample. Registry 86 =
+#            window 50 + tail 36.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1221,11 +1222,12 @@ _ROTATION_TAIL = [
     "f05_market_segmentation",
     # deliberate additions vs the --propose-tail base set (see schedule):
     # ud2 (triple-green, the most expensive SQL entry in any window)
-    # stays parked to fund the slot for the new dd11 entry, and f07
-    # (four-green) parks instead of rotating back to fund the new ct03
-    # entry.
+    # stays parked to fund the slot for the new dd11 entry; f07 and
+    # txt03 (both four-green) park instead of rotating back to fund the
+    # new ct03 and ds10 entries.
     "ud2_spec_extraction",
     "f07_keyword_filter",
+    "txt03_fingerprint",
 ]
 
 

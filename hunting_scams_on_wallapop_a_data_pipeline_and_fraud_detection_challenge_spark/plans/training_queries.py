@@ -5592,3 +5592,94 @@ def ds09_weighted_sample(
             "doc_id", "lang", "source", "n_tok", _r(F.col("q"), 4).alias("quality")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source rebalancing — the multilingual mixture op
+# ---------------------------------------------------------------------------
+#: temperature -> number of sqrt() applications on the size ratio:
+#: p_s = (n_min / n_s)^(1/T). Only power-of-two temperatures, so the
+#: exponent is composed sqrt()s — correctly-rounded IEEE ops that are
+#: bit-identical across engines (libm pow() is NOT and never appears
+#: in oracle-verified math)
+_TEMP_SQRTS = {1: 0, 2: 1, 4: 2}
+
+
+def _ds10_sql(seed: int = _WS_SEED, temperature: int = 2) -> str:
+    from ..functions.hashing import M31, sql_hmod, sql_seeded
+
+    k = _TEMP_SQRTS[temperature]
+    p = "CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)"
+    for _ in range(k):
+        p = f"sqrt({p})"
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    m AS (SELECT min(n_s) AS n_min FROM c),
+    r AS (SELECT lang, CAST(n_s AS BIGINT) AS n_s, {p} AS p
+          FROM c CROSS JOIN m)
+    SELECT d.doc_id, d.lang, d.source,
+           r.n_s AS lang_rows,
+           round(r.p + 1e-9, 6) AS rate
+    FROM documents d JOIN r USING (lang)
+    WHERE {sql_seeded(sql_hmod("CAST(d.doc_id AS VARCHAR)"), str(seed))}
+          < CAST(floor(r.p * {M31}) AS BIGINT)
+    """
+
+
+@query("ds10_temperature_resample", oracle=_ds10_sql, ops=("DS-TEMPERATURE",))
+def ds10_temperature_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    seed: int = _WS_SEED,
+    temperature: int = 2,
+) -> DataFrame:
+    """Temperature-based language rebalancing: downsample each
+    language stratum s with keep probability (n_min / n_s)^(1/T) — the
+    published temperature-sampling recipe multilingual corpora use to
+    flatten a skewed language distribution without discarding the
+    rarest stratum (T=1 balances uniformly, higher T preserves more of
+    the natural skew; the rarest language always keeps rate 1.0). The
+    coin is ds09's seeded universal hash of doc_id vs
+    floor(p_s * M31), so re-runs, backfills and both engines make the
+    identical keep decision on every row, and changing ``seed`` redraws
+    an independent epoch.
+
+    Cross-engine exactness: only power-of-two temperatures are
+    accepted — the exponent is composed correctly-rounded sqrt()s over
+    one IEEE division of BIGINT counts (libm pow() diverges between
+    JVM and C and never appears in oracle-verified math, the txt06
+    rule); the acceptance test is integer-vs-integer.
+
+    Scale shape (100 TB): one map-side-combinable count per language
+    (dictionary-sized), the per-language rates come BACK as a broadcast
+    joined onto the scan projection, and the filter is scan-side — no
+    fact-table shuffle anywhere. The rate column is epsilon-rounded to
+    6dp for reporting; the UNROUNDED rate drives the coin (the cp02
+    threshold-gate rule)."""
+    from ..functions.hashing import M31, hmod, seeded
+
+    k = _TEMP_SQRTS[temperature]  # KeyError = unsupported temperature
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    p = F.col("n_min").cast("double") / F.col("n_s").cast("double")
+    for _ in range(k):
+        p = F.sqrt(p)
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang", "n_s", p.alias("p")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(
+            seeded(hmod(F.col("doc_id").cast("string")), F.lit(seed))
+            < F.floor(F.col("p") * F.lit(M31)).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_s").alias("lang_rows"),
+            _r(F.col("p"), 6).alias("rate"),
+        )
+    )

@@ -96,6 +96,31 @@ def test_ct03_semantic_contamination_exact_for_any_split(
     assert_frames_match(actual, expected, f"ct03@{bench_mod}/{cells}")
 
 
+@pytest.mark.parametrize("seed,temperature", [(3, 2), (1, 1), (1, 4)])
+def test_ds10_temperature_resample_exact_for_any_knobs(
+    seed, temperature, spark, sf_dir, ddb
+):
+    """The registry oracle binds (seed=1, T=2); the builder must replay
+    the per-language rates and the coin for any supported temperature
+    and seed (parameterized from day one, the ds08/ds09 ADVICE lesson).
+    Also pins that the filter is REAL on the fixture corpus — a
+    temperature resample that keeps every row is vacuous."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ds10_sql,
+        ds10_temperature_resample,
+    )
+
+    actual = ds10_temperature_resample(
+        spark, sf_dir, seed=seed, temperature=temperature
+    ).toPandas()
+    expected = ddb.execute(
+        _ds10_sql(seed=seed, temperature=temperature)
+    ).fetchdf()
+    total = ddb.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(actual) < total, "resample kept everything (or nothing)"
+    assert_frames_match(actual, expected, f"ds10@{seed}/T{temperature}")
+
+
 @pytest.mark.parametrize("seed", [2, 9])
 def test_ds09_weighted_sample_exact_for_any_seed(seed, spark, sf_dir, ddb):
     """The sampling coin must redraw an INDEPENDENT but equally

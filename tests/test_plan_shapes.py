@@ -380,3 +380,13 @@ def test_dd11_assignment_lives_in_the_scan_projection(spark, sf_dir):
     read = sp.split("ReadSchema:")[1].split("\n")[0]
     assert "vec_id" in read and "embedding" in read
     assert "label" not in read
+
+
+def test_ds10_rates_broadcast_onto_the_scan(spark, sf_dir):
+    """Temperature resampling's scale contract: the per-language rates
+    (dictionary-sized) come back as a BROADCAST onto the documents
+    scan — the fact table itself never shuffles (no sort-merge join
+    anywhere in the plan)."""
+    plan = _plan(spark, sf_dir, "ds10_temperature_resample")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

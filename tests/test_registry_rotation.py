@@ -25,6 +25,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 NEEDS_FIRST_ROW: set[str] = {
     "dd11_hierarchical_semdedup",
     "ct03_semantic_contamination",
+    "ds10_temperature_resample",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -38,12 +39,12 @@ SINGLE_GREEN = {
 }
 
 #: The multi-greens parked in round 6 rotate back in for their next row
-#: (ud2 stays parked to fund dd11's slot, and f07 parks instead of
-#: rotating back to fund ct03's — see the schedule comment in
-#: plans/queries.py).
+#: (ud2 stays parked to fund dd11's slot; f07 and txt03 park instead of
+#: rotating back to fund ct03's and ds10's — see the schedule comment
+#: in plans/queries.py).
 BACK_IN_WINDOW = {
     "j01_fallback_stats_join", "j03_enrichment_join",
-    "txt02_quality_scores", "txt03_fingerprint", "x15_risk_assembly",
+    "txt02_quality_scores", "x15_risk_assembly",
     "x22_factor_normalize", "x22_painless_normalizer",
     "x21_runtime_fields", "f08_gated_enrichment", "k01_newest_first_cap",
     "a04_stats_export", "x02_hidden_price_structured",
