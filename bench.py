@@ -77,6 +77,13 @@ HEADLINE = [
     # round-7 addition: hierarchical (coarse->fine) SemDeDup — the
     # sub-n^1.5 assignment path
     "dd11_hierarchical_semdedup",
+    # round-7 mid-round additions: the pretraining chunker (scan-side
+    # generator — raw text throughput), the exact distributed quantile
+    # trim (histogram prefix sum), and the HLL accuracy-gate audit
+    # (exact-distinct Expand next to the sketch)
+    "ch01_context_chunks",
+    "ds11_length_quantile_trim",
+    "a14_approx_distinct_gate",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

@@ -1170,8 +1170,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            double-green) stay in for third rows; f07 and txt03 (both
 #            four-green) park instead of rotating back, funding the
 #            further new entries ct03_semantic_contamination and
-#            ds10_temperature_resample. Registry 86 =
-#            window 50 + tail 36.
+#            ds10_temperature_resample. Mid-round the registry grew
+#            86 → 89 (ch01_context_chunks, ds11_length_quantile_trim,
+#            a14_approx_distinct_gate — all need first rows), funded by
+#            parking f06/k45/x18 (all four-green). Registry 89 =
+#            window 50 + tail 39.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1224,10 +1227,15 @@ _ROTATION_TAIL = [
     # ud2 (triple-green, the most expensive SQL entry in any window)
     # stays parked to fund the slot for the new dd11 entry; f07 and
     # txt03 (both four-green) park instead of rotating back to fund the
-    # new ct03 and ds10 entries.
+    # new ct03 and ds10 entries; f06, k45 and x18 (all four-green) park
+    # mid-round to fund the further new entries ch01_context_chunks,
+    # ds11_length_quantile_trim and a14_approx_distinct_gate.
     "ud2_spec_extraction",
     "f07_keyword_filter",
     "txt03_fingerprint",
+    "f06_condition_normalize",
+    "k45_best_component",
+    "x18_badge_scan",
 ]
 
 

@@ -5683,3 +5683,268 @@ def ds10_temperature_resample(
             _r(F.col("p"), 6).alias("rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — the pretraining document splitter
+# ---------------------------------------------------------------------------
+_CHUNK_CHARS = 128
+_CHUNK_STRIDE = 96
+
+
+def _ch01_sql(chunk: int = _CHUNK_CHARS, stride: int = _CHUNK_STRIDE) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, lang, text, length(text) AS len
+               FROM documents),
+    n AS (SELECT *,
+                 1 + (greatest(len - {chunk}, 0) + {stride} - 1) // {stride}
+                     AS n_chunks
+          FROM d),
+    b AS (SELECT doc_id, lang, text, len,
+                 CAST(UNNEST(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+          FROM n)
+    SELECT doc_id, lang, chunk_idx,
+           CAST(chunk_idx * {stride} AS BIGINT) AS chunk_start,
+           substring(text, CAST(chunk_idx * {stride} + 1 AS INT), {chunk})
+               AS chunk_text,
+           CAST(length(substring(text, CAST(chunk_idx * {stride} + 1 AS INT),
+                                 {chunk})) AS BIGINT) AS chunk_chars
+    FROM b
+    """
+
+
+@query("ch01_context_chunks", oracle=_ch01_sql, ops=("DOC-CHUNK",))
+def ch01_context_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    chunk: int = _CHUNK_CHARS,
+    stride: int = _CHUNK_STRIDE,
+) -> DataFrame:
+    """Context-window chunking: split every document into fixed-width
+    sliding windows (``chunk`` chars, step ``stride`` — 25% overlap at
+    the defaults), the standard pretraining splitter that turns
+    variable-length documents into model-context-sized training pieces
+    without dropping any text. Chunk count is
+    ``1 + ceil(max(len - chunk, 0) / stride)`` so the final window
+    always reaches the end of the document (a shorter tail chunk is
+    emitted rather than silently truncating trailing text), and a doc
+    shorter than one window still yields exactly one chunk.
+
+    Cross-engine exactness: chunk arithmetic is pure BIGINT
+    (ceil-division via ``(x + stride - 1) DIV stride`` — the ds02 rule:
+    never floor(double-div)); both engines' ``length``/``substring``
+    are CHARACTER-based on VARCHAR (verified on the zh corpus slice —
+    multi-byte code points count as one), so the emitted chunk text is
+    identical bytes.
+
+    Scale shape (100 TB): a pure scan-side projection + generator —
+    the sequence/explode runs inside the scan stage with NO shuffle,
+    no state and no dictionary (plan-pinned: no Exchange, one
+    Generate); output size is input size × (1 + overlap fraction), and
+    chunks inherit the input partitioning so a downstream writer
+    streams them straight out. Tokenizer-aware splitting would swap
+    the char offsets for token offsets from txt02's tokenizer; the
+    plan shape is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(length(text) - {chunk}, 0) + {stride} - 1) DIV {stride}"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("i").cast("bigint").alias("chunk_idx"),
+            (F.col("i").cast("bigint") * stride).alias("chunk_start"),
+            F.col("text").substr(
+                F.col("i") * stride + 1, F.lit(chunk)
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "chunk_chars", F.length("chunk_text").cast("bigint")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantile trim — outlier-length removal
+# ---------------------------------------------------------------------------
+#: p-th percentile as an integer rank: k = ceil(p/100 * n) computed as
+#: (p*n + 99) DIV 100 — pure BIGINT, no float index math to diverge
+_TRIM_LO_PCT = 5
+_TRIM_HI_PCT = 95
+
+
+def _ds11_sql(lo_pct: int = _TRIM_LO_PCT, hi_pct: int = _TRIM_HI_PCT) -> str:
+    return f"""
+    WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+    n AS (SELECT count(*) AS n FROM documents),
+    k AS (SELECT ({lo_pct} * n + 99) // 100 AS k_lo,
+                 ({hi_pct} * n + 99) // 100 AS k_hi
+          FROM n),
+    t AS (SELECT min(CASE WHEN cum >= k_lo THEN v END) AS lo,
+                 min(CASE WHEN cum >= k_hi THEN v END) AS hi
+          FROM cum CROSS JOIN k)
+    SELECT d.lang,
+           CAST(count(*) FILTER (WHERE d.n_chars BETWEEN t.lo AND t.hi)
+                AS BIGINT) AS kept_docs,
+           count(*) AS lang_docs,
+           t.lo AS lo_chars,
+           t.hi AS hi_chars
+    FROM documents d CROSS JOIN t
+    GROUP BY d.lang, t.lo, t.hi
+    """
+
+
+@query("ds11_length_quantile_trim", oracle=_ds11_sql, ops=("EXACT-QUANTILE",))
+def ds11_length_quantile_trim(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lo_pct: int = _TRIM_LO_PCT,
+    hi_pct: int = _TRIM_HI_PCT,
+) -> DataFrame:
+    """Exact distributed percentile trim: drop length outliers outside
+    the [p5, p95] band — the corpus-hygiene cut every curation recipe
+    applies before tokenization (truncated fragments below, concatenated
+    junk above). The thresholds are EXACT percentile_disc values
+    computed distributively: a value-histogram (groupBy the metric —
+    distinct doc lengths, bounded by max doc length, so
+    dictionary-sized), a prefix sum over that tiny dictionary, and
+    ``threshold_p = min v with cum_count(v) >= ceil(p/100 * n)`` — the
+    SQL-standard discrete-percentile definition, but computed as a
+    histogram fold instead of a global sort.
+
+    Cross-engine exactness: no percentile_disc/quantile built-ins (each
+    engine rounds the rank index differently at the edges) — the rank is
+    ``(p*n + 99) DIV 100`` in pure BIGINT and the threshold selection is
+    a min-over-CASE, identical algebra both sides. No float appears
+    anywhere.
+
+    Scale shape (100 TB): the ONLY full-data operations are the
+    histogram groupBy (map-side combinable, key cardinality = distinct
+    lengths, ~1e5 at worst) and the final per-lang count — the
+    single-partition window sort touches the dictionary, never the
+    corpus, and the two thresholds return as a broadcast one-row dim
+    onto the scan (plan-pinned). Contrast with a global
+    sort-by-length (a full-corpus range shuffle) or sampled
+    approx_percentile (no exactness contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    k = docs.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(f"({lo_pct} * n + 99) DIV 100").alias("k_lo"),
+        F.expr(f"({hi_pct} * n + 99) DIV 100").alias("k_hi"),
+    )
+    t = cum.crossJoin(F.broadcast(k)).agg(
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v"))).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(t))
+        .groupBy("lang", "lo", "hi")
+        .agg(
+            F.count(
+                F.when(F.col("n_chars").between(F.col("lo"), F.col("hi")), 1)
+            ).alias("kept_docs"),
+            F.count(F.lit(1)).alias("lang_docs"),
+        )
+        .select(
+            "lang",
+            "kept_docs",
+            "lang_docs",
+            F.col("lo").alias("lo_chars"),
+            F.col("hi").alias("hi_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-distinct accuracy gate — HLL with a verified error contract
+# ---------------------------------------------------------------------------
+_HLL_RSD = 0.02
+_HLL_BOUND_DIV = 20  # gate: |approx - exact| <= exact DIV 20 (5%)
+
+
+@query(
+    "a14_approx_distinct_gate",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           CAST(count(DISTINCT l_partkey) // {_HLL_BOUND_DIV} AS BIGINT)
+               AS part_bound,
+           CAST(count(DISTINCT l_suppkey) // {_HLL_BOUND_DIV} AS BIGINT)
+               AS supp_bound,
+           TRUE AS parts_within_bound,
+           TRUE AS supps_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ops=("APPROX-DISTINCT",),
+)
+def a14_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct accuracy gate: per (returnflag, linestatus)
+    group, run HyperLogLog++ cardinality (rsd=0.02) for distinct parts
+    and distinct suppliers NEXT TO the exact distinct counts, and emit
+    a verified boolean contract ``|approx - exact| <= exact DIV 20``
+    (5%, integer-vs-integer) per sketch. The a01c pattern applied to
+    count-distinct: the sketch VALUE can never hash-match a different
+    engine's HLL, so the driver-verifiable surface is the exact count
+    plus the error-bound verdict — the oracle expects every gate TRUE,
+    and any HLL regression (precision change, merge bug) turns the row
+    red. Spark's HLL++ is deterministic for a given dataset, so the
+    gate is stable round-over-round (measured error ≈1% at every SF,
+    5x inside the bound).
+
+    Scale shape (100 TB): this audit query pays the exact-distinct
+    expand (one shuffle per distinct column — Spark rewrites multi
+    count-distinct via Expand) precisely to certify the sketch; the
+    production path then runs approx_count_distinct ALONE — one
+    map-side-combinable pass, a few KB of sketch per group, no expand,
+    the only way a 10^9-cardinality distinct fits executor memory.
+    The verified 5% contract is what licenses that swap."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.approx_count_distinct("l_partkey", _HLL_RSD).alias("ap"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_suppkey", _HLL_RSD).alias("asup"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "exact_parts",
+            "exact_supps",
+            F.expr(f"exact_parts DIV {_HLL_BOUND_DIV}").alias("part_bound"),
+            F.expr(f"exact_supps DIV {_HLL_BOUND_DIV}").alias("supp_bound"),
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                <= F.expr(f"exact_parts DIV {_HLL_BOUND_DIV}")
+            ).alias("parts_within_bound"),
+            (
+                F.abs(F.col("asup") - F.col("exact_supps"))
+                <= F.expr(f"exact_supps DIV {_HLL_BOUND_DIV}")
+            ).alias("supps_within_bound"),
+        )
+    )

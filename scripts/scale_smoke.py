@@ -46,6 +46,8 @@ OPS = [
     "ds05_source_mixture",
     "ds06_token_budget_select",
     "cp01_corpus_curation_pipeline",
+    "ch01_context_chunks",
+    "ds11_length_quantile_trim",
 ]
 
 

@@ -154,3 +154,68 @@ def test_ds02_packing_exact_for_any_budget(budget, spark, sf_dir, ddb):
     assert sql.count(f"// {budget}") == 1 and sql.count(f"% {budget}") == 1
     expected = ddb.execute(sql).fetchdf()
     assert_frames_match(actual, expected, f"ds02@budget={budget}")
+
+
+@pytest.mark.parametrize("chunk,stride", [(64, 48), (200, 200), (128, 128)])
+def test_ch01_chunking_exact_for_any_schedule(chunk, stride, spark, sf_dir, ddb):
+    """The registry oracle binds (chunk=128, stride=96); the builder
+    must replay the window arithmetic for any schedule, including the
+    non-overlapping stride == chunk case (parameterized from day one,
+    the ds08/ds09 ADVICE lesson). Also pins the tail contract: every
+    document's final chunk reaches the end of its text (no trailing
+    text is ever dropped)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ch01_sql,
+        ch01_context_chunks,
+    )
+
+    actual = ch01_context_chunks(
+        spark, sf_dir, chunk=chunk, stride=stride
+    ).toPandas()
+    expected = ddb.execute(_ch01_sql(chunk=chunk, stride=stride)).fetchdf()
+    assert_frames_match(actual, expected, f"ch01@{chunk}/{stride}")
+    # no-trailing-text-dropped: per doc, last chunk_start + chunk_chars
+    # == doc length (assert against DuckDB's independent length())
+    last = (
+        actual.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id")
+        .tail(1)[["doc_id", "chunk_start", "chunk_chars"]]
+    )
+    lens = ddb.execute(
+        "SELECT doc_id, length(text) AS len FROM documents"
+    ).fetchdf()
+    merged = last.merge(lens, on="doc_id")
+    assert (
+        merged["chunk_start"] + merged["chunk_chars"] == merged["len"]
+    ).all(), "a document's chunking dropped trailing text"
+
+
+@pytest.mark.parametrize("lo_pct,hi_pct", [(10, 90), (1, 99), (50, 50)])
+def test_ds11_quantile_trim_exact_for_any_band(lo_pct, hi_pct, spark, sf_dir, ddb):
+    """The registry oracle binds [p5, p95]; the builder must replay the
+    integer rank math for any band, including the degenerate
+    median-only band (parameterized from day one). Also pins that the
+    thresholds are REAL discrete percentiles: lo <= hi and both are
+    actual document lengths present in the corpus."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ds11_sql,
+        ds11_length_quantile_trim,
+    )
+
+    actual = ds11_length_quantile_trim(
+        spark, sf_dir, lo_pct=lo_pct, hi_pct=hi_pct
+    ).toPandas()
+    expected = ddb.execute(_ds11_sql(lo_pct=lo_pct, hi_pct=hi_pct)).fetchdf()
+    assert_frames_match(actual, expected, f"ds11@{lo_pct}/{hi_pct}")
+    lo, hi = int(actual["lo_chars"].iloc[0]), int(actual["hi_chars"].iloc[0])
+    assert lo <= hi
+    present = set(
+        r[0] for r in ddb.execute(
+            "SELECT DISTINCT n_chars FROM documents"
+        ).fetchall()
+    )
+    assert lo in present and hi in present, (
+        "discrete percentile must be an observed value, not interpolated"
+    )
+    kept, total = int(actual["kept_docs"].sum()), int(actual["lang_docs"].sum())
+    assert 0 < kept < total, "trim must actually drop outliers on the fixture"

@@ -390,3 +390,46 @@ def test_ds10_rates_broadcast_onto_the_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds10_temperature_resample")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ch01_chunking_is_shuffle_free(spark, sf_dir):
+    """Context-window chunking is a scan-side projection + generator:
+    one Generate (the sequence explode) running in the scan stage, no
+    exchange anywhere, and the documents scan pruned to the columns the
+    chunker touches (n_chars/source never read)."""
+    plan = _plan(spark, sf_dir, "ch01_context_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read and "doc_id" in read
+    assert "n_chars" not in read and "source" not in read
+
+
+def test_ds11_thresholds_broadcast_onto_the_scan(spark, sf_dir):
+    """The exact-quantile trim's scale contract: the prefix-sum window
+    runs over the length HISTOGRAM (dictionary-sized), never the
+    corpus — the only per-row work is the final count against the
+    broadcast one-row threshold dim (no sort-merge join anywhere), and
+    the corpus-side scan reads only (lang, n_chars)."""
+    plan = _plan(spark, sf_dir, "ds11_length_quantile_trim")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row threshold dim
+    # corpus-side scan pruned: at least one scan reads only lang+n_chars
+    reads = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert any(
+        "lang" in r and "n_chars" in r and "text" not in r for r in reads
+    )
+
+
+def test_a14_exact_distinct_is_partial_agg_with_expand(spark, sf_dir):
+    """The audit query's exact multi-column distinct goes through
+    Spark's Expand rewrite with partial aggregation (map-side combine
+    before the one shuffle on the 6-key group space); the HLL sketches
+    ride the same aggregate — no extra shuffle for the approx side and
+    no join anywhere."""
+    plan = _plan(spark, sf_dir, "a14_approx_distinct_gate")
+    assert "Expand" in plan
+    assert "partial_" in plan
+    assert "Join" not in plan
