@@ -84,6 +84,8 @@ HEADLINE = [
     "ch01_context_chunks",
     "ds11_length_quantile_trim",
     "a14_approx_distinct_gate",
+    "w04_sessionize",
+    "cs01_source_overlap",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

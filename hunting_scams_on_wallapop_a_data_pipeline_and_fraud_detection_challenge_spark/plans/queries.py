@@ -1173,8 +1173,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            ds10_temperature_resample. Mid-round the registry grew
 #            86 → 89 (ch01_context_chunks, ds11_length_quantile_trim,
 #            a14_approx_distinct_gate — all need first rows), funded by
-#            parking f06/k45/x18 (all four-green). Registry 89 =
-#            window 50 + tail 39.
+#            parking f06/k45/x18 (all four-green), then 89 → 91
+#            (w04_sessionize — gap-based event sessionization — and
+#            cs01_source_overlap — corpus-level MinHash source
+#            similarity), funded by parking x02/f09 (both four-green).
+#            Registry 91 = window 50 + tail 41.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1236,6 +1239,8 @@ _ROTATION_TAIL = [
     "f06_condition_normalize",
     "k45_best_component",
     "x18_badge_scan",
+    "x02_hidden_price_structured",
+    "f09_nested_json_projection",
 ]
 
 

@@ -5948,3 +5948,199 @@ def a14_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("supps_within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization — the classic event-stream segmenter
+# ---------------------------------------------------------------------------
+#: session break after 8 idle hours — the synthetic event cadence is
+#: sparse (median per-user inter-event gap ~7.3 h at sf0.01), so the
+#: default splits real multi-event sessions instead of degenerating to
+#: one-session-per-user or one-event-per-session
+_SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+
+def _w04_sql(gap_us: int = _SESSION_GAP_US) -> str:
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS tus
+               FROM events),
+    f AS (SELECT *,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                        OR tus - lag(tus) OVER w > {gap_us}
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    s AS (SELECT *,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM f)
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_errors,
+           min(tus) AS start_us,
+           max(tus) AS end_us,
+           max(tus) - min(tus) AS duration_us
+    FROM s
+    GROUP BY user_id, session_idx
+    """
+
+
+@query("w04_sessionize", oracle=_w04_sql, ops=("SESSIONIZE",))
+def w04_sessionize(
+    spark: SparkSession, sf_dir: str, *, gap_us: int = _SESSION_GAP_US
+) -> DataFrame:
+    """Gap-based sessionization: segment each user's event stream into
+    sessions separated by more than ``gap_us`` of idle time — the
+    classic two-window recipe (lag → break flag → running sum), then
+    one aggregate per (user, session). Timestamps are compared as
+    BIGINT epoch microseconds (``F.unix_micros`` ≡ DuckDB
+    ``epoch_us``), the ordering key is (ts, event_id) so ties can't
+    reorder between engines, and both running sums pin an explicit
+    ROWS frame — every emitted number is pure integer arithmetic.
+
+    Scale shape (100 TB): ONE hash shuffle on user_id; both window
+    passes and the final aggregate reuse that single partitioning
+    (Spark plans one Exchange, the sort is per-partition). Per-user
+    data is bounded by user activity, so the sort never spills on a
+    sane executor; a pathological power-user key is an AQE-skew case,
+    not a salting case (the running sum needs the user's full ordered
+    stream). Contrast with Structured Streaming's session_window for
+    the unbounded variant — this is the batch/backfill twin."""
+    # ts is TIMESTAMP_NTZ: epoch micros via NTZ interval arithmetic —
+    # unix_micros() needs LTZ and an NTZ→LTZ cast would shift under a
+    # non-UTC driver session (the readers.py tz rule)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    brk = F.when(
+        F.lag("tus").over(w).isNull()
+        | ((F.col("tus") - F.lag("tus").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "session_idx",
+        F.sum("brk")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("tus", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint"),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .cast("bigint")
+            .alias("n_errors"),
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+            (F.max("tus") - F.min("tus")).alias("duration_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source overlap — the MinHash source-similarity audit
+# ---------------------------------------------------------------------------
+_OVERLAP_K = 64  # signature slots per source (union-merged minima)
+
+
+def _cs01_sql(k: int = _OVERLAP_K) -> str:
+    mins = ",\n               ".join(
+        f"min({sql_seeded('h', str(j))}) AS m{j}" for j in range(k)
+    )
+    # flat list_sum, NOT a chained "+": DuckDB's binder recurses per
+    # nested binary op and hits its 128-depth cap at k >= 128
+    agree = "list_sum([{}])".format(
+        ", ".join(
+            f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(k)
+        )
+    )
+    return f"""
+    WITH toks AS (SELECT source, {sql_tokens("text")} AS t FROM documents),
+    shi AS (SELECT source, {sql_shingles("t")} AS sh FROM toks),
+    e AS (SELECT source, unnest(sh) AS s FROM shi WHERE len(sh) > 0),
+    h AS (SELECT source, {sql_hmod("s")} AS h FROM e),
+    sig AS (SELECT source, {mins}
+            FROM h GROUP BY source),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST({agree} AS BIGINT) AS agree_slots
+          FROM sig a JOIN sig b ON a.source < b.source)
+    SELECT source_a, source_b, agree_slots,
+           CAST({k} AS BIGINT) AS sig_k,
+           round((CAST(agree_slots AS DOUBLE) / {k}) + 1e-6, 4)
+               AS jaccard_est
+    FROM p
+    """
+
+
+@query("cs01_source_overlap", oracle=_cs01_sql, ops=("CORPUS-SIM",))
+def cs01_source_overlap(
+    spark: SparkSession, sf_dir: str, *, k: int = _OVERLAP_K
+) -> DataFrame:
+    """Corpus-level source-overlap audit: one MinHash signature PER
+    SOURCE over the union of its documents' shingles (min is
+    associative, so the per-source slot minimum IS the signature of
+    the union set), then pairwise slot-agreement between sources as a
+    Jaccard estimate — the data-governance question "how much do my
+    ingest feeds overlap?" answered without any doc-level pair join.
+    dd02 reuses the same hash/shingle family per document; this is the
+    corpus-level rollup.
+
+    Cross-engine exactness: slot minima and agreement counts are pure
+    BIGINT; the only float is one IEEE division for the reported
+    estimate (rounded with the epsilon convention).
+
+    Scale shape (100 TB): per-shingle hashes are scan-side; the
+    groupBy has only |sources| keys, which is SAFE because map-side
+    partial aggregation collapses every partition to |sources| × k
+    minima before the exchange — the shuffle moves kilobytes no matter
+    the corpus size (the 5-key groupBy is skew-proof for the same
+    reason). The pairwise compare runs on a |sources|-row table —
+    driver-trivial, broadcast-trivial."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = (
+        docs.select("source", tokens(F.col("text")).alias("toks"))
+        .select("source", shingles(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("source", F.explode("sh").alias("s"))
+        .withColumn("h", hmod(F.col("s")))
+    )
+    sig = ex.groupBy("source").agg(
+        *[
+            F.min(seeded(F.col("h"), F.lit(j))).alias(f"m{j}")
+            for j in range(k)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = reduce(
+        add,
+        [
+            F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
+            for j in range(k)
+        ],
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.cast("bigint").alias("agree_slots"),
+            F.lit(k).cast("bigint").alias("sig_k"),
+            _r(agree.cast("double") / F.lit(float(k)), 4).alias(
+                "jaccard_est"
+            ),
+        )
+    )

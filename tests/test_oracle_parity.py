@@ -219,3 +219,47 @@ def test_ds11_quantile_trim_exact_for_any_band(lo_pct, hi_pct, spark, sf_dir, dd
     )
     kept, total = int(actual["kept_docs"].sum()), int(actual["lang_docs"].sum())
     assert 0 < kept < total, "trim must actually drop outliers on the fixture"
+
+
+@pytest.mark.parametrize("gap_s", [1800, 86400])
+def test_w04_sessionize_exact_for_any_gap(gap_s, spark, sf_dir, ddb):
+    """The registry oracle binds the 8-hour gap; the builder must
+    replay the break/running-sum algebra for any gap (parameterized
+    from day one). The two extremes also pin non-degeneracy bounds:
+    sessions can never outnumber events, and each user has at least
+    one session."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _w04_sql,
+        w04_sessionize,
+    )
+
+    actual = w04_sessionize(spark, sf_dir, gap_us=gap_s * 1_000_000).toPandas()
+    expected = ddb.execute(_w04_sql(gap_us=gap_s * 1_000_000)).fetchdf()
+    assert_frames_match(actual, expected, f"w04@gap={gap_s}s")
+    n_events, n_users = ddb.execute(
+        "SELECT count(*), count(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert n_users <= len(actual) <= n_events
+    assert int(actual["n_events"].sum()) == n_events, (
+        "sessionization must partition the event stream exactly"
+    )
+
+
+@pytest.mark.parametrize("k", [16, 128])
+def test_cs01_source_overlap_exact_for_any_k(k, spark, sf_dir, ddb):
+    """The registry oracle binds k=64 signature slots; the builder must
+    replay the union-minima and agreement count for any k
+    (parameterized from day one). Pair count is always
+    C(|sources|, 2) — the audit covers every source pair."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _cs01_sql,
+        cs01_source_overlap,
+    )
+
+    actual = cs01_source_overlap(spark, sf_dir, k=k).toPandas()
+    expected = ddb.execute(_cs01_sql(k=k)).fetchdf()
+    assert_frames_match(actual, expected, f"cs01@k={k}")
+    n_src = ddb.execute(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(actual) == n_src * (n_src - 1) // 2

@@ -433,3 +433,30 @@ def test_a14_exact_distinct_is_partial_agg_with_expand(spark, sf_dir):
     assert "Expand" in plan
     assert "partial_" in plan
     assert "Join" not in plan
+
+
+def test_w04_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization's scale contract: exactly ONE hash exchange (on
+    user_id) feeds both window passes AND the final session aggregate —
+    Spark must reuse the user partitioning instead of re-shuffling
+    between the lag, the running sum and the groupBy. The events scan
+    is pruned (value/props never read)."""
+    plan = _plan(spark, sf_dir, "w04_sessionize")
+    import re
+
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 1, f"expected 1 hash exchange, got:\n{plan}"
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "user_id" in read and "ts" in read
+    assert "value" not in read and "props" not in read
+
+
+def test_cs01_source_overlap_is_partial_agg(spark, sf_dir):
+    """The source-overlap audit's scale contract: the |sources|-key
+    groupBy MUST have a map-side partial aggregate (the 64 slot-minima
+    collapse per partition before the exchange — what makes a 5-key
+    groupBy skew-proof), and the pairwise compare joins the tiny
+    signature table without a sort-merge join."""
+    plan = _plan(spark, sf_dir, "cs01_source_overlap")
+    assert "partial_min" in plan
+    assert "SortMergeJoin" not in plan

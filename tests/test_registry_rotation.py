@@ -29,6 +29,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "ch01_context_chunks",
     "ds11_length_quantile_trim",
     "a14_approx_distinct_gate",
+    "w04_sessionize",
+    "cs01_source_overlap",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -44,15 +46,14 @@ SINGLE_GREEN = {
 #: The multi-greens parked in round 6 rotate back in for their next row
 #: (ud2 stays parked to fund dd11's slot; f07 and txt03 park instead of
 #: rotating back to fund ct03's and ds10's; f06, k45 and x18 — all
-#: four-green — park mid-round to fund ch01/ds11/a14 — see the schedule
-#: comment in plans/queries.py).
+#: four-green — park mid-round to fund ch01/ds11/a14, and x02/f09 park
+#: to fund w04/cs01 — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
     "j01_fallback_stats_join", "j03_enrichment_join",
     "txt02_quality_scores", "x15_risk_assembly",
     "x22_factor_normalize", "x22_painless_normalizer",
     "x21_runtime_fields", "f08_gated_enrichment", "k01_newest_first_cap",
-    "a04_stats_export", "x02_hidden_price_structured",
-    "f09_nested_json_projection", "nn02_lsh_ann",
+    "a04_stats_export", "nn02_lsh_ann",
     "dd05_embedding_neardup", "dd06_neardup_clusters",
     "mm01_media_features", "ds03_leakage_safe_split",
     "ds04_training_order", "ct02_decontaminated_train",
