@@ -86,6 +86,14 @@ HEADLINE = [
     "a14_approx_distinct_gate",
     "w04_sessionize",
     "cs01_source_overlap",
+    # round-7 late additions: the union+running-max as-of join, the
+    # binned range join (equi-join rewrite of an inequality join), the
+    # bloom-filter incremental-ingest probe, and the count-min-sketch
+    # heavy-hitter audit
+    "j05_asof_enrich",
+    "j06_range_count",
+    "dd12_bloom_incremental",
+    "sk01_cms_heavy_hitters",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

@@ -1176,8 +1176,14 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            parking f06/k45/x18 (all four-green), then 89 → 91
 #            (w04_sessionize — gap-based event sessionization — and
 #            cs01_source_overlap — corpus-level MinHash source
-#            similarity), funded by parking x02/f09 (both four-green).
-#            Registry 91 = window 50 + tail 41.
+#            similarity), funded by parking x02/f09 (both four-green),
+#            then 91 → 95 (j05_asof_enrich — union+running-max as-of
+#            join, j06_range_count — binned range join,
+#            dd12_bloom_incremental — existing-corpus bloom probe of
+#            incoming docs, sk01_cms_heavy_hitters — count-min sketch
+#            vs exact gate), funded by parking j01/txt02/mm01/
+#            x22_painless_normalizer (all four-green).
+#            Registry 95 = window 50 + tail 45.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1241,6 +1247,12 @@ _ROTATION_TAIL = [
     "x18_badge_scan",
     "x02_hidden_price_structured",
     "f09_nested_json_projection",
+    # parked mid-round-7 (all four-green) to fund the window slots for
+    # the new j05/j06/dd12/sk01 entries:
+    "j01_fallback_stats_join",
+    "txt02_quality_scores",
+    "mm01_media_features",
+    "x22_painless_normalizer",
 ]
 
 

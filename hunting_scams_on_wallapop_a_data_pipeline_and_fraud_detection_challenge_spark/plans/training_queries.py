@@ -6144,3 +6144,469 @@ def cs01_source_overlap(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — most recent prior click per error event
+# ---------------------------------------------------------------------------
+
+
+def _j05_sql() -> str:
+    return """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+               FROM events
+               WHERE event_type IN ('click', 'error')),
+    w AS (SELECT *,
+                 max(CASE WHEN event_type = 'click' THEN tus END)
+                     OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS click_us
+          FROM e)
+    SELECT user_id, event_id, tus AS err_us,
+           COALESCE(click_us, -1) AS click_us,
+           COALESCE(tus - click_us, -1) AS lag_us
+    FROM w
+    WHERE event_type = 'error'
+    """
+
+
+@query("j05_asof_enrich", oracle=_j05_sql, ops=("JOIN-ASOF",))
+def j05_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each ``error`` event enriched with the most recent
+    ``click`` of the same user at-or-before it (the time-series
+    point-in-time join Spark has no native operator for — DuckDB's
+    ``ASOF JOIN``, kdb's ``aj``). Implemented Spark-first as the
+    union-and-running-max recipe: tag both sides, sort once per user by
+    (tus, event_id), and a ROWS-unbounded running ``max(click tus)``
+    carries the latest prior click to every error row — no range join,
+    no per-row probe. Missing matches coalesce to -1 so both engines
+    emit identical BIGINT columns (no NULL-hash ambiguity).
+
+    Cross-engine exactness: epoch microseconds are BIGINT
+    (``timestampdiff`` on the NTZ column ≡ DuckDB ``epoch_us``), the
+    ordering key (tus, event_id) is unique, and every output is integer
+    arithmetic — hash-exact by construction.
+
+    Scale shape (100 TB): ONE hash shuffle on user_id; the window sort
+    is per-partition and the as-of resolution is a single linear pass —
+    versus the naive inequality join, which Spark plans as a
+    BroadcastNestedLoopJoin (all-pairs per user). This union+window
+    form is the standard scalable as-of at any corpus size; per-user
+    streams are bounded, a pathological power user is an AQE-skew
+    case."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("tus"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_us = F.max(
+        F.when(F.col("event_type") == "click", F.col("tus"))
+    ).over(w)
+    neg1 = F.lit(-1).cast("bigint")
+    return (
+        ev.withColumn("click_us_raw", click_us)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("tus").alias("err_us"),
+            F.coalesce(F.col("click_us_raw"), neg1).alias("click_us"),
+            F.coalesce(F.col("tus") - F.col("click_us_raw"), neg1).alias(
+                "lag_us"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join via time binning — clicks in the window before each purchase
+# ---------------------------------------------------------------------------
+#: look-back window: 6 hours of epoch microseconds
+_RANGE_WIN_US = 6 * 3600 * 1_000_000
+
+
+def _j06_sql(win_us: int = _RANGE_WIN_US) -> str:
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+               FROM events),
+    p AS (SELECT user_id, event_id, tus FROM e
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, tus FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.tus AS p_us,
+           count(c.tus) AS n_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.tus >= p.tus - {win_us}
+     AND c.tus < p.tus
+    GROUP BY p.event_id, p.user_id, p.tus
+    """
+
+
+@query("j06_range_count", oracle=_j06_sql, ops=("JOIN-RANGE",))
+def j06_range_count(
+    spark: SparkSession, sf_dir: str, *, win_us: int = _RANGE_WIN_US
+) -> DataFrame:
+    """Range (interval) join: for each ``purchase`` event, count the
+    user's ``click`` events inside the preceding ``win_us`` window —
+    the behavioral-feature join every fraud/abuse pipeline needs.
+    Spark plans a raw inequality join as a BroadcastNestedLoopJoin
+    (all-pairs), so this implements the standard scalable rewrite:
+    quantize time into win_us-sized bins, equi-join on
+    (user_id, bin) for the purchase's bin and its predecessor (any
+    click within win_us lands in one of the two), then apply the exact
+    range predicate as a post-join filter. Each qualifying click joins
+    through exactly ONE probe bin, so no dedup pass is needed.
+
+    The oracle is the plain inequality join DuckDB can afford at test
+    SF — same semantics, different physical plan. All outputs are
+    BIGINT (epoch-microsecond arithmetic and counts): hash-exact.
+
+    Scale shape (100 TB): the equi-join shuffles on (user_id, bin) —
+    both sides hash-partitioned, fan-out bounded at 2 probe rows per
+    purchase, and the per-key match set is bounded by one window's
+    click volume. The bin width doubling as the window size is what
+    caps the candidate set; a hot (user, bin) key is an AQE-skew case.
+    test_plan_shapes pins the no-BroadcastNestedLoopJoin claim."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("tus"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("tus").alias("p_us"),
+            F.expr(f"tus DIV {win_us}").alias("pbin"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "p_us",
+            F.explode(
+                F.array(F.col("pbin") - 1, F.col("pbin"))
+            ).alias("jbin"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("tus").alias("c_us"),
+        F.expr(f"tus DIV {win_us}").alias("jbin"),
+    )
+    in_range = (F.col("c_us") >= F.col("p_us") - F.lit(win_us)) & (
+        F.col("c_us") < F.col("p_us")
+    )
+    return (
+        p.join(c, ["user_id", "jbin"], "left")
+        .groupBy("event_id", "user_id", "p_us")
+        .agg(
+            F.count(F.when(in_range, F.lit(1))).alias("n_clicks")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup — probe new docs against the corpus bloom
+# ---------------------------------------------------------------------------
+#: bloom geometry: 4096 words x 63 usable bits (the sign bit is never
+#: set — DuckDB raises on 1 << 63) = 258,048 bits; 4 probes per key.
+#: The synthetic corpus tops out near ~27k distinct shingles (vocab 31
+#: => at most 31^3 3-gram shingles), so fill stays under ~35% and the
+#: false-positive rate under ~1.5% at every SF.
+_BLOOM_WORDS = 4096
+_BLOOM_BITS = _BLOOM_WORDS * 63
+_BLOOM_K = 4
+
+
+def _dd12_sql() -> str:
+    probes = ", ".join(str(j) for j in range(_BLOOM_K))
+    pos = sql_seeded("h", "j") + f" % {_BLOOM_BITS}"
+    return f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+    shl AS (SELECT doc_id, {sql_shingles("t")} AS sh FROM toks),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE len(sh) > 0),
+    hh AS (SELECT doc_id, {sql_hmod("s")} AS h FROM e),
+    expos AS (SELECT ({pos}) AS pos
+              FROM (SELECT h FROM hh WHERE doc_id % 10 != 0),
+                   range({_BLOOM_K}) t(j)),
+    bloom AS (SELECT pos // 63 AS word,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+                         AS bits
+              FROM expos GROUP BY 1),
+    exh AS (SELECT DISTINCT h FROM hh WHERE doc_id % 10 != 0),
+    inc AS (SELECT doc_id, h FROM hh WHERE doc_id % 10 = 0),
+    probe AS (SELECT inc.doc_id, inc.h,
+                     ({pos}) // 63 AS word,
+                     CAST(1 AS BIGINT)
+                         << CAST(({pos}) % 63 AS INT) AS mask
+              FROM inc, range({_BLOOM_K}) t(j)),
+    hitbits AS (SELECT p.doc_id, p.h,
+                       CASE WHEN b.bits IS NOT NULL
+                                 AND (b.bits & p.mask) = p.mask
+                            THEN 1 ELSE 0 END AS hit
+                FROM probe p LEFT JOIN bloom b ON b.word = p.word),
+    persh AS (SELECT doc_id, h,
+                     CASE WHEN sum(hit) = {_BLOOM_K} THEN 1 ELSE 0 END
+                         AS bloom_hit
+              FROM hitbits GROUP BY doc_id, h),
+    flagged AS (SELECT p.doc_id, p.bloom_hit,
+                       CASE WHEN x.h IS NOT NULL THEN 1 ELSE 0 END
+                           AS exact_hit
+                FROM persh p LEFT JOIN exh x ON x.h = p.h)
+    SELECT doc_id,
+           count(*) AS n_sh,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hit,
+           CAST(sum(exact_hit) AS BIGINT) AS n_exact_hit,
+           CAST(sum(CASE WHEN exact_hit = 1 AND bloom_hit = 0
+                         THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+               AS no_false_negatives,
+           round((CAST(sum(exact_hit) AS DOUBLE) / count(*)) + 1e-6, 4)
+               AS seen_ratio
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
+@query("dd12_bloom_incremental", oracle=_dd12_sql, ops=("DEDUP-BLOOM",))
+def dd12_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: build a Bloom filter over the
+    EXISTING corpus's shingle hashes (doc_id % 10 != 0), then score each
+    INCOMING document (doc_id % 10 == 0) by how many of its shingles
+    the filter claims to have seen — the incremental-ingest primitive
+    that lets a 100 TB pipeline dedup a daily delta without re-joining
+    the historical corpus. Per incoming doc: shingle count, bloom-hit
+    count, exact-hit count (ground truth via a distinct-hash semi
+    join), a no-false-negatives gate (a Bloom filter may only
+    over-claim — any exact hit the filter missed is a bug, so the
+    driver hash-verifies the filter's one-sided error contract every
+    round), and the seen-shingle ratio.
+
+    The filter is plain integer arithmetic shared with the oracle: 4
+    Carter-Wegman probes (``seeded``) mod 258,048 bits packed into
+    4,096 BIGINT words of 63 usable bits (bit 63 never set — DuckDB
+    raises on ``1 << 63``), OR-folded with ``bit_or``. Fill stays
+    under ~35% at every SF (the 31-token vocab caps distinct 3-gram
+    shingles at ~27k), so the false-positive rate is ~1%.
+
+    Scale shape (100 TB): the build side collapses to at most 4,096
+    (word, bits) rows via map-side partial ``bit_or`` — the shuffle
+    moves kilobytes regardless of corpus size, and the probe join
+    broadcasts the word table. The exact-verification join is the only
+    corpus-sized shuffle and exists to VERIFY the filter; a production
+    delta-ingest run keeps just the bloom (broadcast, ~32 KB here,
+    a few GB for a trillion-shingle corpus split across executors)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", shingles(F.col("t")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", hmod(F.col("s")).alias("h"))
+    )
+    ex = sh.filter(F.col("doc_id") % 10 != 0)
+    inc = sh.filter(F.col("doc_id") % 10 == 0)
+
+    j = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("j")
+    pos = (seeded(F.col("h"), F.col("j")) % _BLOOM_BITS).alias("pos")
+    bloom = (
+        ex.select("h", j)
+        .select(pos)
+        .select(
+            F.expr("pos DIV 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    exh = ex.select("h").distinct()
+
+    probe = (
+        inc.select("doc_id", "h", j)
+        .select("doc_id", "h", pos)
+        .select(
+            "doc_id",
+            "h",
+            F.expr("pos DIV 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+            ).alias("mask"),
+        )
+    )
+    hitbits = probe.join(F.broadcast(bloom), "word", "left").select(
+        "doc_id",
+        "h",
+        F.when(
+            F.col("bits").isNotNull()
+            & ((F.col("bits").bitwiseAND(F.col("mask"))) == F.col("mask")),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    persh = hitbits.groupBy("doc_id", "h").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit")
+    )
+    flagged = persh.join(
+        F.broadcast(exh.withColumn("exact_hit", F.lit(1))), "h", "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("exact_hit"), F.lit(0)).alias("exact_hit"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("bloom_hit").alias("n_bloom_hit"),
+        F.sum("exact_hit").alias("n_exact_hit"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("exact_hit") == 1) & (F.col("bloom_hit") == 0), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+        _r(
+            F.sum("exact_hit").cast("double") / F.count(F.lit(1)), 4
+        ).alias("seen_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters — sketch estimate vs exact, gated
+# ---------------------------------------------------------------------------
+#: sketch geometry: 3 rows x 16 columns. DELIBERATELY tiny relative to
+#: the corpus vocabulary (the synthetic docs use ~31 distinct tokens),
+#: so buckets genuinely collide and the sketch's overestimate behavior
+#: is exercised, not vacuously zero.
+_CMS_D = 3
+_CMS_W = 16
+_CMS_TOPK = 20
+
+
+def _sk01_sql() -> str:
+    return f"""
+    WITH tok AS (SELECT unnest({sql_tokens("text")}) AS token
+                 FROM documents),
+    cnt AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+    ex AS (SELECT token, exact_cnt,
+                  {sql_hmod("token")} AS h,
+                  j
+           FROM cnt, range({_CMS_D}) t(j)),
+    keyed AS (SELECT token, exact_cnt, j,
+                     {sql_seeded("h", "j")} % {_CMS_W} AS bucket
+              FROM ex),
+    cells AS (SELECT j, bucket,
+                     CAST(sum(exact_cnt) AS BIGINT) AS cell
+              FROM keyed GROUP BY j, bucket),
+    est AS (SELECT k.token,
+                   max(k.exact_cnt) AS exact_cnt,
+                   min(c.cell) AS cms_est
+            FROM keyed k JOIN cells c
+              ON c.j = k.j AND c.bucket = k.bucket
+            GROUP BY k.token),
+    ranked AS (SELECT *,
+                      row_number() OVER (ORDER BY exact_cnt DESC, token)
+                          AS rnk
+               FROM est)
+    SELECT token, exact_cnt, cms_est,
+           cms_est - exact_cnt AS overest,
+           CAST(cms_est >= exact_cnt AS BOOLEAN) AS never_underestimates
+    FROM ranked
+    WHERE rnk <= {_CMS_TOPK}
+    """
+
+
+@query("sk01_cms_heavy_hitters", oracle=_sk01_sql, ops=("SKETCH-CMS",))
+def sk01_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with an exact-count accuracy gate
+    (the a01c/a14 pattern: an approximation's CONTRACT turned into a
+    hash-verifiable driver row). Builds a d=3 x w=16 count-min sketch
+    over the corpus token stream with the portable Carter-Wegman hash
+    family, reads back the sketch estimate for the top-20 exact tokens,
+    and emits exact vs estimate, the overestimate, and the
+    never-underestimates invariant — CMS can only over-count
+    (one-sided error), so a single false row means the sketch
+    arithmetic diverged between engines. The sketch is sized BELOW the
+    vocabulary on purpose: buckets collide and real overestimates
+    appear, so the row verifies collision behavior rather than an
+    identity mapping.
+
+    All integer arithmetic end-to-end (counts, seeded bucket hashes,
+    min-of-cells) — hash-exact with no rounding rule needed.
+
+    Scale shape (100 TB): the exact count is one map-side-combined
+    groupBy on token; the sketch is d copies of a groupBy on (j,
+    bucket) whose key space is d*w cells — the shuffle carries at most
+    d*w partial sums per map partition no matter the corpus size
+    (that bounded-key collapse is the whole point of sketching: a
+    production run keeps ONLY the cells and drops the exact side; the
+    exact side here is the verification oracle). The final top-k ranks
+    a vocabulary-sized aggregate — TakeOrderedAndProject territory,
+    never a corpus-sized sort."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    keyed = (
+        cnt.select(
+            "token",
+            "exact_cnt",
+            hmod(F.col("token")).alias("h"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_CMS_D)])
+            ).alias("j"),
+        )
+        .select(
+            "token",
+            "exact_cnt",
+            "j",
+            (seeded(F.col("h"), F.col("j")) % _CMS_W).alias("bucket"),
+        )
+    )
+    cells = keyed.groupBy("j", "bucket").agg(
+        F.sum("exact_cnt").alias("cell")
+    )
+    est = (
+        keyed.join(cells, ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("cell").alias("cms_est"),
+        )
+    )
+    ranked = est.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("exact_cnt").desc(), F.col("token"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= _CMS_TOPK).select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias(
+            "never_underestimates"
+        ),
+    )

@@ -263,3 +263,26 @@ def test_cs01_source_overlap_exact_for_any_k(k, spark, sf_dir, ddb):
         "SELECT count(DISTINCT source) FROM documents"
     ).fetchone()[0]
     assert len(actual) == n_src * (n_src - 1) // 2
+
+
+@pytest.mark.parametrize("win_s", [1800, 86400])
+def test_j06_range_count_exact_for_any_window(win_s, spark, sf_dir, ddb):
+    """The registry oracle binds the 6-hour look-back; the builder must
+    replay the bin/filter algebra for any window (parameterized from
+    day one). Invariants at any window: exactly one output row per
+    purchase event, and counts are monotone in the window size at the
+    aggregate level (pinned implicitly by the two extremes both
+    matching the inequality-join oracle)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _j06_sql,
+        j06_range_count,
+    )
+
+    win_us = win_s * 1_000_000
+    actual = j06_range_count(spark, sf_dir, win_us=win_us).toPandas()
+    expected = ddb.execute(_j06_sql(win_us=win_us)).fetchdf()
+    assert_frames_match(actual, expected, f"j06@win={win_s}s")
+    n_purch = ddb.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert len(actual) == n_purch

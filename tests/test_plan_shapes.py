@@ -460,3 +460,51 @@ def test_cs01_source_overlap_is_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cs01_source_overlap")
     assert "partial_min" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_j05_asof_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join's scale contract: the union+running-max rewrite
+    plans as ONE hash exchange on user_id and ZERO join operators — in
+    particular no BroadcastNestedLoopJoin, which is what Spark makes
+    of the naive inequality formulation. The events scan is pruned."""
+    plan = _plan(spark, sf_dir, "j05_asof_enrich")
+    import re
+
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 1, f"expected 1 hash exchange, got:\n{plan}"
+    assert "Join" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "value" not in read and "props" not in read
+
+
+def test_j06_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned range join's scale contract: the physical join is an
+    equi-join on (user_id, bin) — hash- or sort-based — never a
+    BroadcastNestedLoopJoin (the plan Spark produces for the raw
+    inequality form, all-pairs per user)."""
+    plan = _plan(spark, sf_dir, "j06_range_count")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_dd12_bloom_build_collapses_and_broadcasts(spark, sf_dir):
+    """The bloom build's scale contract: the word-table groupBy has a
+    map-side partial bit_or (the shuffle carries at most 4,096 partial
+    words per partition no matter the corpus size) and the probe side
+    joins the bloom by broadcast — the incoming corpus never sort-merge
+    joins the filter."""
+    plan = _plan(spark, sf_dir, "dd12_bloom_incremental")
+    assert "partial_bit_or" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sk01_cms_cells_are_partial_agg(spark, sf_dir):
+    """The sketch's scale contract: both the token count and the d*w
+    cell sums are map-side partial aggregates (partial_count/
+    partial_sum before their exchanges) — the whole point of a CMS is
+    that the shuffled state is bounded by the sketch size."""
+    plan = _plan(spark, sf_dir, "sk01_cms_heavy_hitters")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "partial_sum" in plan, plan

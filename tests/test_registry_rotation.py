@@ -31,6 +31,10 @@ NEEDS_FIRST_ROW: set[str] = {
     "a14_approx_distinct_gate",
     "w04_sessionize",
     "cs01_source_overlap",
+    "j05_asof_enrich",
+    "j06_range_count",
+    "dd12_bloom_incremental",
+    "sk01_cms_heavy_hitters",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -49,16 +53,17 @@ SINGLE_GREEN = {
 #: four-green — park mid-round to fund ch01/ds11/a14, and x02/f09 park
 #: to fund w04/cs01 — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
-    "j01_fallback_stats_join", "j03_enrichment_join",
-    "txt02_quality_scores", "x15_risk_assembly",
-    "x22_factor_normalize", "x22_painless_normalizer",
+    "j03_enrichment_join", "x15_risk_assembly",
+    "x22_factor_normalize",
     "x21_runtime_fields", "f08_gated_enrichment", "k01_newest_first_cap",
     "a04_stats_export", "nn02_lsh_ann",
     "dd05_embedding_neardup", "dd06_neardup_clusters",
-    "mm01_media_features", "ds03_leakage_safe_split",
+    "ds03_leakage_safe_split",
     "ds04_training_order", "ct02_decontaminated_train",
     "dd08_simhash_neardup", "x19_geo_struct",
 }
+#: j01/txt02/mm01/x22_painless_normalizer (all four-green) parked
+#: mid-round-7 to fund the window slots for the four new entries.
 #: The seven r05 arrivals (double-green) also stay in-window for third
 #: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
 #: SINGLE_GREEN ∪ the window check below (they are not in the tail).
