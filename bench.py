@@ -94,6 +94,8 @@ HEADLINE = [
     "j06_range_count",
     "dd12_bloom_incremental",
     "sk01_cms_heavy_hitters",
+    "tp01_contrastive_pairs",
+    "pr01_table_profile",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

@@ -1182,8 +1182,13 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            dd12_bloom_incremental — existing-corpus bloom probe of
 #            incoming docs, sk01_cms_heavy_hitters — count-min sketch
 #            vs exact gate), funded by parking j01/txt02/mm01/
-#            x22_painless_normalizer (all four-green).
-#            Registry 95 = window 50 + tail 45.
+#            x22_painless_normalizer (all four-green), and then
+#            95 → 97 (tp01_contrastive_pairs — LSH positives + seeded
+#            negatives for contrastive training, and
+#            pr01_table_profile — one-pass per-column null/distinct
+#            profiler), funded by parking x15_risk_assembly and
+#            x21_runtime_fields (both four-green).
+#            Registry 97 = window 50 + tail 47.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1253,6 +1258,9 @@ _ROTATION_TAIL = [
     "txt02_quality_scores",
     "mm01_media_features",
     "x22_painless_normalizer",
+    # parked late-round-7 (both four-green) to fund tp01/pr01:
+    "x15_risk_assembly",
+    "x21_runtime_fields",
 ]
 
 

@@ -6610,3 +6610,184 @@ def sk01_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining — LSH positives + seeded negatives
+# ---------------------------------------------------------------------------
+_TP_NEGS = 2  # seeded negatives mined per anchor
+
+
+def _tp01_sql() -> str:
+    neg = (
+        sql_seeded(sql_hmod("CAST(a_id AS VARCHAR)"), "j") + " % n.n"
+    )
+    return f"""
+    WITH pos AS (SELECT a_id, b_id FROM ({_minhash_sql()})),
+    n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    anchors AS (SELECT DISTINCT a_id FROM pos),
+    rawneg AS (SELECT a.a_id, ({neg}) AS neg_id
+               FROM anchors a, n, range({_TP_NEGS}) t(j)),
+    negs AS (SELECT DISTINCT a_id, neg_id FROM rawneg
+             WHERE neg_id <> a_id),
+    known AS (SELECT least(a_id, b_id) AS lo, greatest(a_id, b_id) AS hi
+              FROM pos),
+    negf AS (SELECT a_id, neg_id FROM negs
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM known k
+                 WHERE k.lo = least(negs.a_id, negs.neg_id)
+                   AND k.hi = greatest(negs.a_id, negs.neg_id)))
+    SELECT a_id AS anchor_id, b_id AS other_id,
+           CAST(1 AS BIGINT) AS label
+    FROM pos
+    UNION ALL
+    SELECT a_id AS anchor_id, neg_id AS other_id,
+           CAST(0 AS BIGINT) AS label
+    FROM negf
+    """
+
+
+@query("tp01_contrastive_pairs", oracle=_tp01_sql, ops=("TRAIN-PAIRS",))
+def tp01_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model training:
+    positives are the MinHash-LSH verified near-dup pairs (dd02's
+    exact-Jaccard-gated candidates), negatives are ``_TP_NEGS``
+    deterministic seeded draws per anchor (Carter-Wegman hash of the
+    anchor id mod corpus size — reproducible across runs, engines and
+    backfills, the ds09 coin design), with self-pairs dropped and any
+    draw that happens to be a KNOWN positive removed by an
+    orientation-normalized anti-join. The output is the classic
+    (anchor, other, label) triple table a contrastive loss consumes.
+
+    All columns are BIGINT — hash-exact with no rounding rule.
+
+    Scale shape (100 TB): the positive side is dd02's banded-LSH plan
+    (the only quadratic step stays inside buckets); the negative side
+    is |anchors| x 2 rows built from a one-row broadcast corpus-size
+    aggregate (one of the bounded crossJoin patterns) and anti-joined
+    against the positive pair set — pair-keyed, so the anti-join
+    shuffle is proportional to the PAIR table, not the corpus. Random
+    negatives via seeded hash instead of rand(): retraining tomorrow
+    mines the same pairs, so experiment diffs isolate the model
+    change."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    ncnt = docs.agg((F.max("doc_id") + F.lit(1)).alias("n"))
+    anchors = pos.select("a_id").distinct()
+    rawneg = (
+        anchors.select(
+            "a_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_TP_NEGS)])
+            ).alias("j"),
+        )
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "a_id",
+            (
+                seeded(hmod(F.col("a_id").cast("string")), F.col("j"))
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    negs = rawneg.filter(F.col("neg_id") != F.col("a_id")).distinct()
+    known = pos.select(
+        F.least("a_id", "b_id").alias("lo"),
+        F.greatest("a_id", "b_id").alias("hi"),
+    )
+    negf = negs.join(
+        F.broadcast(known),
+        (F.least("a_id", "neg_id") == F.col("lo"))
+        & (F.greatest("a_id", "neg_id") == F.col("hi")),
+        "left_anti",
+    )
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return pos.select(
+        F.col("a_id").alias("anchor_id"),
+        F.col("b_id").alias("other_id"),
+        one.alias("label"),
+    ).unionByName(
+        negf.select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("neg_id").alias("other_id"),
+            zero.alias("label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiler — per-column null/distinct/uniqueness audit
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _pr01_sql() -> str:
+    selects = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT {c}) = count({c}) AS BOOLEAN) AS is_unique
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    return selects
+
+
+@query("pr01_table_profile", oracle=_pr01_sql, ops=("TABLE-PROFILE",))
+def pr01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler: per-column row count, null count,
+    exact distinct count, and a key-candidate flag (the DESCRIBE /
+    data-quality audit every ingest pipeline runs before trusting a
+    new feed). One row per profiled column; every metric is BIGINT or
+    BOOLEAN, so the driver hash-verifies the profile exactly.
+
+    Spark shape: a SINGLE aggregate carrying all 11 columns' count and
+    count-distinct — Catalyst plans the multi-distinct via one Expand
+    (11x row multiplication, the a14 pattern) with partial aggregation
+    before the exchange, then one 1-row stack() unpivot. The oracle is
+    the naive 11-scan UNION ALL; both sides reduce to identical
+    integers.
+
+    Scale shape (100 TB): one scan, one shuffle whose key space is the
+    Expand's gid (11 groups) — the shuffled state after partial agg is
+    per-partition distinct sets, NOT the table. Expand's 11x
+    multiplication is the honest cost of EXACT multi-column distinct;
+    the production alternative at extreme widths is approx HLL
+    profiling, whose error contract a14 already gates — this entry is
+    the exact twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, cnt, n_distinct)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("cnt")).alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (F.col("n_distinct") == F.col("cnt")).alias("is_unique"),
+    )

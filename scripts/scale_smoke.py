@@ -48,6 +48,14 @@ OPS = [
     "cp01_corpus_curation_pipeline",
     "ch01_context_chunks",
     "ds11_length_quantile_trim",
+    # round-7 late additions: the bloom probe's build side collapses to
+    # <=4096 words and the CMS's shuffled state is d*w cells — both are
+    # scan-dominated, hence linear
+    "dd12_bloom_incremental",
+    "sk01_cms_heavy_hitters",
+    # pair mining = dd02's banded-LSH plan + a pair-table-sized
+    # negative stage; linear as long as dd02 stays linear
+    "tp01_contrastive_pairs",
 ]
 
 

@@ -508,3 +508,26 @@ def test_sk01_cms_cells_are_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sk01_cms_heavy_hitters")
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_tp01_negatives_broadcast_the_pair_set(spark, sf_dir):
+    """The pair miner's scale contract: the corpus-size aggregate and
+    the known-positive pair set join the negative candidates by
+    BROADCAST (both are pair-table-sized or one row) — the negative
+    side never sort-merge joins, and the positive side keeps dd02's
+    no-all-pairs property (banded bucket join only)."""
+    plan = _plan(spark, sf_dir, "tp01_contrastive_pairs")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the anti-join against known positives must be broadcast-shaped
+    assert "SortMergeJoin LeftAnti" not in plan, plan
+
+
+def test_pr01_profile_is_one_expand_aggregate(spark, sf_dir):
+    """The profiler's scale contract: all 11 per-column distinct
+    counts run through ONE Expand-based aggregate with map-side
+    partial aggregation (the shuffled state is per-partition distinct
+    sets, not the table), not 11 separate scans."""
+    plan = _plan(spark, sf_dir, "pr01_table_profile")
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan

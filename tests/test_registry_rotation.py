@@ -35,6 +35,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "j06_range_count",
     "dd12_bloom_incremental",
     "sk01_cms_heavy_hitters",
+    "tp01_contrastive_pairs",
+    "pr01_table_profile",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -53,9 +55,9 @@ SINGLE_GREEN = {
 #: four-green — park mid-round to fund ch01/ds11/a14, and x02/f09 park
 #: to fund w04/cs01 — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
-    "j03_enrichment_join", "x15_risk_assembly",
+    "j03_enrichment_join",
     "x22_factor_normalize",
-    "x21_runtime_fields", "f08_gated_enrichment", "k01_newest_first_cap",
+    "f08_gated_enrichment", "k01_newest_first_cap",
     "a04_stats_export", "nn02_lsh_ann",
     "dd05_embedding_neardup", "dd06_neardup_clusters",
     "ds03_leakage_safe_split",
@@ -63,7 +65,8 @@ BACK_IN_WINDOW = {
     "dd08_simhash_neardup", "x19_geo_struct",
 }
 #: j01/txt02/mm01/x22_painless_normalizer (all four-green) parked
-#: mid-round-7 to fund the window slots for the four new entries.
+#: mid-round-7 to fund the window slots for the four new entries;
+#: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01.
 #: The seven r05 arrivals (double-green) also stay in-window for third
 #: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
 #: SINGLE_GREEN ∪ the window check below (they are not in the tail).
