@@ -96,6 +96,8 @@ HEADLINE = [
     "sk01_cms_heavy_hitters",
     "tp01_contrastive_pairs",
     "pr01_table_profile",
+    "cdc01_snapshot_delta",
+    "rk01_rank_fusion",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

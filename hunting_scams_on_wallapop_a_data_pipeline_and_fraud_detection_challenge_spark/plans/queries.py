@@ -1187,8 +1187,13 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            negatives for contrastive training, and
 #            pr01_table_profile — one-pass per-column null/distinct
 #            profiler), funded by parking x15_risk_assembly and
-#            x21_runtime_fields (both four-green).
-#            Registry 97 = window 50 + tail 47.
+#            x21_runtime_fields (both four-green), and finally
+#            97 → 99 (cdc01_snapshot_delta — full-outer change capture
+#            between corpus snapshots, and rk01_rank_fusion —
+#            reciprocal-rank fusion of lexical + embedding retrieval),
+#            funded by parking a04_stats_export and
+#            x22_factor_normalize (both four-green).
+#            Registry 99 = window 50 + tail 49.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1261,6 +1266,9 @@ _ROTATION_TAIL = [
     # parked late-round-7 (both four-green) to fund tp01/pr01:
     "x15_risk_assembly",
     "x21_runtime_fields",
+    # parked late-round-7 (both four-green) to fund cdc01/rk01:
+    "a04_stats_export",
+    "x22_factor_normalize",
 ]
 
 

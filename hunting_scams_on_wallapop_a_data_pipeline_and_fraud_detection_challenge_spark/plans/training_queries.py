@@ -6791,3 +6791,307 @@ def pr01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         (F.col("n_distinct") == F.col("cnt")).alias("is_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot change capture — full-outer diff of two corpus snapshots
+# ---------------------------------------------------------------------------
+_CDC_STALE_SUFFIX = " [stale revision]"
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """General change-data-capture diff of two corpus snapshots keyed
+    on ``doc_id`` with a ``text`` payload: rows only in ``new`` are
+    ``added``, rows only in ``old`` are ``removed``, rows whose payload
+    differs (null-safe) are ``changed``; unchanged rows are dropped.
+
+    Presence is tracked with explicit marker columns (NOT payload
+    nullness — a present row with a NULL text must never read as
+    absent). The payload compare is ``eqNullSafe`` ≡ SQL ``IS DISTINCT
+    FROM``, so NULL == NULL is unchanged in both engines.
+
+    Scale shape (100 TB): one full-outer join on the snapshot key —
+    both sides shuffle once on ``doc_id``; with the snapshots stored
+    bucketed by key (the layout any incremental pipeline uses) the
+    exchange disappears entirely and the diff is a co-located merge.
+    The output is delta-sized, not snapshot-sized."""
+    o = old.select(
+        "doc_id",
+        F.col("text").alias("old_text"),
+        F.lit(1).alias("in_old"),
+    )
+    n = new.select(
+        "doc_id",
+        F.col("text").alias("new_text"),
+        F.lit(1).alias("in_new"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_text").eqNullSafe(F.col("new_text")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            "doc_id",
+            change.alias("change_type"),
+            F.coalesce(F.length("old_text"), F.lit(0))
+            .cast("bigint")
+            .alias("old_len"),
+            F.coalesce(F.length("new_text"), F.lit(0))
+            .cast("bigint")
+            .alias("new_len"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+def _cdc01_sql() -> str:
+    b = f"({sql_hmod('CAST(doc_id AS VARCHAR)')} % 20)"
+    return f"""
+    WITH h AS (SELECT doc_id, text, {b} AS b FROM documents),
+    old AS (SELECT doc_id,
+                   CASE WHEN b IN (2, 3)
+                        THEN text || '{_CDC_STALE_SUFFIX}'
+                        ELSE text END AS old_text,
+                   1 AS in_old
+            FROM h WHERE b <> 0),
+    new AS (SELECT doc_id, text AS new_text, 1 AS in_new
+            FROM h WHERE b <> 1),
+    j AS (SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                 old_text, new_text, in_old, in_new
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id),
+    delta AS (
+        SELECT doc_id,
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN old_text IS DISTINCT FROM new_text THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CAST(COALESCE(length(old_text), 0) AS BIGINT) AS old_len,
+               CAST(COALESCE(length(new_text), 0) AS BIGINT) AS new_len
+        FROM j)
+    SELECT doc_id, change_type, old_len, new_len
+    FROM delta WHERE change_type <> 'unchanged'
+    """
+
+
+@query("cdc01_snapshot_delta", oracle=_cdc01_sql, ops=("CDC-DELTA",))
+def cdc01_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change capture between two corpus versions — the
+    incremental-ingest primitive: yesterday's crawl vs today's, emit
+    only what changed (added / removed / changed plus payload lengths)
+    so every downstream stage (dedup state, index, training shards)
+    updates from a delta instead of a full reprocess.
+
+    The two snapshots are derived deterministically from the one
+    ``documents`` table with the portable seeded hash (bucket
+    ``h(doc_id) % 20``): bucket 0 is missing from the OLD snapshot
+    (→ added), bucket 1 is missing from the NEW (→ removed), buckets
+    2-3 carry a stale-revision suffix in OLD (→ changed) — so the
+    expected delta is seeded, reproducible, and ~20% of the corpus.
+    The diff itself is the general ``snapshot_delta`` operator applied
+    to the two views; it never sees the derivation.
+
+    All output columns are BIGINT/VARCHAR — hash-exact, no rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        (hmod(F.col("doc_id").cast("string")) % 20).alias("b"),
+    )
+    old = base.filter(F.col("b") != 0).select(
+        "doc_id",
+        F.when(
+            F.col("b").isin(2, 3),
+            F.concat(F.col("text"), F.lit(_CDC_STALE_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = base.filter(F.col("b") != 1).select("doc_id", "text")
+    return snapshot_delta(old, new)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of lexical + embedding ranks
+# ---------------------------------------------------------------------------
+_RRF_QUERIES = 8  # doc_id/vec_id < 8 are the query set (ids align 1:1)
+_RRF_DEPTH = 20  # per-retriever candidate depth
+_RRF_K0 = 60  # the standard RRF damping constant
+_RRF_TOPK = 10  # fused results kept per query
+
+
+def _rk01_sql() -> str:
+    inter = "len(list_intersect(c.toks, qd.qt))"
+    return f"""
+    WITH d AS (SELECT doc_id, {sql_distinct_tokens('text')} AS toks
+               FROM documents),
+    db AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+    qd AS (SELECT doc_id AS q_id, toks AS qt FROM db
+           WHERE doc_id < {_RRF_QUERIES}),
+    lexscored AS (
+        SELECT qd.q_id, c.doc_id AS id,
+               CAST({inter} AS DOUBLE)
+               / (len(c.toks) + len(qd.qt) - {inter}) AS jac
+        FROM db c CROSS JOIN qd WHERE c.doc_id <> qd.q_id
+    ),
+    lexranked AS (
+        SELECT q_id, id, row_number() OVER (
+                   PARTITION BY q_id ORDER BY jac DESC, id ASC) AS lex_rk
+        FROM lexscored
+    ),
+    lex AS (SELECT q_id, id, lex_rk FROM lexranked
+            WHERE lex_rk <= {_RRF_DEPTH}),
+    v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    nb AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
+    eb AS (SELECT * FROM nb WHERE nrm > 0),
+    qe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM eb
+           WHERE vec_id < {_RRF_QUERIES}),
+    embscored AS (
+        SELECT qe.q_id, c.vec_id AS id,
+               {_sql_dot("c.v", "qe.qv")} / (c.nrm * qe.qn) AS cos
+        FROM eb c CROSS JOIN qe WHERE c.vec_id <> qe.q_id
+    ),
+    embranked AS (
+        SELECT q_id, id, row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, id ASC) AS emb_rk
+        FROM embscored
+    ),
+    emb AS (SELECT q_id, id, emb_rk FROM embranked
+            WHERE emb_rk <= {_RRF_DEPTH}),
+    fused AS (
+        SELECT COALESCE(lex.q_id, emb.q_id) AS q_id,
+               COALESCE(lex.id, emb.id) AS id,
+               COALESCE(lex.lex_rk, 0) AS lex_rk,
+               COALESCE(emb.emb_rk, 0) AS emb_rk,
+               (CASE WHEN lex.lex_rk IS NULL THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(1 AS DOUBLE) / ({_RRF_K0} + lex.lex_rk)
+                END
+                + CASE WHEN emb.emb_rk IS NULL THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(1 AS DOUBLE) / ({_RRF_K0} + emb.emb_rk)
+                  END) AS rrf
+        FROM lex FULL OUTER JOIN emb
+          ON lex.q_id = emb.q_id AND lex.id = emb.id
+    ),
+    final AS (
+        SELECT q_id, id, lex_rk, emb_rk, rrf,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY rrf DESC, id ASC) AS fused_rk
+        FROM fused
+    )
+    SELECT q_id, id AS doc_id, lex_rk, emb_rk, rrf AS rrf_score, fused_rk
+    FROM final WHERE fused_rk <= {_RRF_TOPK}
+    """
+
+
+@query("rk01_rank_fusion", oracle=_rk01_sql, ops=("RANK-FUSION",))
+def rk01_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
+    a lexical retriever (token-set Jaccard over ``documents``) and a
+    semantic retriever (cosine over ``embeddings``; ids align 1:1 with
+    doc_id) each rank the corpus for the bounded query block, keep
+    their top ``_RRF_DEPTH``, and the lists fuse with score
+    ``Σ 1/(60 + rank)`` — the standard hard-negative-mining / eval
+    retrieval stack for training-data pipelines, engine-side.
+
+    Exactness: ranks are row_number ties broken by id; both retriever
+    scores are pinned-order IEEE folds (the nn01/dd04 primitives), and
+    the fused score is exactly two integer-derived IEEE divisions added
+    in fixed (lexical, semantic) order — bit-identical cross-engine, so
+    the fused ORDERING and the reported score both hash-match. Absent
+    ranks report as 0 (never NULL — pandas would float-promote).
+
+    Scale shape (100 TB): both retrievers broadcast the bounded query
+    block and stream the corpus once (no corpus shuffle); per-query
+    state after ranking is DEPTH-bounded, so the fusion join touches
+    |queries|·depth rows — driver-trivial at any corpus size. The
+    production variant swaps the brute-force legs for nn03/nn05's IVF
+    cells and a posting-list retriever; fusion is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    db = docs.select(
+        "doc_id", distinct_tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    qd = db.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("q_id"), F.col("toks").alias("qt")
+    )
+    inter = F.size(F.array_intersect("toks", "qt"))
+    lexscored = (
+        db.crossJoin(F.broadcast(qd))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("doc_id").alias("id"),
+            (
+                inter.cast("double")
+                / (F.size("toks") + F.size("qt") - inter)
+            ).alias("jac"),
+        )
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("jac"), F.asc("id"))
+    lex = (
+        lexscored.withColumn("lex_rk", F.row_number().over(wl))
+        .filter(F.col("lex_rk") <= _RRF_DEPTH)
+        .select("q_id", "id", "lex_rk")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    eb = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    embscored = (
+        eb.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("id"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    embr = (
+        embscored.withColumn("emb_rk", F.row_number().over(we))
+        .filter(F.col("emb_rk") <= _RRF_DEPTH)
+        .select("q_id", "id", "emb_rk")
+    )
+    fused = lex.join(embr, ["q_id", "id"], "full_outer")
+    term_l = F.when(F.col("lex_rk").isNull(), F.lit(0.0)).otherwise(
+        F.lit(1.0) / (F.lit(_RRF_K0) + F.col("lex_rk"))
+    )
+    term_e = F.when(F.col("emb_rk").isNull(), F.lit(0.0)).otherwise(
+        F.lit(1.0) / (F.lit(_RRF_K0) + F.col("emb_rk"))
+    )
+    scored = fused.select(
+        "q_id",
+        "id",
+        F.coalesce("lex_rk", F.lit(0)).alias("lex_rk"),
+        F.coalesce("emb_rk", F.lit(0)).alias("emb_rk"),
+        (term_l + term_e).alias("rrf"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        scored.withColumn("fused_rk", F.row_number().over(wf))
+        .filter(F.col("fused_rk") <= _RRF_TOPK)
+        .select(
+            "q_id",
+            F.col("id").alias("doc_id"),
+            "lex_rk",
+            "emb_rk",
+            F.col("rrf").alias("rrf_score"),
+            "fused_rk",
+        )
+    )

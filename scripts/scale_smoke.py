@@ -56,6 +56,11 @@ OPS = [
     # pair mining = dd02's banded-LSH plan + a pair-table-sized
     # negative stage; linear as long as dd02 stays linear
     "tp01_contrastive_pairs",
+    # snapshot diff = one key-partitioned full-outer join (delta-sized
+    # output); rank fusion = two broadcast-query corpus scans with
+    # depth-bounded per-query state — both linear in corpus size
+    "cdc01_snapshot_delta",
+    "rk01_rank_fusion",
 ]
 
 

@@ -531,3 +531,24 @@ def test_pr01_profile_is_one_expand_aggregate(spark, sf_dir):
     assert plan.count("Expand") >= 1, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_count" in plan, plan
+
+
+def test_cdc01_delta_is_one_keyed_full_outer(spark, sf_dir):
+    """The snapshot diff's scale contract: ONE full-outer sort-merge
+    join keyed on doc_id (no cartesian anywhere), and both snapshot
+    scans pruned to exactly the key + payload columns."""
+    plan = _plan(spark, sf_dir, "cdc01_snapshot_delta")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 2
+
+
+def test_rk01_retrievers_broadcast_the_query_block(spark, sf_dir):
+    """Rank fusion's scale contract: BOTH retriever legs broadcast the
+    bounded query block over a single corpus scan (two BNLJ nodes, no
+    CartesianProduct), so the corpus never shuffles for scoring; only
+    the depth-bounded rank lists meet in the fusion join."""
+    plan = _plan(spark, sf_dir, "rk01_rank_fusion")
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -37,6 +37,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "sk01_cms_heavy_hitters",
     "tp01_contrastive_pairs",
     "pr01_table_profile",
+    "cdc01_snapshot_delta",
+    "rk01_rank_fusion",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -56,9 +58,8 @@ SINGLE_GREEN = {
 #: to fund w04/cs01 — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
     "j03_enrichment_join",
-    "x22_factor_normalize",
     "f08_gated_enrichment", "k01_newest_first_cap",
-    "a04_stats_export", "nn02_lsh_ann",
+    "nn02_lsh_ann",
     "dd05_embedding_neardup", "dd06_neardup_clusters",
     "ds03_leakage_safe_split",
     "ds04_training_order", "ct02_decontaminated_train",
@@ -66,7 +67,8 @@ BACK_IN_WINDOW = {
 }
 #: j01/txt02/mm01/x22_painless_normalizer (all four-green) parked
 #: mid-round-7 to fund the window slots for the four new entries;
-#: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01.
+#: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01,
+#: then a04/x22_factor_normalize (both four-green) to fund cdc01/rk01.
 #: The seven r05 arrivals (double-green) also stay in-window for third
 #: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
 #: SINGLE_GREEN ∪ the window check below (they are not in the tail).
