@@ -150,3 +150,95 @@ def test_ds07_prefix_fairness(spark, sf_dir):
     for s in _MIX_WEIGHTS:
         idx = sorted(out.loc[out["source"] == s, "i"])
         assert idx == list(range(1, len(idx) + 1))
+
+
+# ---------------------------------------------------------------------------
+# cdc01 / snapshot_delta — general CDC semantics beyond the oracle pin
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_delta_null_payload_semantics(spark):
+    """Presence is tracked by markers, NOT payload nullness: a present
+    row with NULL text must diff as present (NULL == NULL is
+    unchanged, NULL vs value is changed), and absent-side lengths
+    report 0."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (5, None), (6, "same")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, None), (3, "c2"), (4, None), (5, "now-set"), (6, "same")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["change_type"], r["old_len"], r["new_len"])
+        for r in snapshot_delta(old, new).collect()
+    }
+    assert got == {
+        1: ("removed", 1, 0),  # only in old
+        3: ("changed", 1, 2),  # payload differs
+        4: ("added", 0, 0),  # only in new, with NULL payload
+        5: ("changed", 0, 7),  # NULL -> value is a change
+        # 2 (NULL == NULL) and 6 (equal text) are unchanged -> dropped
+    }
+
+
+def test_cdc01_delta_is_seeded_twenty_percent(spark, sf_dir, ddb):
+    """The derived snapshots put exactly buckets {0,1,2,3} of
+    h(doc_id) % 20 into the delta — added/removed/changed counts must
+    equal the bucket populations, and re-running is bit-stable."""
+    out = REGISTRY["cdc01_snapshot_delta"].fn(spark, sf_dir).toPandas()
+    buckets = dict(
+        ddb.execute(
+            "SELECT (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+            " % 2147483647) % 20 AS b, count(*) FROM documents"
+            " WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+            " % 2147483647) % 20 IN (0, 1, 2, 3) GROUP BY b"
+        ).fetchall()
+    )
+    counts = out["change_type"].value_counts().to_dict()
+    assert counts.get("added", 0) == buckets.get(0, 0)
+    assert counts.get("removed", 0) == buckets.get(1, 0)
+    assert counts.get("changed", 0) == buckets.get(2, 0) + buckets.get(3, 0)
+    again = REGISTRY["cdc01_snapshot_delta"].fn(spark, sf_dir).toPandas()
+    assert_frames_match(out, again)
+
+
+# ---------------------------------------------------------------------------
+# rk01 — fusion invariants beyond the oracle pin
+# ---------------------------------------------------------------------------
+
+
+def test_rk01_fusion_invariants(spark, sf_dir):
+    """Every query returns exactly _RRF_TOPK fused rows; reported ranks
+    stay within [0, _RRF_DEPTH]; the rrf score recomputes exactly from
+    the reported ranks (0 = absent contributes nothing); and fused_rk
+    descends with score (ties by doc_id)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _RRF_DEPTH,
+        _RRF_K0,
+        _RRF_QUERIES,
+        _RRF_TOPK,
+    )
+
+    out = REGISTRY["rk01_rank_fusion"].fn(spark, sf_dir).toPandas()
+    assert set(out["q_id"]) == set(range(_RRF_QUERIES))
+    assert (out.groupby("q_id").size() == _RRF_TOPK).all()
+    for c in ("lex_rk", "emb_rk"):
+        assert out[c].between(0, _RRF_DEPTH).all()
+    # a fused row must come from at least one retriever list
+    assert ((out["lex_rk"] > 0) | (out["emb_rk"] > 0)).all()
+    recomputed = out.apply(
+        lambda r: (1.0 / (_RRF_K0 + r["lex_rk"]) if r["lex_rk"] else 0.0)
+        + (1.0 / (_RRF_K0 + r["emb_rk"]) if r["emb_rk"] else 0.0),
+        axis=1,
+    )
+    assert (out["rrf_score"] == recomputed).all()  # bit-exact, no epsilon
+    for _, g in out.sort_values(["q_id", "fused_rk"]).groupby("q_id"):
+        s = g["rrf_score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+        assert list(g["fused_rk"]) == list(range(1, _RRF_TOPK + 1))
