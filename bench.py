@@ -98,6 +98,8 @@ HEADLINE = [
     "pr01_table_profile",
     "cdc01_snapshot_delta",
     "rk01_rank_fusion",
+    "vc01_vocab_coverage",
+    "pd01_padding_efficiency",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

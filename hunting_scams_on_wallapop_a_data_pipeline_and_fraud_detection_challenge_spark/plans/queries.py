@@ -1192,8 +1192,12 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            between corpus snapshots, and rk01_rank_fusion —
 #            reciprocal-rank fusion of lexical + embedding retrieval),
 #            funded by parking a04_stats_export and
-#            x22_factor_normalize (both four-green).
-#            Registry 99 = window 50 + tail 49.
+#            x22_factor_normalize (both four-green), then
+#            99 → 101 (vc01_vocab_coverage — distinct-tf-collapsed
+#            vocabulary coverage curve, and pd01_padding_efficiency —
+#            bucketed padding-waste audit), funded by parking
+#            f08_gated_enrichment and k01_newest_first_cap (both
+#            four-green). Registry 101 = window 50 + tail 51.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1269,6 +1273,9 @@ _ROTATION_TAIL = [
     # parked late-round-7 (both four-green) to fund cdc01/rk01:
     "a04_stats_export",
     "x22_factor_normalize",
+    # parked late-round-7 (both four-green) to fund vc01/pd01:
+    "f08_gated_enrichment",
+    "k01_newest_first_cap",
 ]
 
 

@@ -7095,3 +7095,181 @@ def rk01_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — "what vocab size covers p% of all tokens"
+# ---------------------------------------------------------------------------
+_VC_THRESHOLDS = [50, 90, 95, 99]  # coverage percentages reported
+
+
+def _vc01_sql() -> str:
+    return f"""
+    WITH tok AS (SELECT unnest({sql_tokens('text')}) AS tok FROM documents),
+    tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT c, tok,
+               row_number() OVER (ORDER BY c DESC, tok ASC) AS rk,
+               CAST(sum(c) OVER (ORDER BY c DESC, tok ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tf
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf),
+    th AS (SELECT unnest({_VC_THRESHOLDS}) AS pct),
+    hits AS (
+        SELECT CAST(th.pct AS BIGINT) AS threshold_pct,
+               r.rk AS vocab_size, r.cum AS covered_tokens,
+               tot.total AS total_tokens,
+               row_number() OVER (PARTITION BY th.pct ORDER BY r.rk) AS b
+        FROM ranked r CROSS JOIN th CROSS JOIN tot
+        WHERE 100 * r.cum >= th.pct * tot.total
+    )
+    SELECT threshold_pct, vocab_size, covered_tokens, total_tokens
+    FROM hits WHERE b = 1
+    """
+
+
+@query("vc01_vocab_coverage", oracle=_vc01_sql, ops=("VOCAB-COVERAGE",))
+def vc01_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the BPE-sizing question: the
+    smallest vocabulary (tokens taken in frequency-desc order, ties by
+    token asc) whose term occurrences cover ≥50/90/95/99% of ALL token
+    occurrences, with the exact covered count at each cut. Pure BIGINT
+    arithmetic end to end (the cut test is ``100·cum ≥ pct·total``) —
+    hash-exact with no rounding rule.
+
+    Spark shape — NO token-level sort anywhere: term frequencies
+    collapse BY DISTINCT FREQUENCY VALUE (tokens sharing a tf are
+    interchangeable up to the token-asc tiebreak, so a frequency
+    stratum contributes ``k·c`` tokens to any prefix), the serial
+    running-sum window runs over those distinct-tf rows only, and the
+    boundary stratum's exact token count is the integer ceiling
+    ``k = ⌈(pct·total − 100·cum_above) / (100·c)⌉``. The oracle ranks
+    every token with a global window — different algorithm, provably
+    identical integers, so the driver cross-checks the collapse.
+
+    Scale shape (100 TB): one corpus shuffle (token → tf), one
+    vocab-to-distinct-tf collapse shuffle, then a single-task window
+    over O(√total_tokens) distinct frequency values (~10⁵ rows even at
+    trillion-token corpora) — the classic global-prefix-sum trap never
+    touches vocab- or corpus-sized data."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    byc = tf.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    w_above = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    strata = byc.select(
+        "c",
+        "cnt",
+        F.coalesce(F.sum(F.col("c") * F.col("cnt")).over(w_above), F.lit(0))
+        .cast("bigint")
+        .alias("cum_above"),
+        F.coalesce(F.sum("cnt").over(w_above), F.lit(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.col("c") * F.col("cnt"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("total"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(p).cast("bigint") for p in _VC_THRESHOLDS])
+    ).alias("pct")
+    crossed = strata.select("*", th)
+    boundary = crossed.filter(
+        (100 * F.col("cum_above") < F.col("pct") * F.col("total"))
+        & (
+            100 * (F.col("cum_above") + F.col("c") * F.col("cnt"))
+            >= F.col("pct") * F.col("total")
+        )
+    )
+    k = F.expr(
+        "(pct * total - 100 * cum_above + 100 * c - 1) DIV (100 * c)"
+    )
+    return boundary.select(
+        F.col("pct").alias("threshold_pct"),
+        (F.col("n_above") + k).cast("bigint").alias("vocab_size"),
+        (F.col("cum_above") + k * F.col("c"))
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.col("total").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Padding-efficiency audit — waste per fixed-width length bucket
+# ---------------------------------------------------------------------------
+_PAD_BUCKET = 16  # sequence-length bucket width (tokens)
+
+
+def _pd01_sql() -> str:
+    blen = f"((len + {_PAD_BUCKET - 1}) // {_PAD_BUCKET}) * {_PAD_BUCKET}"
+    return f"""
+    WITH lens AS (
+        SELECT len({sql_tokens('text')}) AS len FROM documents
+    ),
+    nz AS (SELECT len, {blen} AS bucket_len FROM lens WHERE len > 0),
+    agg AS (
+        SELECT bucket_len,
+               count(*) AS n_docs,
+               CAST(sum(len) AS BIGINT) AS sum_len
+        FROM nz GROUP BY bucket_len
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, sum_len,
+           CAST(bucket_len * n_docs - sum_len AS BIGINT) AS waste,
+           CAST(bucket_len * n_docs - sum_len AS DOUBLE)
+           / (bucket_len * n_docs) AS waste_frac
+    FROM agg
+    """
+
+
+@query("pd01_padding_efficiency", oracle=_pd01_sql, ops=("DS-PADDING",))
+def pd01_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit for dynamic batching: bucket documents
+    by padded sequence length (token count rounded up to the next
+    ``_PAD_BUCKET`` multiple — the bucketed-batching layout) and report
+    per-bucket document count, real token count, padded-slot waste and
+    the waste fraction — the numbers that decide bucket boundaries
+    before a training run burns accelerator hours on pad tokens.
+
+    Exactness: counts and waste are BIGINT; ``waste_frac`` is ONE IEEE
+    division of two integer-derived operands — bit-identical
+    cross-engine, no rounding rule needed. Zero-length documents are
+    excluded (their padded size is 0, the fraction undefined) by the
+    same ``len > 0`` guard in both engines.
+
+    Scale shape (100 TB): tokenize-and-measure is embarrassingly
+    parallel map work; the only shuffle groups by bucket_len — a few
+    hundred keys with map-side partial aggregation, so the shuffled
+    state is bucket-count-sized regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("len")
+    ).filter(F.col("len") > 0)
+    nz = lens.withColumn(
+        "bucket_len",
+        F.expr(f"((len + {_PAD_BUCKET - 1}) DIV {_PAD_BUCKET})")
+        * _PAD_BUCKET,
+    )
+    agg = nz.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("sum_len"),
+    )
+    padded = F.col("bucket_len") * F.col("n_docs")
+    return agg.select(
+        F.col("bucket_len").cast("bigint").alias("bucket_len"),
+        "n_docs",
+        F.col("sum_len").cast("bigint").alias("sum_len"),
+        (padded - F.col("sum_len")).cast("bigint").alias("waste"),
+        (
+            (padded - F.col("sum_len")).cast("double") / padded
+        ).alias("waste_frac"),
+    )

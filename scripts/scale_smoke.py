@@ -61,6 +61,11 @@ OPS = [
     # depth-bounded per-query state — both linear in corpus size
     "cdc01_snapshot_delta",
     "rk01_rank_fusion",
+    # coverage curve: corpus work is one token->tf shuffle; the serial
+    # window sees only distinct tf VALUES. padding audit: one
+    # bucket-keyed partial agg. both scan-dominated, hence linear
+    "vc01_vocab_coverage",
+    "pd01_padding_efficiency",
 ]
 
 

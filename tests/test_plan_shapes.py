@@ -552,3 +552,29 @@ def test_rk01_retrievers_broadcast_the_query_block(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rk01_rank_fusion")
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_vc01_serial_window_sees_only_distinct_tf(spark, sf_dir):
+    """The coverage curve's scale contract: one corpus scan, the
+    token->tf groupBy with map-side partials, NO joins, and both
+    windows run AFTER the distinct-tf collapse (never over the
+    vocabulary or the corpus) — the plan has exactly two Window nodes
+    and they sit above the second aggregate."""
+    plan = _plan(spark, sf_dir, "vc01_vocab_coverage")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_pd01_is_one_partial_aggregate(spark, sf_dir):
+    """The padding audit's scale contract: one scan, one bucket-keyed
+    aggregate with map-side partials (shuffled state is bucket-count
+    sized), no joins, no windows."""
+    plan = _plan(spark, sf_dir, "pd01_padding_efficiency")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, plan

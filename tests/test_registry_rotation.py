@@ -39,6 +39,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "pr01_table_profile",
     "cdc01_snapshot_delta",
     "rk01_rank_fusion",
+    "vc01_vocab_coverage",
+    "pd01_padding_efficiency",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -58,7 +60,6 @@ SINGLE_GREEN = {
 #: to fund w04/cs01 — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
     "j03_enrichment_join",
-    "f08_gated_enrichment", "k01_newest_first_cap",
     "nn02_lsh_ann",
     "dd05_embedding_neardup", "dd06_neardup_clusters",
     "ds03_leakage_safe_split",
@@ -68,7 +69,8 @@ BACK_IN_WINDOW = {
 #: j01/txt02/mm01/x22_painless_normalizer (all four-green) parked
 #: mid-round-7 to fund the window slots for the four new entries;
 #: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01,
-#: then a04/x22_factor_normalize (both four-green) to fund cdc01/rk01.
+#: then a04/x22_factor_normalize (both four-green) to fund cdc01/rk01,
+#: then f08/k01 (both four-green) to fund vc01/pd01.
 #: The seven r05 arrivals (double-green) also stay in-window for third
 #: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
 #: SINGLE_GREEN ∪ the window check below (they are not in the tail).
