@@ -205,3 +205,62 @@ def test_ngrams_with_multiplicity_parity(spark_prop, texts):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# vc01's distinct-tf collapse ≡ naive token ranking (pure integer math)
+# ---------------------------------------------------------------------------
+# The Spark side computes the coverage boundary from strata of DISTINCT
+# frequency values (k = ceil((pct*total - 100*cum_above) / (100*c)));
+# the oracle ranks every token. The two must agree for EVERY frequency
+# multiset, not just the driver corpus — hypothesis searches for a
+# counterexample in the shared integer arithmetic.
+
+_VC_PCTS = (50, 90, 95, 99)
+
+
+def _naive_coverage(tfs: list[int]) -> dict[int, tuple[int, int]]:
+    """Token-level ranking: (vocab_size, covered) per threshold."""
+    ordered = sorted(tfs, reverse=True)  # token-asc tiebreak is moot:
+    # equal-tf tokens contribute identically to any prefix
+    total = sum(ordered)
+    out = {}
+    for pct in _VC_PCTS:
+        cum = 0
+        for rk, c in enumerate(ordered, start=1):
+            cum += c
+            if 100 * cum >= pct * total:
+                out[pct] = (rk, cum)
+                break
+    return out
+
+
+def _collapsed_coverage(tfs: list[int]) -> dict[int, tuple[int, int]]:
+    """vc01's algorithm: strata of distinct tf values + integer ceil."""
+    from collections import Counter
+
+    strata = sorted(Counter(tfs).items(), key=lambda kv: -kv[0])
+    total = sum(tfs)
+    out = {}
+    for pct in _VC_PCTS:
+        cum_above = n_above = 0
+        for c, cnt in strata:
+            if 100 * cum_above < pct * total and 100 * (
+                cum_above + c * cnt
+            ) >= pct * total:
+                k = (pct * total - 100 * cum_above + 100 * c - 1) // (
+                    100 * c
+                )
+                out[pct] = (n_above + k, cum_above + k * c)
+                break
+            cum_above += c * cnt
+            n_above += cnt
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=200)
+)
+@settings(max_examples=300, deadline=None)
+def test_vc01_collapse_equals_naive_ranking(tfs):
+    assert _collapsed_coverage(tfs) == _naive_coverage(tfs)
