@@ -100,6 +100,7 @@ HEADLINE = [
     "rk01_rank_fusion",
     "vc01_vocab_coverage",
     "pd01_padding_efficiency",
+    "tp02_hard_negatives",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

@@ -1197,7 +1197,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            vocabulary coverage curve, and pd01_padding_efficiency —
 #            bucketed padding-waste audit), funded by parking
 #            f08_gated_enrichment and k01_newest_first_cap (both
-#            four-green). Registry 101 = window 50 + tail 51.
+#            four-green), then 101 → 102 (tp02_hard_negatives —
+#            nearest non-duplicate neighbors per anchor), funded by
+#            parking dd05_embedding_neardup (four-green).
+#            Registry 102 = window 50 + tail 52.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1276,6 +1279,8 @@ _ROTATION_TAIL = [
     # parked late-round-7 (both four-green) to fund vc01/pd01:
     "f08_gated_enrichment",
     "k01_newest_first_cap",
+    # parked late-round-7 (four-green) to fund tp02:
+    "dd05_embedding_neardup",
 ]
 
 

@@ -7273,3 +7273,118 @@ def pd01_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (padded - F.col("sum_len")).cast("double") / padded
         ).alias("waste_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — nearest non-duplicate neighbors per query
+# ---------------------------------------------------------------------------
+_HN_QUERIES = 8  # vec_id/doc_id < 8 are the anchor set (ids align 1:1)
+_HN_K = 5  # hard negatives kept per anchor
+
+
+def _tp02_sql() -> str:
+    return f"""
+    WITH pos AS (
+        SELECT least(a_id, b_id) AS lo, greatest(a_id, b_id) AS hi
+        FROM ({_minhash_sql()})
+    ),
+    v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
+    base AS (SELECT * FROM n WHERE nrm > 0),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base
+          WHERE vec_id < {_HN_QUERIES}),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               {_sql_dot("c.v", "q.qv")} / (c.nrm * q.qn) AS cos
+        FROM base c CROSS JOIN q
+        WHERE c.vec_id <> q.q_id
+    ),
+    nondup AS (
+        SELECT * FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE p.lo = least(s.q_id, s.vec_id)
+              AND p.hi = greatest(s.q_id, s.vec_id))
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM nondup
+    )
+    SELECT q_id, vec_id AS neg_id,
+           round(cos + 1e-9, 6) + 0.0 AS cosine, rk
+    FROM ranked WHERE rk <= {_HN_K}
+    """
+
+
+@query("tp02_hard_negatives", oracle=_tp02_sql, ops=("TRAIN-HARD-NEG",))
+def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — the complement
+    of tp01's seeded RANDOM negatives: for each anchor in the bounded
+    query block, the top-k most cosine-similar corpus vectors that are
+    NOT text-level near-duplicates of the anchor (dd02's verified
+    MinHash-LSH pair set, anti-joined orientation-normalized). These
+    "semantically close but genuinely different" items are what make a
+    contrastive loss learn fine distinctions; without the dup
+    exclusion the miner would feed the model its own positives as
+    negatives and poison the training signal.
+
+    Exactness: cosines are the nn01 pinned-order IEEE folds, the dup
+    exclusion composes dd02's exact-Jaccard-verified pairs, ranks tie
+    on vec_id — so the whole mined set hash-matches the oracle, which
+    recomputes the same composition in DuckDB.
+
+    Scale shape (100 TB): the positive set is dd02's banded-LSH plan
+    (pair-table-sized, broadcast into the anti-join); the scoring leg
+    broadcasts the bounded query block and streams the corpus once
+    (the nn01 shape), and per-query state after ranking is k-bounded.
+    The production variant swaps the brute-force leg for nn03/nn05 IVF
+    cells — exclusion and ranking are unchanged."""
+    pos = dd02_minhash_lsh_pairs(spark, sf_dir).select(
+        F.least("a_id", "b_id").alias("lo"),
+        F.greatest("a_id", "b_id").alias("hi"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    q = base.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("nrm") * F.col("qn"))
+            ).alias("cos"),
+        )
+    )
+    nondup = scored.join(
+        F.broadcast(pos),
+        (F.least("q_id", "vec_id") == F.col("lo"))
+        & (F.greatest("q_id", "vec_id") == F.col("hi")),
+        "left_anti",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        nondup.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            _r(F.col("cos"), 6).alias("cosine"),
+            "rk",
+        )
+    )

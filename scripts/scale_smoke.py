@@ -66,6 +66,10 @@ OPS = [
     # bucket-keyed partial agg. both scan-dominated, hence linear
     "vc01_vocab_coverage",
     "pd01_padding_efficiency",
+    # hard negatives = dd02's banded-LSH positives (broadcast into an
+    # anti-join) + the nn01 broadcast-query scoring scan — linear as
+    # long as dd02 stays linear
+    "tp02_hard_negatives",
 ]
 
 

@@ -578,3 +578,14 @@ def test_pd01_is_one_partial_aggregate(spark, sf_dir):
     assert "Window" not in plan, plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan, plan
+
+
+def test_tp02_exclusion_is_broadcast_anti(spark, sf_dir):
+    """Hard-negative mining's scale contract: the dd02 positive set
+    broadcasts into the anti-join (never a sort-merge anti), the
+    scoring leg broadcasts the bounded query block, and nothing
+    degenerates to a CartesianProduct."""
+    plan = _plan(spark, sf_dir, "tp02_hard_negatives")
+    assert "SortMergeJoin LeftAnti" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

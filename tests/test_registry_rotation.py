@@ -41,6 +41,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "rk01_rank_fusion",
     "vc01_vocab_coverage",
     "pd01_padding_efficiency",
+    "tp02_hard_negatives",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -61,7 +62,7 @@ SINGLE_GREEN = {
 BACK_IN_WINDOW = {
     "j03_enrichment_join",
     "nn02_lsh_ann",
-    "dd05_embedding_neardup", "dd06_neardup_clusters",
+    "dd06_neardup_clusters",
     "ds03_leakage_safe_split",
     "ds04_training_order", "ct02_decontaminated_train",
     "dd08_simhash_neardup", "x19_geo_struct",
@@ -70,7 +71,8 @@ BACK_IN_WINDOW = {
 #: mid-round-7 to fund the window slots for the four new entries;
 #: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01,
 #: then a04/x22_factor_normalize (both four-green) to fund cdc01/rk01,
-#: then f08/k01 (both four-green) to fund vc01/pd01.
+#: then f08/k01 (both four-green) to fund vc01/pd01, then dd05
+#: (four-green) to fund tp02.
 #: The seven r05 arrivals (double-green) also stay in-window for third
 #: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
 #: SINGLE_GREEN ∪ the window check below (they are not in the tail).
