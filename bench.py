@@ -101,6 +101,7 @@ HEADLINE = [
     "vc01_vocab_coverage",
     "pd01_padding_efficiency",
     "tp02_hard_negatives",
+    "co01_supplier_cooccurrence",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

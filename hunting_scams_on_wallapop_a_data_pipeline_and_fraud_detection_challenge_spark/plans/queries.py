@@ -1199,8 +1199,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            f08_gated_enrichment and k01_newest_first_cap (both
 #            four-green), then 101 → 102 (tp02_hard_negatives —
 #            nearest non-duplicate neighbors per anchor), funded by
-#            parking dd05_embedding_neardup (four-green).
-#            Registry 102 = window 50 + tail 52.
+#            parking dd05_embedding_neardup (four-green), then
+#            102 → 103 (co01_supplier_cooccurrence — basket-confined
+#            bipartite projection with per-supplier top-k partners),
+#            funded by parking j03_enrichment_join (four-green).
+#            Registry 103 = window 50 + tail 53.
 #   round 8+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1281,6 +1284,8 @@ _ROTATION_TAIL = [
     "k01_newest_first_cap",
     # parked late-round-7 (four-green) to fund tp02:
     "dd05_embedding_neardup",
+    # parked late-round-7 (four-green) to fund co01:
+    "j03_enrichment_join",
 ]
 
 

@@ -7388,3 +7388,77 @@ def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence mining — strongest co-listing partners per supplier
+# ---------------------------------------------------------------------------
+_CO_TOPK = 3  # strongest partners kept per supplier
+
+
+def _co01_sql() -> str:
+    return f"""
+    WITH ds AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_suppkey AS s, b.l_suppkey AS partner
+        FROM ds a JOIN ds b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_suppkey <> b.l_suppkey
+    ),
+    g AS (SELECT s, partner, count(*) AS n_shared_orders
+          FROM pairs GROUP BY s, partner),
+    ranked AS (
+        SELECT s, partner, n_shared_orders,
+               row_number() OVER (
+                   PARTITION BY s
+                   ORDER BY n_shared_orders DESC, partner ASC) AS rk
+        FROM g
+    )
+    SELECT s AS supp_id, partner AS partner_id, n_shared_orders, rk
+    FROM ranked WHERE rk <= {_CO_TOPK}
+    """
+
+
+@query("co01_supplier_cooccurrence", oracle=_co01_sql, ops=("CO-OCCUR",))
+def co01_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining — the bipartite projection
+    behind item-item collaborative filtering and related-entity
+    panels: project the (order, supplier) bipartite graph onto
+    suppliers, count shared orders per directed pair, and keep each
+    supplier's ``_CO_TOPK`` strongest partners (count desc, partner
+    asc). All columns BIGINT — hash-exact.
+
+    Scale shape (100 TB): the self-join keys on the ORDER, and basket
+    sizes are bounded (a handful of suppliers per order), so the
+    quadratic step is per-basket-bounded — the same
+    confine-the-quadratic discipline as the LSH dedups, with the
+    basket as the bucket. The pair aggregate shuffles pair-table-sized
+    rows with map-side combine, and the top-k window state is k-bounded
+    per supplier. No stage ever sees all supplier pairs for baskets it
+    doesn't contain."""
+    li = _t(spark, sf_dir, "lineitem")
+    ds = li.select("l_orderkey", "l_suppkey").distinct()
+    a = ds.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    b = ds.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("partner"),
+    )
+    pairs = a.join(b, "ok").filter(F.col("s") != F.col("partner"))
+    g = pairs.groupBy("s", "partner").agg(
+        F.count(F.lit(1)).alias("n_shared_orders")
+    )
+    w = Window.partitionBy("s").orderBy(
+        F.desc("n_shared_orders"), F.asc("partner")
+    )
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CO_TOPK)
+        .select(
+            F.col("s").alias("supp_id"),
+            F.col("partner").alias("partner_id"),
+            "n_shared_orders",
+            "rk",
+        )
+    )

@@ -70,6 +70,10 @@ OPS = [
     # anti-join) + the nn01 broadcast-query scoring scan — linear as
     # long as dd02 stays linear
     "tp02_hard_negatives",
+    # co-occurrence: the self-join quadratic is per-basket-bounded
+    # (baskets don't grow with corpus size), so pair volume — and the
+    # whole plan — scales with the fact table
+    "co01_supplier_cooccurrence",
 ]
 
 

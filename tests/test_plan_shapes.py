@@ -589,3 +589,17 @@ def test_tp02_exclusion_is_broadcast_anti(spark, sf_dir):
     assert "SortMergeJoin LeftAnti" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_co01_quadratic_is_basket_confined(spark, sf_dir):
+    """Co-occurrence's scale contract: the self-join keys on the order
+    (never a CartesianProduct), both scan legs prune to exactly the
+    two join/projection columns, and the pair aggregate gets map-side
+    partial aggregation."""
+    plan = _plan(spark, sf_dir, "co01_supplier_cooccurrence")
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        plan.count("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>")
+        == 2
+    ), plan
+    assert "partial_count" in plan, plan

@@ -42,6 +42,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "vc01_vocab_coverage",
     "pd01_padding_efficiency",
     "tp02_hard_negatives",
+    "co01_supplier_cooccurrence",
 }
 
 #: Single-green entries (first non-vacuous row earned in r06) — the
@@ -60,7 +61,6 @@ SINGLE_GREEN = {
 #: four-green — park mid-round to fund ch01/ds11/a14, and x02/f09 park
 #: to fund w04/cs01 — see the schedule comment in plans/queries.py).
 BACK_IN_WINDOW = {
-    "j03_enrichment_join",
     "nn02_lsh_ann",
     "dd06_neardup_clusters",
     "ds03_leakage_safe_split",
@@ -72,7 +72,7 @@ BACK_IN_WINDOW = {
 #: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01,
 #: then a04/x22_factor_normalize (both four-green) to fund cdc01/rk01,
 #: then f08/k01 (both four-green) to fund vc01/pd01, then dd05
-#: (four-green) to fund tp02.
+#: (four-green) to fund tp02, then j03 (four-green) to fund co01.
 #: The seven r05 arrivals (double-green) also stay in-window for third
 #: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
 #: SINGLE_GREEN ∪ the window check below (they are not in the tail).
