@@ -1204,7 +1204,22 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            bipartite projection with per-supplier top-k partners),
 #            funded by parking j03_enrichment_join (four-green).
 #            Registry 103 = window 50 + tail 53.
-#   round 8+ rotate a different set of multi-greens back (use
+#   round 8  tail: exactly the 53 entries `--propose-tail` picked from
+#            the r01-r07 files — the 50 entries that took their fourth
+#            (or fifth) non-vacuous rows in r07 plus nn02/dd06 (five
+#            greens) and a01c. The 19 mid/late-r07-parked four-greens
+#            (a04, dd05, f06-f09, j01, j03, k01, k45, mm01, txt02,
+#            txt03, f07, x02, x15, x18, x21, both x22s) rotate back in
+#            for fifth rows; all 20 r07 arrivals (single-green) stay
+#            in-window for second rows; st01/nn08/ds09 (double-green)
+#            stay in for thirds; the 8 r05/r06-era three-greens (cp02,
+#            dd09, dd10, ds08, nn06, nn07, txt07, ud2) stay in for
+#            fourths. New entries this round park rotated-back
+#            four-greens one-for-one: cp03_incremental_pipeline
+#            (cdc01→dd12 delta path) parks j03_enrichment_join and
+#            tk01_bpe_merge_mining parks mm01_media_features.
+#            Registry 105 = window 50 + tail 55.
+#   round 9+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
 #
@@ -1219,6 +1234,29 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # parked entries summed to ~2 s, so the window grows ~11 s — well inside
 # the driver's per-run budget (r02's window ran ~90 s total).
 _ROTATION_TAIL = [
+    # the exact `--propose-tail` set computed from CORRECTNESS_r01-r07:
+    # every entry below has >=4 non-vacuous greens (nn02/dd06 have 5)
+    # and was green the last time the driver ran it (r07).
+    "nn02_lsh_ann",
+    "dd06_neardup_clusters",
+    "a01c_approx_median_rank_gate",
+    "mm02_frame_sample",
+    "ds03_leakage_safe_split",
+    "ds04_training_order",
+    "ct02_decontaminated_train",
+    "dd08_simhash_neardup",
+    "ds05_source_mixture",
+    "ds06_token_budget_select",
+    "txt05_gopher_filters",
+    "pii02_detection_stats",
+    "cp01_corpus_curation_pipeline",
+    "txt06_token_rarity",
+    "ds07_weighted_interleave",
+    "nn04_pq_adc",
+    "nn05_ivfpq",
+    "rep02_ngram_repetition",
+    "x19_geo_struct",
+    "rp01_end_to_end_risk",
     "a01_grouped_price_stats",
     "a02_component_stats",
     "a03_secondary_segment_stats",
@@ -1252,40 +1290,6 @@ _ROTATION_TAIL = [
     "w01_last_value_per_group",
     "f01_freshness_filter",
     "f05_market_segmentation",
-    # deliberate additions vs the --propose-tail base set (see schedule):
-    # ud2 (triple-green, the most expensive SQL entry in any window)
-    # stays parked to fund the slot for the new dd11 entry; f07 and
-    # txt03 (both four-green) park instead of rotating back to fund the
-    # new ct03 and ds10 entries; f06, k45 and x18 (all four-green) park
-    # mid-round to fund the further new entries ch01_context_chunks,
-    # ds11_length_quantile_trim and a14_approx_distinct_gate.
-    "ud2_spec_extraction",
-    "f07_keyword_filter",
-    "txt03_fingerprint",
-    "f06_condition_normalize",
-    "k45_best_component",
-    "x18_badge_scan",
-    "x02_hidden_price_structured",
-    "f09_nested_json_projection",
-    # parked mid-round-7 (all four-green) to fund the window slots for
-    # the new j05/j06/dd12/sk01 entries:
-    "j01_fallback_stats_join",
-    "txt02_quality_scores",
-    "mm01_media_features",
-    "x22_painless_normalizer",
-    # parked late-round-7 (both four-green) to fund tp01/pr01:
-    "x15_risk_assembly",
-    "x21_runtime_fields",
-    # parked late-round-7 (both four-green) to fund cdc01/rk01:
-    "a04_stats_export",
-    "x22_factor_normalize",
-    # parked late-round-7 (both four-green) to fund vc01/pd01:
-    "f08_gated_enrichment",
-    "k01_newest_first_cap",
-    # parked late-round-7 (four-green) to fund tp02:
-    "dd05_embedding_neardup",
-    # parked late-round-7 (four-green) to fund co01:
-    "j03_enrichment_join",
 ]
 
 

@@ -4637,6 +4637,13 @@ def _dd10_arrow(
 #: default coarse-level cell count (~sqrt of the fine level's default,
 #: the k1 ~ k^(1/2) schedule that balances the two assignment stages)
 _HIER_COARSE = 4
+#: coarse cells each row probes during the fine assignment — ct03's
+#: multi-probe recall lever applied to the hierarchy: probing the
+#: top-2 coarse cells recovers fine cells that sit just across a
+#: coarse boundary (measured in tests/test_ann_recall.py), at the cost
+#: of doubling the fine-fold CONSTANT (the Θ(n^(4/3)) law is unchanged
+#: for any fixed probe count)
+_HIER_PROBES = 2
 
 
 def _fit_hier_cells(
@@ -4679,15 +4686,21 @@ def _fine_structs_literal(fine: list, f2c: list):
     )
 
 
-def _dd11_sql(cells: int = _IVF_CELLS, coarse: int = _HIER_COARSE) -> str:
+def _dd11_sql(
+    cells: int = _IVF_CELLS,
+    coarse: int = _HIER_COARSE,
+    cprobes: int = _HIER_PROBES,
+) -> str:
     """Replay the two-level fit (the nn06 multi-stage-replay pattern)
-    and pin the hierarchical verdicts: coarse assignment over the
-    coarse literal, fine assignment masked to the chosen coarse cell's
-    members (non-members take 1e308, far above any normalized-space
-    distance, so the first-position argmin picks the lowest member
-    index with the minimal distance — exactly the Spark side's
-    array_sort tie rule over the filtered member set), then dd10's
-    within-cell dup join on the fine cell."""
+    and pin the hierarchical verdicts: coarse assignment takes the
+    top-``cprobes`` coarse cells (ct03's list_sort-of-struct ranking —
+    ties break to the lowest cell id, the Spark array_sort twin), fine
+    assignment is masked to the UNION of those cells' members
+    (non-members take 1e308, far above any normalized-space distance,
+    so the first-position argmin picks the lowest member index with
+    the minimal distance — exactly the Spark side's array_sort tie
+    rule over the filtered member set), then dd10's within-cell dup
+    join on the fine cell."""
     import pyarrow.parquet as pq
 
     emb = (
@@ -4736,11 +4749,14 @@ def _dd11_sql(cells: int = _IVF_CELLS, coarse: int = _HIER_COARSE) -> str:
     celld AS (SELECT vec_id, vn, f2c, [{dc_exprs}] AS dc, [{df_exprs}] AS dlf
               FROM base CROSS JOIN c_t),
     ac AS (SELECT vec_id, vn, dlf, f2c,
-                  list_position(dc, list_aggregate(dc, 'min')) - 1 AS cg
+                  list_transform(
+                      list_sort(list_transform(range(1, {len(co)} + 1),
+                          i -> {{'d': dc[i], 'cell': i - 1}}))[1:{cprobes}],
+                      s -> s.cell) AS pc
            FROM celld),
     am AS (SELECT vec_id, vn,
                   list_transform(range(1, {len(fine)} + 1),
-                      i -> CASE WHEN f2c[i] = cg THEN dlf[i]
+                      i -> CASE WHEN list_contains(pc, f2c[i]) THEN dlf[i]
                                 ELSE 1e308 END) AS masked
            FROM ac),
     a AS (SELECT vec_id, vn,
@@ -4766,6 +4782,7 @@ def dd11_hierarchical_semdedup(
     threshold: float = _NEARDUP_COS,
     cells: int = _IVF_CELLS,
     coarse: int = _HIER_COARSE,
+    cprobes: int = _HIER_PROBES,
     impl: str = "sql",
 ) -> DataFrame:
     """Hierarchical SemDeDup — dd10 with a FAISS-style coarse->fine
@@ -4774,22 +4791,30 @@ def dd11_hierarchical_semdedup(
     superlinear growth law in the engine). Verdict semantics are
     dd10's: within each FINE cell, a vector is a dup when a smaller-id
     cell-mate sits within the cosine threshold; the hierarchy only
-    changes HOW a row finds its fine cell — nearest coarse centroid
-    first (k1 folds), then nearest fine centroid among that coarse
-    cell's members (~k/k1 folds) instead of all k.
+    changes HOW a row finds its fine cell — the top-``cprobes``
+    nearest coarse centroids first (k1 folds), then nearest fine
+    centroid among those coarse cells' members (~cprobes*k/k1 folds)
+    instead of all k. Multi-probing the coarse level is ct03's recall
+    lever applied to the hierarchy (VERDICT r07 item 4): a row whose
+    true fine cell sits just across a coarse boundary still finds it
+    via the second-nearest coarse cell, lifting dup-recall from 0.66
+    (single-probe) to 0.70 on the recall fixture (cprobes=3 measures
+    0.73; flat dd10 measures 0.79 — the residual gap is the FINE-cell
+    boundary both operators share) while the assignment stays
+    member-filtered.
 
     Cost law: with cells ~ n^(2/3) and coarse ~ n^(1/3), assignment is
-    rows*(k1 + k/k1) = Θ(n^(4/3)) and the within-cell join is
-    rows*occupancy = Θ(n^(4/3)) — vs Θ(n^1.5) for both stages of
-    single-level dd10 at its balanced cells ~ sqrt(n) schedule. The
-    smoke (scripts/scale_smoke.py) gates this at 2*K^(4/3) with the
-    knobs on that schedule. The tradeoff is recall: a near-dup pair
-    split by a coarse boundary is missed even when a flat assignment
-    would have co-located it — measured (not asserted) against the
-    exact verdict in tests/test_ann_recall.py, alongside a
-    coarse=1 ≡ dd10 cross-operator equivalence (one coarse cell makes
-    the member filter a no-op, so assignment degenerates to dd10's
-    global argmin over the SAME fine fit).
+    rows*(k1 + cprobes*k/k1) = Θ(n^(4/3)) for any fixed probe count,
+    and the within-cell join is rows*occupancy = Θ(n^(4/3)) — vs
+    Θ(n^1.5) for both stages of single-level dd10 at its balanced
+    cells ~ sqrt(n) schedule. The smoke (scripts/scale_smoke.py) gates
+    this at 2*K^(4/3) with the knobs on that schedule. The residual
+    recall tradeoff is the FINE-cell boundary (dd10's own documented
+    miss class, the coarse boundary being recovered by the probes) —
+    measured and gated in tests/test_ann_recall.py, alongside two
+    degeneracies: coarse=1 ≡ dd10 (one coarse cell makes the member
+    filter a no-op) and cprobes >= coarse ≡ dd10 (probing every coarse
+    cell un-masks every fine cell), both over the SAME fine fit.
 
     Scale shape mirrors dd10: assignment lives in the scan projection
     (coarse fold bound once, then member-filtered fine folds — the
@@ -4801,16 +4826,21 @@ def dd11_hierarchical_semdedup(
 
     ``impl="arrow"`` cuts the constant of both n^(4/3) terms (same law,
     same verdicts — the family twin architecture): per Arrow batch, one
-    (batch, k1) distance reduction picks coarse cells, then each
-    coarse group takes an argmin over ONLY its member fine centroids
-    (first-min = lowest member index, the SQL masked-argmin tie rule),
-    and the within-cell pair search is dd10's per-cell gram matrix.
-    Equivalence-gated on (vec_id, cell, keep) in
-    tests/test_scale_paths.py; the SQL form stays the oracle
-    subject."""
+    (batch, k1) distance reduction picks the top-``cprobes`` coarse
+    cells per row, then each probe-set group takes an argmin over ONLY
+    the union of its member fine centroids (first-min = lowest member
+    index, the SQL masked-argmin tie rule), and the within-cell pair
+    search is dd10's per-cell gram matrix. Equivalence-gated on
+    (vec_id, cell, keep) in tests/test_scale_paths.py; the SQL form
+    stays the oracle subject."""
     if impl == "arrow":
         return _dd11_arrow(
-            spark, sf_dir, threshold=threshold, cells=cells, coarse=coarse
+            spark,
+            sf_dir,
+            threshold=threshold,
+            cells=cells,
+            coarse=coarse,
+            cprobes=cprobes,
         )
     emb = _t(spark, sf_dir, "embeddings")
     fine, co, f2c = _fit_hier_cells(
@@ -4823,21 +4853,27 @@ def dd11_hierarchical_semdedup(
 
     base = _normalized_vn_base(emb)
     # bind vn once (the computed-array lambda rule), then bind the
-    # coarse verdict once so the member filter's per-fine-cell compare
-    # reads a value, not a re-inlined k1-fold
+    # probed coarse-cell set once so the member filter's per-fine-cell
+    # membership check reads a value, not re-inlined k1-folds
     cell = F.element_at(
         F.transform(
             F.array(F.col("vn")),
             lambda vn: F.element_at(
                 F.transform(
                     F.array(
-                        F.element_at(_ranked_cells_of(vn, co_arr), 1)["cell"]
+                        F.transform(
+                            F.slice(
+                                _ranked_cells_of(vn, co_arr), 1, cprobes
+                            ),
+                            lambda s: s["cell"],
+                        )
                     ),
-                    lambda cg: F.element_at(
+                    lambda pc: F.element_at(
                         F.array_sort(
                             F.transform(
                                 F.filter(
-                                    fine_structs, lambda s: s["cg"] == cg
+                                    fine_structs,
+                                    lambda s: F.array_contains(pc, s["cg"]),
                                 ),
                                 lambda s: F.struct(
                                     _fold_sum(
@@ -4885,14 +4921,17 @@ def _dd11_arrow(
     threshold: float = _NEARDUP_COS,
     cells: int = _IVF_CELLS,
     coarse: int = _HIER_COARSE,
+    cprobes: int = _HIER_PROBES,
 ) -> DataFrame:
     """Vectorized hierarchical SemDeDup (see dd11 docstring): per Arrow
-    batch a (n, k1) distance reduction assigns coarse cells, then each
-    coarse group takes an argmin over only its MEMBER fine centroids
-    (np.argmin = first minimum, mapped back through the ascending
-    member-index list = the SQL form's masked-argmin tie rule); one
-    shuffle by fine cell and dd10's per-cell gram matrix decide
-    keep/drop. Corpus guards match `_normalized_vn_base`."""
+    batch a (n, k1) distance reduction picks each row's top-``cprobes``
+    coarse cells (stable argsort — ties break to the lowest cell id,
+    the ranked-struct tie rule), then each probe-set group takes an
+    argmin over only the UNION of its member fine centroids (np.argmin
+    = first minimum, mapped back through the ascending member-index
+    list = the SQL form's masked-argmin tie rule); one shuffle by fine
+    cell and dd10's per-cell gram matrix decide keep/drop. Corpus
+    guards match `_normalized_vn_base`."""
     import numpy as np
     import pandas as pd
 
@@ -4904,6 +4943,7 @@ def _dd11_arrow(
     )
     Cf = np.asarray(fine, dtype=np.float64)
     Cc = np.asarray(co, dtype=np.float64)
+    nprobe = min(cprobes, len(co))
     members = [
         np.asarray([j for j in range(len(fine)) if f2c[j] == cg], dtype=np.int64)
         for cg in range(len(co))
@@ -4925,11 +4965,14 @@ def _dd11_arrow(
                 continue
             Vn = V[keep] / nrm[keep, None]
             ids = pdf["vec_id"].to_numpy()[keep]
-            cg = ((Vn[:, None, :] - Cc[None, :, :]) ** 2).sum(-1).argmin(1)
+            dc = ((Vn[:, None, :] - Cc[None, :, :]) ** 2).sum(-1)
+            # stable sort: equal-distance coarse cells rank by cell id,
+            # the ranked-struct tie rule shared with the SQL form
+            pc = np.argsort(dc, axis=1, kind="stable")[:, :nprobe]
             cell = np.empty(len(Vn), dtype=np.int64)
-            for g in np.unique(cg):
-                rows = cg == g
-                mem = members[g]
+            for g in np.unique(pc, axis=0):
+                rows = (pc == g).all(1)
+                mem = np.unique(np.concatenate([members[c] for c in g]))
                 d = ((Vn[rows][:, None, :] - Cf[mem][None, :, :]) ** 2).sum(-1)
                 cell[rows] = mem[d.argmin(1)]
             yield pd.DataFrame(
@@ -6665,11 +6708,15 @@ def tp01_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the only quadratic step stays inside buckets); the negative side
     is |anchors| x 2 rows built from a one-row broadcast corpus-size
     aggregate (one of the bounded crossJoin patterns) and anti-joined
-    against the positive pair set — pair-keyed, so the anti-join
-    shuffle is proportional to the PAIR table, not the corpus. Random
-    negatives via seeded hash instead of rand(): retraining tomorrow
-    mines the same pairs, so experiment diffs isolate the model
-    change."""
+    against the positive pair set on materialized orientation-
+    normalized ``(lo, hi)`` key COLUMNS — a plain shuffled equi-anti
+    whose exchange is proportional to the PAIR table, not the corpus.
+    The pair set is dup-rate-sized (billions of rows at 100 TB with a
+    typical near-dup rate), so it carries NO broadcast hint: AQE
+    elects broadcast at runtime when the measured build side is small
+    and falls back to sort-merge when it is not. Random negatives via
+    seeded hash instead of rand(): retraining tomorrow mines the same
+    pairs, so experiment diffs isolate the model change."""
     docs = _t(spark, sf_dir, "documents")
     pos = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
     ncnt = docs.agg((F.max("doc_id") + F.lit(1)).alias("n"))
@@ -6695,12 +6742,13 @@ def tp01_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("a_id", "b_id").alias("lo"),
         F.greatest("a_id", "b_id").alias("hi"),
     )
-    negf = negs.join(
-        F.broadcast(known),
-        (F.least("a_id", "neg_id") == F.col("lo"))
-        & (F.greatest("a_id", "neg_id") == F.col("hi")),
-        "left_anti",
+    negk = negs.select(
+        "a_id",
+        "neg_id",
+        F.least("a_id", "neg_id").alias("lo"),
+        F.greatest("a_id", "neg_id").alias("hi"),
     )
+    negf = negk.join(known, ["lo", "hi"], "left_anti")
     one = F.lit(1).cast("bigint")
     zero = F.lit(0).cast("bigint")
     return pos.select(
@@ -7335,12 +7383,16 @@ def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id — so the whole mined set hash-matches the oracle, which
     recomputes the same composition in DuckDB.
 
-    Scale shape (100 TB): the positive set is dd02's banded-LSH plan
-    (pair-table-sized, broadcast into the anti-join); the scoring leg
-    broadcasts the bounded query block and streams the corpus once
-    (the nn01 shape), and per-query state after ranking is k-bounded.
-    The production variant swaps the brute-force leg for nn03/nn05 IVF
-    cells — exclusion and ranking are unchanged."""
+    Scale shape (100 TB): the positive set is dd02's banded-LSH plan —
+    pair-table-sized, i.e. dup-rate-sized (billions of rows at corpus
+    scale), so it joins the scored candidates as a plain equi-anti on
+    materialized orientation-normalized ``(lo, hi)`` key columns with
+    NO broadcast hint (AQE elects broadcast only when the measured
+    build side is actually small); the scoring leg broadcasts the
+    bounded query block and streams the corpus once (the nn01 shape),
+    and per-query state after ranking is k-bounded. The production
+    variant swaps the brute-force leg for nn03/nn05 IVF cells —
+    exclusion and ranking are unchanged."""
     pos = dd02_minhash_lsh_pairs(spark, sf_dir).select(
         F.least("a_id", "b_id").alias("lo"),
         F.greatest("a_id", "b_id").alias("hi"),
@@ -7371,12 +7423,14 @@ def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    nondup = scored.join(
-        F.broadcast(pos),
-        (F.least("q_id", "vec_id") == F.col("lo"))
-        & (F.greatest("q_id", "vec_id") == F.col("hi")),
-        "left_anti",
+    keyed = scored.select(
+        "q_id",
+        "vec_id",
+        "cos",
+        F.least("q_id", "vec_id").alias("lo"),
+        F.greatest("q_id", "vec_id").alias("hi"),
     )
+    nondup = keyed.join(pos, ["lo", "hi"], "left_anti")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         nondup.withColumn("rk", F.row_number().over(w))

@@ -49,6 +49,12 @@ for t in TABLES:
 
 qs = mod.queries()
 oracles = mod.oracle_sql()
+only = os.environ.get("SIM_ONLY")
+if only:
+    keep = {n.strip() for n in only.split(",") if n.strip()}
+    unknown = keep - qs.keys()
+    assert not unknown, f"SIM_ONLY names not in registry: {sorted(unknown)}"
+    qs = {n: f for n, f in qs.items() if n in keep}
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

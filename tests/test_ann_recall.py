@@ -436,12 +436,17 @@ def test_dd11_hierarchical_semdedup_recall_and_degeneracy(spark, tmp_path):
       no-op, so dd11 must equal dd10 on the SAME fine fit — verdict for
       verdict, the cross-operator equivalence that pins the hierarchy
       as pure assignment routing, not a semantics change;
+    - cprobes >= coarse degeneracy: probing every coarse cell un-masks
+      every fine cell, so the assignment degenerates to dd10's flat
+      argmin — the multi-probe twin of the coarse=1 equivalence;
     - nesting: the hierarchical default can only LOSE dups relative to
       the exact (cells=1) verdict, never invent one;
-    - dup-recall of the hierarchical default vs exact is GATED at 0.55
-      — measured 0.66 on this corpus (dd10's flat assignment measures
-      0.79: the coarse boundary adds misses on top of the fine-cell
-      misses), floor ~0.1 below, the same margin discipline as the ANN
+    - dup-recall of the hierarchical default vs exact is GATED at 0.60
+      — the coarse multi-probe default (cprobes=2, VERDICT r07 item 4)
+      measures 0.70 on this corpus vs 0.66 single-probe and 0.73 at
+      cprobes=3; dd10's flat assignment measures 0.79 (the residual
+      gap is the fine-cell boundary both operators share), floor ~0.1
+      below measured, the same margin discipline as the ANN
       operating-point gates."""
     from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
         dd10_semantic_dedup,
@@ -459,6 +464,20 @@ def test_dd11_hierarchical_semdedup_recall_and_degeneracy(spark, tmp_path):
     }
     assert d11 == d10, "dd11(coarse=1) diverged from dd10 on the same fit"
 
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _HIER_COARSE,
+    )
+
+    allprobe = {
+        (r.vec_id, r.cell, r.keep)
+        for r in dd11_hierarchical_semdedup(
+            spark, sf, cprobes=_HIER_COARSE
+        ).collect()
+    }
+    assert allprobe == d10, (
+        "dd11(cprobes=coarse) diverged from dd10 on the same fit"
+    )
+
     exact = {
         r.vec_id for r in dd10_semantic_dedup(spark, sf, cells=1).collect()
         if not r.keep
@@ -470,8 +489,13 @@ def test_dd11_hierarchical_semdedup_recall_and_degeneracy(spark, tmp_path):
         if not r.keep
     }
     assert approx <= exact, "hierarchical assignment invented a dup"
+    # NOTE deliberately NOT asserted: single-probe ⊆ multi-probe. Probes
+    # widen the candidate fine-cell set, which can ROUTE a row to a
+    # closer fine cell and split a previously co-located pair — the dup
+    # set is not monotone in cprobes (measured: 60 lost / 82 gained at
+    # 1→2 probes on this corpus); only aggregate recall improves.
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.55, f"dd11 dup-recall={recall:.2f} < 0.55"
+    assert recall >= 0.60, f"dd11 dup-recall={recall:.2f} < 0.60"
 
 
 def test_ct03_contamination_recall_and_probe_degeneracy(spark, tmp_path):

@@ -510,16 +510,22 @@ def test_sk01_cms_cells_are_partial_agg(spark, sf_dir):
     assert "partial_sum" in plan, plan
 
 
-def test_tp01_negatives_broadcast_the_pair_set(spark, sf_dir):
-    """The pair miner's scale contract: the corpus-size aggregate and
-    the known-positive pair set join the negative candidates by
-    BROADCAST (both are pair-table-sized or one row) — the negative
-    side never sort-merge joins, and the positive side keeps dd02's
-    no-all-pairs property (banded bucket join only)."""
-    plan = _plan(spark, sf_dir, "tp01_contrastive_pairs")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the anti-join against known positives must be broadcast-shaped
-    assert "SortMergeJoin LeftAnti" not in plan, plan
+def test_tp01_antijoin_is_not_hint_forced(spark, sf_dir):
+    """The pair miner's scale contract: the known-positive pair set is
+    dup-rate-sized (billions of rows at 100 TB), so the anti-join
+    against it must be a plain equi-anti on materialized (lo, hi) key
+    columns with NO broadcast hint — AQE may elect broadcast at
+    runtime, but a hint would force an executor OOM at scale. The only
+    hint in the plan is the one-row corpus-size aggregate."""
+    df = REGISTRY["tp01_contrastive_pairs"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    plan = qe.executedPlan().toString()
+    # equi-anti keyed on the orientation-normalized pair columns:
+    # shuffled by default (AQE can still downgrade it to broadcast
+    # from MEASURED sizes), never a nested-loop anti
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" not in plan, plan
 
 
 def test_pr01_profile_is_one_expand_aggregate(spark, sf_dir):
@@ -580,14 +586,19 @@ def test_pd01_is_one_partial_aggregate(spark, sf_dir):
         assert j not in plan, plan
 
 
-def test_tp02_exclusion_is_broadcast_anti(spark, sf_dir):
-    """Hard-negative mining's scale contract: the dd02 positive set
-    broadcasts into the anti-join (never a sort-merge anti), the
-    scoring leg broadcasts the bounded query block, and nothing
+def test_tp02_exclusion_is_not_hint_forced(spark, sf_dir):
+    """Hard-negative mining's scale contract: the dd02 positive set is
+    dup-rate-sized, so its exclusion anti-join must be a plain
+    equi-anti on materialized (lo, hi) key columns with NO broadcast
+    hint (AQE decides from measured sizes); the only hint is the
+    bounded query block the scoring leg broadcasts, and nothing
     degenerates to a CartesianProduct."""
-    plan = _plan(spark, sf_dir, "tp02_hard_negatives")
-    assert "SortMergeJoin LeftAnti" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    df = REGISTRY["tp02_hard_negatives"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    plan = qe.executedPlan().toString()
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 

@@ -20,9 +20,14 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 7 — the operators
+#: Entries with ZERO green driver rows entering round 8 — the operators
 #: added this round. They must be inside the 50-slot window.
-NEEDS_FIRST_ROW: set[str] = {
+NEEDS_FIRST_ROW: set[str] = set()
+
+#: Single-green entries (first non-vacuous rows earned in r07 — the 20
+#: r07 arrivals) — the schedule keeps any entry with <2 green rows
+#: in-window until it has two.
+SINGLE_GREEN = {
     "dd11_hierarchical_semdedup",
     "ct03_semantic_contamination",
     "ds10_temperature_resample",
@@ -45,37 +50,44 @@ NEEDS_FIRST_ROW: set[str] = {
     "co01_supplier_cooccurrence",
 }
 
-#: Single-green entries (first non-vacuous row earned in r06) — the
-#: schedule keeps any entry with <2 green rows in-window until it has
-#: two. st01's four nominal pre-r06 greens were all vacuous 0-row
-#: matches (VERDICT r05); its r06 row is its first REAL green.
-SINGLE_GREEN = {
+#: The 19 four-greens parked mid/late-round-7 to fund the r07 arrival
+#: slots rotate back in for fifth rows (minus any re-parked this round
+#: to fund NEW entries — see the schedule comment in plans/queries.py).
+#: st01/nn08/ds09 (double-green) and the 8 r05/r06-era three-greens
+#: (cp02, dd09, dd10, ds08, nn06, nn07, txt07, ud2) also stay in-window
+#: — asserted here so a tail regression can't silently drop them.
+BACK_IN_WINDOW = {
+    "a04_stats_export",
+    "dd05_embedding_neardup",
+    "f06_condition_normalize",
+    "f07_keyword_filter",
+    "f08_gated_enrichment",
+    "f09_nested_json_projection",
+    "j01_fallback_stats_join",
+    "k01_newest_first_cap",
+    "k45_best_component",
+    "txt02_quality_scores",
+    "txt03_fingerprint",
+    "x02_hidden_price_structured",
+    "x15_risk_assembly",
+    "x18_badge_scan",
+    "x21_runtime_fields",
+    "x22_factor_normalize",
+    "x22_painless_normalizer",
+    # double-greens needing thirds:
+    "st01_windowed_frequency",
     "nn08_recall_gate",
     "ds09_weighted_sample",
-    "st01_windowed_frequency",
+    # three-greens needing fourths:
+    "cp02_tokenizer_prep_pipeline",
+    "dd09_boilerplate_spans",
+    "dd10_semantic_dedup",
+    "ds08_curriculum_order",
+    "nn06_residual_ivfpq",
+    "nn07_opq_pq",
+    "txt07_vocab_oov",
+    "ud2_spec_extraction",
 }
-
-#: The multi-greens parked in round 6 rotate back in for their next row
-#: (ud2 stays parked to fund dd11's slot; f07 and txt03 park instead of
-#: rotating back to fund ct03's and ds10's; f06, k45 and x18 — all
-#: four-green — park mid-round to fund ch01/ds11/a14, and x02/f09 park
-#: to fund w04/cs01 — see the schedule comment in plans/queries.py).
-BACK_IN_WINDOW = {
-    "nn02_lsh_ann",
-    "dd06_neardup_clusters",
-    "ds03_leakage_safe_split",
-    "ds04_training_order", "ct02_decontaminated_train",
-    "dd08_simhash_neardup", "x19_geo_struct",
-}
-#: j01/txt02/mm01/x22_painless_normalizer (all four-green) parked
-#: mid-round-7 to fund the window slots for the four new entries;
-#: x15/x21 (both four-green) parked late-round-7 to fund tp01/pr01,
-#: then a04/x22_factor_normalize (both four-green) to fund cdc01/rk01,
-#: then f08/k01 (both four-green) to fund vc01/pd01, then dd05
-#: (four-green) to fund tp02, then j03 (four-green) to fund co01.
-#: The seven r05 arrivals (double-green) also stay in-window for third
-#: rows: nn06, dd09, txt07, cp02, ds08, dd10, nn07 — asserted via
-#: SINGLE_GREEN ∪ the window check below (they are not in the tail).
 
 
 def test_window_contains_every_entry_needing_rows():
