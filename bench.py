@@ -219,6 +219,11 @@ VARIANTS = {
     # the O(log n) star-contraction CC kernel next to the default
     # label propagation (equivalence-gated in tests/test_scale_paths.py)
     "dd06_neardup_clusters_star": ("dd06_neardup_clusters", {"impl": "star"}),
+    # the production IVF retrieval legs (VERDICT r07 item 3):
+    # recall-gated against their brute-force forms in
+    # tests/test_ann_recall.py and by nn08's contract rows
+    "tp02_hard_negatives_ivf": ("tp02_hard_negatives", {"impl": "ivf"}),
+    "rk01_rank_fusion_ivf": ("rk01_rank_fusion", {"impl": "ivf"}),
     # the stateful streaming ingest: AvailableNow drain of a fixed
     # landing corpus (fresh checkpoint per run) through simhash-band
     # near-dup dedupe — state overhead tracked round-over-round

@@ -5411,6 +5411,18 @@ _NN_RECALL_FLOORS = [
     ("nn07_opq_pq", 5, 0.1),
 ]
 
+#: recall floors for the composed production retrieval legs (VERDICT
+#: r07 item 3): the IVF variant's result set vs its own brute-force
+#: oracle-subject form, at the default (cells=16, probes=4) operating
+#: point — measured 0.50 (tp02; probes 6/8 of 16 measure 0.65/0.80)
+#: and 0.725 (rk01; 0.825/0.90), floors ~0.1 under, the standard
+#: margin discipline. Shared by nn08's Spark side and its oracle so
+#: the gate constant cannot drift between engines.
+_LEG_RECALL_FLOORS = {
+    "tp02_hard_negatives": 0.4,
+    "rk01_rank_fusion": 0.6,
+}
+
 
 def _nn08_oracle() -> str:
     """DuckDB twin: recall@k of every approximate ANN path against the
@@ -5465,6 +5477,32 @@ def _nn08_oracle() -> str:
             "       CAST(total AS DOUBLE) / total >= 1.0 AS meets_floor\n"
             f"FROM t_{tag}"
         )
+    # production-retrieval-leg contract rows (VERDICT r07 item 3): both
+    # the brute-force oracle and the IVF-twin SQL replay here, hits =
+    # result pairs they agree on, total = the brute-force set — the
+    # IVF legs' recall floors become driver-re-verified numbers.
+    leg_specs = [
+        ("tp02_hard_negatives", _tp02_sql(), _tp02_ivf_sql(), "q_id, neg_id"),
+        ("rk01_rank_fusion", _rk01_sql(), _rk01_sql(ivf=True), "q_id, doc_id"),
+    ]
+    for rname, bf_sql, iv_sql, keys in leg_specs:
+        tag = rname.split("_")[0] + "leg"
+        floor = _LEG_RECALL_FLOORS[rname]
+        ctes.append(f"bf_{tag} AS (SELECT {keys} FROM ({bf_sql}) s)")
+        ctes.append(f"iv_{tag} AS (SELECT {keys} FROM ({iv_sql}) s)")
+        ctes.append(
+            f"h_{tag} AS (SELECT count(*) AS hits FROM bf_{tag} "
+            f"JOIN iv_{tag} USING ({keys}))"
+        )
+        ctes.append(
+            f"t_{tag} AS (SELECT count(*) AS total FROM bf_{tag})"
+        )
+        selects.append(
+            f"SELECT '{rname}_ivf' AS path, hits, total,\n"
+            f"       CAST(hits AS DOUBLE) / total AS recall,\n"
+            f"       CAST(hits AS DOUBLE) / total >= {floor} AS meets_floor\n"
+            f"FROM h_{tag}, t_{tag}"
+        )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -5500,7 +5538,16 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = the verdict count, and the oracle (one replay of each SQL
     form) expects full agreement — recall 1.0, floor 1.0 — so a single
     diverging keep/drop verdict anywhere in the corpus turns the row
-    red."""
+    red.
+
+    Two final rows gate the composed PRODUCTION retrieval legs (VERDICT
+    r07 item 3): tp02's IVF hard-negative miner and rk01's IVF semantic
+    retriever each count the result pairs they share with their own
+    brute-force oracle-subject form (hits) against that form's full set
+    (total); the floors live in ``_LEG_RECALL_FLOORS`` — one constant
+    consumed by both engines — and the oracle replays both forms' SQL
+    twins, so the recall NUMBERS hash-match and a leg regression turns
+    the driver row red."""
     exact = (
         nn01_cosine_topk(spark, sf_dir, impl="arrow")
         .select("q_id", "vec_id", "rk")
@@ -5560,6 +5607,33 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = out.unionByName(d_row)
+    # production-retrieval-leg contract rows (VERDICT r07 item 3): the
+    # composed IVF legs (tp02's hard-negative miner, rk01's semantic
+    # retriever) re-verify their recall floors vs their own brute-force
+    # oracle-subject forms every driver round — hits = result pairs the
+    # two forms agree on, total = the brute-force set, floor shared
+    # with the oracle via _LEG_RECALL_FLOORS.
+    for rname, rfn, keycols in (
+        ("tp02_hard_negatives", tp02_hard_negatives, ["q_id", "neg_id"]),
+        ("rk01_rank_fusion", rk01_rank_fusion, ["q_id", "doc_id"]),
+    ):
+        floor = _LEG_RECALL_FLOORS[rname]
+        bf = rfn(spark, sf_dir).select(*keycols).localCheckpoint(eager=False)
+        iv = rfn(spark, sf_dir, impl="ivf").select(*keycols)
+        l_recall = F.col("hits") / F.col("total")
+        l_row = (
+            bf.join(F.broadcast(iv), keycols)
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(bf.agg(F.count(F.lit(1)).alias("total")))
+            .select(
+                F.lit(f"{rname}_ivf").alias("path"),
+                "hits",
+                "total",
+                l_recall.alias("recall"),
+                (l_recall >= F.lit(floor)).alias("meets_floor"),
+            )
+        )
+        out = out.unionByName(l_row)
     return out
 
 
@@ -6973,8 +7047,25 @@ _RRF_K0 = 60  # the standard RRF damping constant
 _RRF_TOPK = 10  # fused results kept per query
 
 
-def _rk01_sql() -> str:
+def _rk01_sql(ivf: bool = False) -> str:
     inter = "len(list_intersect(c.toks, qd.qt))"
+    if ivf:
+        emb_legs = f"""{_ivf_leg_sql(_RRF_QUERIES)},
+    embscored AS (SELECT q_id, vec_id AS id, cos FROM ivfscored),
+    embranked AS ("""
+    else:
+        emb_legs = f"""v AS (SELECT vec_id, {_sql_vec("embedding")} AS v
+                            FROM embeddings),
+    nb AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
+    eb AS (SELECT * FROM nb WHERE nrm > 0),
+    qe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM eb
+           WHERE vec_id < {_RRF_QUERIES}),
+    embscored AS (
+        SELECT qe.q_id, c.vec_id AS id,
+               {_sql_dot("c.v", "qe.qv")} / (c.nrm * qe.qn) AS cos
+        FROM eb c CROSS JOIN qe WHERE c.vec_id <> qe.q_id
+    ),
+    embranked AS ("""
     return f"""
     WITH d AS (SELECT doc_id, {sql_distinct_tokens('text')} AS toks
                FROM documents),
@@ -6994,17 +7085,7 @@ def _rk01_sql() -> str:
     ),
     lex AS (SELECT q_id, id, lex_rk FROM lexranked
             WHERE lex_rk <= {_RRF_DEPTH}),
-    v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
-    nb AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
-    eb AS (SELECT * FROM nb WHERE nrm > 0),
-    qe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM eb
-           WHERE vec_id < {_RRF_QUERIES}),
-    embscored AS (
-        SELECT qe.q_id, c.vec_id AS id,
-               {_sql_dot("c.v", "qe.qv")} / (c.nrm * qe.qn) AS cos
-        FROM eb c CROSS JOIN qe WHERE c.vec_id <> qe.q_id
-    ),
-    embranked AS (
+    {emb_legs}
         SELECT q_id, id, row_number() OVER (
                    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS emb_rk
         FROM embscored
@@ -7037,7 +7118,14 @@ def _rk01_sql() -> str:
 
 
 @query("rk01_rank_fusion", oracle=_rk01_sql, ops=("RANK-FUSION",))
-def rk01_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rk01_rank_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    impl: str = "bf",
+    cells: int = _IVF_CELLS,
+    probes: int = _IVF_PROBES,
+) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
     a lexical retriever (token-set Jaccard over ``documents``) and a
     semantic retriever (cosine over ``embeddings``; ids align 1:1 with
@@ -7056,9 +7144,17 @@ def rk01_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): both retrievers broadcast the bounded query
     block and stream the corpus once (no corpus shuffle); per-query
     state after ranking is DEPTH-bounded, so the fusion join touches
-    |queries|·depth rows — driver-trivial at any corpus size. The
-    production variant swaps the brute-force legs for nn03/nn05's IVF
-    cells and a posting-list retriever; fusion is unchanged."""
+    |queries|·depth rows — driver-trivial at any corpus size.
+
+    ``impl="ivf"`` is the production semantic leg made real (VERDICT
+    r07 item 3): the embedding retriever becomes nn03's replayed-fit
+    cell probe (``_ivf_scored_leg``) instead of the brute-force
+    broadcast scan — ~probes/cells of the scoring folds; the lexical
+    leg and the fusion are UNCHANGED. probes == cells degenerates to
+    the exact brute-force fusion (pinned in tests/test_ann_recall.py);
+    the default operating point's fused-list recall vs the brute-force
+    form is gated there and re-verified every round by nn08's
+    rk01_rank_fusion_ivf contract row."""
     docs = _t(spark, sf_dir, "documents")
     db = docs.select(
         "doc_id", distinct_tokens(F.col("text")).alias("toks")
@@ -7094,22 +7190,28 @@ def rk01_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nrm") > 0)
     )
-    qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    embscored = (
-        eb.crossJoin(F.broadcast(qe))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("id"),
-            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
-                "cos"
-            ),
+    if impl == "ivf":
+        embscored = _ivf_scored_leg(
+            spark, sf_dir, eb, _RRF_QUERIES, cells=cells, probes=probes
+        ).select("q_id", F.col("vec_id").alias("id"), "cos")
+    else:
+        qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
         )
-    )
+        embscored = (
+            eb.crossJoin(F.broadcast(qe))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("id"),
+                (
+                    _dot(F.col("v"), F.col("qv"))
+                    / (F.col("nrm") * F.col("qn"))
+                ).alias("cos"),
+            )
+        )
     we = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
     embr = (
         embscored.withColumn("emb_rk", F.row_number().over(we))
@@ -7330,6 +7432,110 @@ _HN_QUERIES = 8  # vec_id/doc_id < 8 are the anchor set (ids align 1:1)
 _HN_K = 5  # hard negatives kept per anchor
 
 
+def _ivf_scored_leg(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame,
+    n_queries: int,
+    *,
+    cells: int = _IVF_CELLS,
+    probes: int = _IVF_PROBES,
+) -> DataFrame:
+    """nn03's cell-probe candidate generation, factored for composition
+    into the tp02/rk01 production retrieval legs (VERDICT r07 item 3):
+    ``base`` is a (vec_id, v, nrm) corpus, the replayed-fit quantizer
+    assigns every row its nearest cell in the scan projection, queries
+    (vec_id < n_queries) probe their top-``probes`` cells, and exact
+    cosine scores ONLY the probed cells' members — the corpus streams
+    once through a broadcast equi-join on the small int cell id, never
+    an all-pairs nested loop. Returns (q_id, vec_id, cos). Same
+    constants, folds and first-min tie rules as ``_ivf_leg_sql``, so
+    the composed operators stay hash-exact against their twins."""
+    centroids = _fit_centroids(_train_vecs(spark, sf_dir), k=cells)
+    cent_arr = _cents_spark_literal(centroids)
+    ranked = _ranked_cells_of(F.col("v"), cent_arr)
+    assigned = base.withColumn("cell", F.element_at(ranked, 1)["cell"])
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    return (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+            ).alias("cos"),
+        )
+    )
+
+
+def _ivf_leg_sql(
+    n_queries: int,
+    *,
+    cells: int = _IVF_CELLS,
+    probes: int = _IVF_PROBES,
+) -> str:
+    """DuckDB twin of ``_ivf_scored_leg``: the CTE chain ``v0 → n0x →
+    basex → dx → ax → qx → ivfscored`` replaying the SAME seeded
+    quantizer fit (the nn03 oracle pattern) — ``ivfscored`` yields
+    (q_id, vec_id, cos) for exactly the probed-cell candidates, with
+    the first-position-of-min tie rules that twin Spark's struct
+    array_sort. Composable inside a larger WITH (names suffixed x to
+    avoid colliding with the host query's CTEs)."""
+    import pyarrow.parquet as pq
+
+    emb = (
+        pq.read_table(_oracle_sf_emb(), columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist()[:_IVF_TRAIN_SAMPLE]
+    )
+    cents = _fit_centroids(emb, k=cells)
+    mat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    d_exprs = ", ".join(
+        _sql_fold_sum(
+            f"list_transform(range(1, len(v)+1), "
+            f"i -> (v[i] - ce[{j + 1}][i]) * (v[i] - ce[{j + 1}][i]))"
+        )
+        for j in range(cells)
+    )
+    return f"""
+    ce_t AS (SELECT {mat} AS ce),
+    v0x AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0x AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0x),
+    basex AS (SELECT * FROM n0x WHERE nrm > 0),
+    dx AS (SELECT vec_id, v, nrm, [{d_exprs}] AS dl
+           FROM basex CROSS JOIN ce_t),
+    ax AS (SELECT vec_id, v, nrm,
+                  list_position(dl, list_aggregate(dl, 'min')) - 1 AS cell,
+                  list_transform(
+                      list_sort(list_transform(range(1, {cells} + 1),
+                          i -> {{'d': dl[i], 'cell': i - 1}}))[1:{probes}],
+                      s -> s.cell) AS pcells
+           FROM dx),
+    qx AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, pcells
+           FROM ax WHERE vec_id < {n_queries}),
+    ivfscored AS (
+        SELECT qx.q_id, c.vec_id,
+               {_sql_dot("c.v", "qx.qv")} / (c.nrm * qx.qn) AS cos
+        FROM ax c JOIN qx ON list_contains(qx.pcells, c.cell)
+                         AND c.vec_id <> qx.q_id
+    )"""
+
+
 def _tp02_sql() -> str:
     return f"""
     WITH pos AS (
@@ -7366,8 +7572,44 @@ def _tp02_sql() -> str:
     """
 
 
+def _tp02_ivf_sql() -> str:
+    """DuckDB twin of ``tp02_hard_negatives(impl="ivf")``: the scoring
+    CTE is the replayed-fit IVF probe leg instead of the all-pairs
+    cross join; exclusion and ranking are byte-identical to the
+    brute-force oracle. Used by nn08's retrieval-leg contract row."""
+    return f"""
+    WITH pos AS (
+        SELECT least(a_id, b_id) AS lo, greatest(a_id, b_id) AS hi
+        FROM ({_minhash_sql()})
+    ),{_ivf_leg_sql(_HN_QUERIES)},
+    nondup AS (
+        SELECT * FROM ivfscored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE p.lo = least(s.q_id, s.vec_id)
+              AND p.hi = greatest(s.q_id, s.vec_id))
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM nondup
+    )
+    SELECT q_id, vec_id AS neg_id,
+           round(cos + 1e-9, 6) + 0.0 AS cosine, rk
+    FROM ranked WHERE rk <= {_HN_K}
+    """
+
+
 @query("tp02_hard_negatives", oracle=_tp02_sql, ops=("TRAIN-HARD-NEG",))
-def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tp02_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    impl: str = "bf",
+    cells: int = _IVF_CELLS,
+    probes: int = _IVF_PROBES,
+) -> DataFrame:
     """Hard-negative mining for contrastive training — the complement
     of tp01's seeded RANDOM negatives: for each anchor in the bounded
     query block, the top-k most cosine-similar corpus vectors that are
@@ -7390,9 +7632,18 @@ def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO broadcast hint (AQE elects broadcast only when the measured
     build side is actually small); the scoring leg broadcasts the
     bounded query block and streams the corpus once (the nn01 shape),
-    and per-query state after ranking is k-bounded. The production
-    variant swaps the brute-force leg for nn03/nn05 IVF cells —
-    exclusion and ranking are unchanged."""
+    and per-query state after ranking is k-bounded.
+
+    ``impl="ivf"`` is that production leg made real (VERDICT r07
+    item 3): candidate generation becomes nn03's replayed-fit cell
+    probe (``_ivf_scored_leg`` — corpus assigned in the scan
+    projection, anchors probe their top cells, cosine only inside
+    probed cells: ~probes/cells of the brute-force folds); exclusion
+    and ranking are UNCHANGED. probes == cells degenerates to the
+    exact brute-force verdict (pinned in tests/test_ann_recall.py);
+    the default operating point's recall vs the brute-force form is
+    gated there and re-verified every round by nn08's
+    tp02_hard_negatives_ivf contract row."""
     pos = dd02_minhash_lsh_pairs(spark, sf_dir).select(
         F.least("a_id", "b_id").alias("lo"),
         F.greatest("a_id", "b_id").alias("hi"),
@@ -7406,23 +7657,28 @@ def tp02_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nrm") > 0)
     )
-    q = base.filter(F.col("vec_id") < _HN_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    scored = (
-        base.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                _dot(F.col("v"), F.col("qv"))
-                / (F.col("nrm") * F.col("qn"))
-            ).alias("cos"),
+    if impl == "ivf":
+        scored = _ivf_scored_leg(
+            spark, sf_dir, base, _HN_QUERIES, cells=cells, probes=probes
         )
-    )
+    else:
+        q = base.filter(F.col("vec_id") < _HN_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        scored = (
+            base.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                (
+                    _dot(F.col("v"), F.col("qv"))
+                    / (F.col("nrm") * F.col("qn"))
+                ).alias("cos"),
+            )
+        )
     keyed = scored.select(
         "q_id",
         "vec_id",

@@ -537,3 +537,49 @@ def test_ct03_contamination_recall_and_probe_degeneracy(spark, tmp_path):
     assert conf <= exact, "confinement invented a contamination flag"
     recall = len(conf & exact) / len(exact)
     assert recall >= 0.55, f"ct03 recall={recall:.2f} < 0.55"
+
+
+def test_tp02_rk01_ivf_legs_degeneracy_and_recall(spark, sf_dir):
+    """The production IVF retrieval legs (VERDICT r07 item 3): tp02's
+    hard-negative miner and rk01's semantic retriever each grow an
+    ``impl="ivf"`` variant that swaps the brute-force scoring leg for
+    nn03's replayed-fit cell probe — exclusion / ranking / fusion
+    unchanged. Contract, per leg:
+
+    - probes == cells degeneracy: probing every cell makes candidate
+      generation exhaustive, so the variant must equal the brute-force
+      form ROW FOR ROW (ranks and scores included) — pinning the IVF
+      path as pure candidate pruning, not a scoring change;
+    - recall of the default operating point (cells=16, probes=4) vs
+      the brute-force result set, gated at the _LEG_RECALL_FLOORS
+      constants nn08's driver row shares: tp02 >= 0.4 (measured 0.53
+      at sf0.001 / 0.50 at sf0.01; probes 6/8 measure 0.65/0.80),
+      rk01 >= 0.6 (measured 0.76 / 0.73; probes 6/8 measure
+      0.83/0.90)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _IVF_CELLS,
+        _LEG_RECALL_FLOORS,
+        rk01_rank_fusion,
+        tp02_hard_negatives,
+    )
+
+    for rfn, keycols in (
+        (tp02_hard_negatives, ("q_id", "neg_id")),
+        (rk01_rank_fusion, ("q_id", "doc_id")),
+    ):
+        name = rfn.__name__
+        bf_rows = rfn(spark, sf_dir).collect()
+        dg_rows = rfn(
+            spark, sf_dir, impl="ivf", probes=_IVF_CELLS
+        ).collect()
+        assert sorted(map(tuple, bf_rows)) == sorted(map(tuple, dg_rows)), (
+            f"{name}: probes=cells diverged from the brute-force form"
+        )
+        bf = {tuple(getattr(r, c) for c in keycols) for r in bf_rows}
+        iv = {
+            tuple(getattr(r, c) for c in keycols)
+            for r in rfn(spark, sf_dir, impl="ivf").collect()
+        }
+        recall = len(bf & iv) / len(bf)
+        floor = _LEG_RECALL_FLOORS[name]
+        assert recall >= floor, f"{name} ivf recall={recall:.2f} < {floor}"

@@ -614,3 +614,21 @@ def test_co01_quadratic_is_basket_confined(spark, sf_dir):
         == 2
     ), plan
     assert "partial_count" in plan, plan
+
+
+def test_ivf_retrieval_legs_probe_instead_of_scan(spark, sf_dir):
+    """The production IVF legs' scale contract: candidate generation is
+    an equi-join on the small int cell id (the broadcast query block
+    explodes to its probed cells), NOT an all-pairs nested loop over
+    the corpus — tp02's ivf form has zero BNLJ nodes (the bf form has
+    one); rk01's ivf form keeps exactly the lexical leg's single BNLJ
+    (the bf form has two). The pair-set anti-join stays the unhinted
+    shuffled equi-anti."""
+    tp = REGISTRY["tp02_hard_negatives"].fn(spark, sf_dir, impl="ivf")
+    plan = tp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    rk = REGISTRY["rk01_rank_fusion"].fn(spark, sf_dir, impl="ivf")
+    rplan = rk._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("BroadcastNestedLoopJoin") == 1, rplan
+    assert "CartesianProduct" not in rplan, rplan
