@@ -1290,6 +1290,9 @@ _ROTATION_TAIL = [
     "w01_last_value_per_group",
     "f01_freshness_filter",
     "f05_market_segmentation",
+    # re-parked mid-round-8 (four-green) to fund the window slot for the
+    # new cp03_incremental_pipeline entry:
+    "j03_enrichment_join",
 ]
 
 

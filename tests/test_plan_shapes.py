@@ -632,3 +632,30 @@ def test_ivf_retrieval_legs_probe_instead_of_scan(spark, sf_dir):
     rplan = rk._jdf.queryExecution().executedPlan().toString()
     assert rplan.count("BroadcastNestedLoopJoin") == 1, rplan
     assert "CartesianProduct" not in rplan, rplan
+
+
+def test_cp03_history_feeds_only_the_bloom(spark, sf_dir):
+    """The incremental pipeline's scale contract (VERDICT r07 item 5):
+    the historical corpus is read only to build broadcast-sized state —
+    the ≤4,096-word bloom (map-side partial bit_or before its exchange)
+    and the eval slice's distinct hashes — so the delta-sized probe
+    joins are all BroadcastHashJoins; the ONLY join allowed to shuffle
+    corpus-sized data is the snapshot diff keyed on doc_id (Catalyst
+    narrows the full-outer to an outer join under the incoming filter).
+    No shingle-keyed corpus-vs-delta sort-merge join may ever appear."""
+    df = REGISTRY["cp03_incremental_pipeline"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:*")
+        if s.startswith("SortMergeJoin"):
+            assert "doc_id#" in s.split("]")[0], (
+                f"corpus-sized non-doc_id sort-merge join in cp03: {s}"
+            )
+    # the bloom build's shuffled state is word-bounded: partial bit_or
+    agg_lines = [
+        l for l in plan.splitlines()
+        if "HashAggregate" in l and "bit_or" in l and "partial" in l
+    ]
+    assert agg_lines, "bloom build lost its map-side partial bit_or"

@@ -22,7 +22,9 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 
 #: Entries with ZERO green driver rows entering round 8 — the operators
 #: added this round. They must be inside the 50-slot window.
-NEEDS_FIRST_ROW: set[str] = set()
+NEEDS_FIRST_ROW: set[str] = {
+    "cp03_incremental_pipeline",
+}
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
 #: r07 arrivals) — the schedule keeps any entry with <2 green rows
@@ -57,6 +59,8 @@ SINGLE_GREEN = {
 #: (cp02, dd09, dd10, ds08, nn06, nn07, txt07, ud2) also stay in-window
 #: — asserted here so a tail regression can't silently drop them.
 BACK_IN_WINDOW = {
+    # j03 re-parked mid-round to fund cp03's slot (see the schedule
+    # comment in plans/queries.py)
     "a04_stats_export",
     "dd05_embedding_neardup",
     "f06_condition_normalize",
