@@ -1293,6 +1293,9 @@ _ROTATION_TAIL = [
     # re-parked mid-round-8 (four-green) to fund the window slot for the
     # new cp03_incremental_pipeline entry:
     "j03_enrichment_join",
+    # re-parked mid-round-8 (four-green) to fund the window slot for the
+    # new tk01_bpe_merge_mining entry:
+    "mm01_media_features",
 ]
 
 

@@ -8026,3 +8026,84 @@ def cp03_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio < F.lit(_CP03_DUP_MAX)) & (F.col("n_eval_shared") == 0)
         ).alias("admitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tk01: BPE merge mining — one round of byte-pair merge counting
+# ---------------------------------------------------------------------------
+#: merges reported per round (top-k adjacent-symbol pairs)
+_TK_TOPK = 20
+
+
+def _tk01_sql() -> str:
+    return f"""
+    WITH tok AS (SELECT unnest({sql_tokens("text")}) AS w FROM documents),
+    wd AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    wl AS (SELECT w, c FROM wd WHERE length(w) >= 2),
+    pr AS (SELECT unnest(list_transform(range(1, length(w)),
+                       i -> substring(w, CAST(i AS INT), 2))) AS pair,
+                  c
+           FROM wl),
+    pc AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pr
+           GROUP BY pair),
+    ranked AS (SELECT pair, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+               FROM pc)
+    SELECT rk, pair,
+           substring(pair, 1, 1) AS left_sym,
+           substring(pair, 2, 1) AS right_sym,
+           cnt
+    FROM ranked WHERE rk <= {_TK_TOPK}
+    """
+
+
+@query("tk01_bpe_merge_mining", oracle=_tk01_sql, ops=("TOKENIZE-TRAIN",))
+def tk01_bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE merge mining (Sennrich et al.'s byte-pair
+    encoding, the tokenizer-training primitive): count every adjacent
+    character pair across the corpus — each occurrence inside a word
+    weighted by that word's corpus frequency — and emit the top-k
+    candidate merges (rank, pair, its two symbols, count). This is
+    exactly the statistic a BPE trainer maximizes per merge round; it
+    completes the tokenizer-prep story cp02 started (vc01 answers
+    "what vocab size", tk01 answers "which merges earn their slot").
+
+    Pure BIGINT count algebra — no floats anywhere — so the driver
+    hash pins the ranking exactly (ties break on the pair string,
+    identical collations for the ASCII token alphabet).
+
+    Scale shape (100 TB): the corpus collapses FIRST to the word
+    dictionary (map-side partial counts; the shuffle is vocab-sized,
+    the classic BPE-at-scale move — pair statistics derive from the
+    dictionary, never the token stream), pairs explode over DISTINCT
+    words only (vocab × word-length rows), the pair aggregate is
+    map-side-combinable like sk01's cells, and the single serial
+    ranking window runs over the symbol-pair table — bounded by the
+    square of the character alphabet, not by the corpus or even the
+    vocabulary. Plan-pinned in tests/test_plan_shapes.py."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    wd = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wl = wd.filter(F.length("w") >= 2)
+    pr = wl.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    pc = pr.groupBy("pair").agg(F.sum("c").alias("cnt"))
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pc.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _TK_TOPK)
+        .select(
+            "rk",
+            "pair",
+            F.col("pair").substr(1, 1).alias("left_sym"),
+            F.col("pair").substr(2, 1).alias("right_sym"),
+            "cnt",
+        )
+    )

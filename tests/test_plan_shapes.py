@@ -659,3 +659,19 @@ def test_cp03_history_feeds_only_the_bloom(spark, sf_dir):
         if "HashAggregate" in l and "bit_or" in l and "partial" in l
     ]
     assert agg_lines, "bloom build lost its map-side partial bit_or"
+
+
+def test_tk01_pair_counts_collapse_before_shuffle(spark, sf_dir):
+    """BPE merge mining's scale contract: the corpus collapses to the
+    word dictionary with map-side partial counts BEFORE any shuffle,
+    the pair aggregate is likewise partial-combined, there are no joins
+    anywhere, and the single ranking window runs unpartitioned over the
+    alphabet²-bounded pair table (after both collapses) — exactly two
+    HashAggregate pairs and one Window in the plan."""
+    plan = _plan(spark, sf_dir, "tk01_bpe_merge_mining")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+    assert plan.count("Window") == 1, plan

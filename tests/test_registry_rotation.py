@@ -24,6 +24,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 #: added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
     "cp03_incremental_pipeline",
+    "tk01_bpe_merge_mining",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
