@@ -1216,9 +1216,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            dd09, dd10, ds08, nn06, nn07, txt07, ud2) stay in for
 #            fourths. New entries this round park rotated-back
 #            four-greens one-for-one: cp03_incremental_pipeline
-#            (cdc01→dd12 delta path) parks j03_enrichment_join and
-#            tk01_bpe_merge_mining parks mm01_media_features.
-#            Registry 105 = window 50 + tail 55.
+#            (cdc01→dd12 delta path) parks j03_enrichment_join,
+#            tk01_bpe_merge_mining parks mm01_media_features, and
+#            a15_mixture_rollup / tp03_triplet_assembly park
+#            txt03_fingerprint / k45_best_component.
+#            Registry 107 = window 50 + tail 57.
 #   round 9+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1296,6 +1298,10 @@ _ROTATION_TAIL = [
     # re-parked mid-round-8 (four-green) to fund the window slot for the
     # new tk01_bpe_merge_mining entry:
     "mm01_media_features",
+    # re-parked mid-round-8 (both four-green) to fund the window slots
+    # for the new a15_mixture_rollup and tp03_triplet_assembly entries:
+    "txt03_fingerprint",
+    "k45_best_component",
 ]
 
 

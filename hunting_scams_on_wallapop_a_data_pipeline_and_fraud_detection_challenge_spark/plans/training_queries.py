@@ -8107,3 +8107,178 @@ def tk01_bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a15: corpus-composition rollup — every report granularity in one pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a15_mixture_rollup",
+    oracle=f"""
+    SELECT COALESCE(lang, '<all>') AS lang_g,
+           COALESCE(source, '<all>') AS source_g,
+           CAST(GROUPING(lang) AS BIGINT) AS gl,
+           CAST(GROUPING(source) AS BIGINT) AS gs,
+           count(*) AS n_docs,
+           CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS n_tok,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+    ops=("AGG-ROLLUP",),
+)
+def a15_mixture_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition rollup: document, token and character counts
+    at every report granularity — (lang, source), per-lang, and the
+    grand total — in ONE pass over the corpus (the mixture report every
+    training run logs next to its data card; ds05 reports the leaf
+    level, a15 adds the hierarchy). GROUPING markers (not payload
+    nullness) distinguish the rolled-up rows, so a literal NULL group
+    could never masquerade as a subtotal; group labels are coalesced to
+    '<all>' for the report. All three metrics are BIGINT sums — no
+    float anywhere, so every level hash-matches exactly.
+
+    Scale shape (100 TB): Spark plans ROLLUP as one Expand (×3 level
+    replicas) feeding a single hash aggregate with map-side partial
+    aggregation — the shuffle carries at most levels × |groups| rows,
+    never the corpus, and the corpus is scanned ONCE (vs the naive
+    3-query union which scans three times). Same Expand shape as
+    pr01's multi-distinct profile; plan-pinned in
+    tests/test_plan_shapes.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("nt"),
+            F.length("text").cast("bigint").alias("nc"),
+        )
+        .rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("bigint").alias("gl"),
+            F.grouping("source").cast("bigint").alias("gs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tok"),
+            F.sum("nc").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang_g"),
+            F.coalesce("source", F.lit("<all>")).alias("source_g"),
+            "gl",
+            "gs",
+            "n_docs",
+            "n_tok",
+            "n_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tp03: triplet assembly — (anchor, positive, negative) with margins
+# ---------------------------------------------------------------------------
+
+
+def _tp03_sql() -> str:
+    cos = f"{_sql_dot('x.v', 'y.v')} / (x.nrm * y.nrm)"
+    return f"""
+    WITH pairs AS ({_tp01_sql()}),
+    p AS (SELECT anchor_id, other_id AS pos_id FROM pairs WHERE label = 1),
+    g AS (SELECT anchor_id, other_id AS neg_id FROM pairs WHERE label = 0),
+    v0 AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n0 AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v0),
+    base AS (SELECT * FROM n0 WHERE nrm > 0),
+    t AS (SELECT p.anchor_id, p.pos_id, g.neg_id
+          FROM p JOIN g USING (anchor_id)
+          WHERE g.neg_id <> p.pos_id),
+    ap AS (SELECT t.anchor_id, t.pos_id, t.neg_id,
+                  round(({cos}) + 1e-9, 6) + 0.0 AS cos_ap
+           FROM t JOIN base x ON x.vec_id = t.anchor_id
+                  JOIN base y ON y.vec_id = t.pos_id),
+    an AS (SELECT ap.anchor_id, ap.pos_id, ap.neg_id, ap.cos_ap,
+                  round(({cos}) + 1e-9, 6) + 0.0 AS cos_an
+           FROM ap JOIN base x ON x.vec_id = ap.anchor_id
+                   JOIN base y ON y.vec_id = ap.neg_id)
+    SELECT anchor_id, pos_id, neg_id, cos_ap, cos_an,
+           (cos_ap - cos_an) + 0.0 AS margin
+    FROM an
+    """
+
+
+@query("tp03_triplet_assembly", oracle=_tp03_sql, ops=("TRAIN-TRIPLETS",))
+def tp03_triplet_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet assembly for metric-learning losses: cross tp01's
+    per-anchor positives with its seeded negatives into (anchor,
+    positive, negative) rows and annotate each with the embedding
+    cosines and the triplet MARGIN cos(a,p) − cos(a,n) — the number a
+    triplet-loss trainer curriculum-sorts by (near-zero or negative
+    margin = the hard triplets that carry the gradient signal; both
+    cosines are the 6dp-rounded nn01 folds, so the margin is one IEEE
+    subtraction of bit-identical doubles). Triplets are restricted to
+    ids with a nonzero embedding (the cosine is undefined otherwise).
+
+    Scale shape (100 TB): the positive × negative cross is confined
+    per anchor (dup-partners × 2 seeded negatives — bounded fan-out,
+    the co01 basket argument); the cosine annotations are three
+    id-keyed equi-joins of the pair-table-sized triplet list against
+    the corpus — AQE broadcasts the triplet side when it fits, and
+    nothing all-pairs ever forms. Composes tp01 verbatim, so the
+    label semantics stay driver-verified upstream; the pair table
+    materializes ONCE (GC-reclaimed lazy localCheckpoint, the dd08
+    signature pattern) instead of replaying dd02's LSH pipeline for
+    each of the positive and negative branches."""
+    pairs = tp01_contrastive_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    p = pairs.filter(F.col("label") == 1).select(
+        "anchor_id", F.col("other_id").alias("pos_id")
+    )
+    g = pairs.filter(F.col("label") == 0).select(
+        "anchor_id", F.col("other_id").alias("neg_id")
+    )
+    t = p.join(g, "anchor_id").filter(F.col("neg_id") != F.col("pos_id"))
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+
+    def cos_to(df, id_col, out):
+        x = base.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("an"),
+        )
+        y = base.select(
+            F.col("vec_id").alias(id_col),
+            F.col("v").alias("yv"),
+            F.col("nrm").alias("yn"),
+        )
+        return (
+            df.join(x, "anchor_id")
+            .join(y, id_col)
+            .withColumn(
+                out,
+                _r(
+                    _dot(F.col("av"), F.col("yv"))
+                    / (F.col("an") * F.col("yn")),
+                    6,
+                )
+                + F.lit(0.0),
+            )
+            .drop("av", "an", "yv", "yn")
+        )
+
+    ap = cos_to(t, "pos_id", "cos_ap")
+    an = cos_to(ap, "neg_id", "cos_an")
+    return an.select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "cos_ap",
+        "cos_an",
+        ((F.col("cos_ap") - F.col("cos_an")) + F.lit(0.0)).alias("margin"),
+    )

@@ -675,3 +675,27 @@ def test_tk01_pair_counts_collapse_before_shuffle(spark, sf_dir):
               "BroadcastNestedLoopJoin"):
         assert j not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_a15_rollup_is_one_expand_scan(spark, sf_dir):
+    """The mixture rollup's scale contract: all three granularities run
+    through ONE Expand feeding a single hash aggregate with map-side
+    partial aggregation over one corpus scan — never the naive 3-query
+    union (three scans), and no joins anywhere."""
+    plan = _plan(spark, sf_dir, "a15_mixture_rollup")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, plan
+
+
+def test_tp03_triplet_cross_is_anchor_confined(spark, sf_dir):
+    """Triplet assembly's scale contract: the positive x negative cross
+    is an equi-join on anchor_id (bounded per-anchor fan-out — the
+    basket argument), the cosine annotations are id-keyed equi-joins,
+    and nothing degenerates to a CartesianProduct or nested loop."""
+    df = REGISTRY["tp03_triplet_assembly"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -25,6 +25,8 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 NEEDS_FIRST_ROW: set[str] = {
     "cp03_incremental_pipeline",
     "tk01_bpe_merge_mining",
+    "a15_mixture_rollup",
+    "tp03_triplet_assembly",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
@@ -70,9 +72,8 @@ BACK_IN_WINDOW = {
     "f09_nested_json_projection",
     "j01_fallback_stats_join",
     "k01_newest_first_cap",
-    "k45_best_component",
+    # k45 and txt03 re-parked mid-round to fund a15/tp03's slots
     "txt02_quality_scores",
-    "txt03_fingerprint",
     "x02_hidden_price_structured",
     "x15_risk_assembly",
     "x18_badge_scan",
