@@ -1219,8 +1219,9 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            (cdc01→dd12 delta path) parks j03_enrichment_join,
 #            tk01_bpe_merge_mining parks mm01_media_features, and
 #            a15_mixture_rollup / tp03_triplet_assembly park
-#            txt03_fingerprint / k45_best_component.
-#            Registry 107 = window 50 + tail 57.
+#            txt03_fingerprint / k45_best_component, and
+#            dd13_winnow_pairs parks x18_badge_scan.
+#            Registry 108 = window 50 + tail 58.
 #   round 9+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1302,6 +1303,9 @@ _ROTATION_TAIL = [
     # for the new a15_mixture_rollup and tp03_triplet_assembly entries:
     "txt03_fingerprint",
     "k45_best_component",
+    # re-parked mid-round-8 (four-green) to fund the window slot for the
+    # new dd13_winnow_pairs entry:
+    "x18_badge_scan",
 ]
 
 

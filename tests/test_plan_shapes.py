@@ -699,3 +699,22 @@ def test_tp03_triplet_cross_is_anchor_confined(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dd13_quadratic_is_fingerprint_confined(spark, sf_dir):
+    """Winnowing dedup's scale contract: fingerprints are computed in
+    the scan projection and de-duplicated per doc BEFORE the explode,
+    the only join keys on the int64 fingerprint (the dd02 banding
+    argument — never an all-pairs stage), and the pair aggregate gets
+    map-side partial aggregation."""
+    plan = _plan(spark, sf_dir, "dd13_winnow_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    joins = [
+        l.lstrip(" +-:*") for l in plan.splitlines()
+        if l.lstrip(" +-:*").startswith(("SortMergeJoin", "BroadcastHashJoin"))
+    ]
+    assert joins, "pair join missing"
+    for j in joins:
+        assert "fp#" in j.split("]")[0], f"non-fingerprint join key: {j}"

@@ -27,6 +27,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
     "tp03_triplet_assembly",
+    "dd13_winnow_pairs",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
@@ -76,7 +77,7 @@ BACK_IN_WINDOW = {
     "txt02_quality_scores",
     "x02_hidden_price_structured",
     "x15_risk_assembly",
-    "x18_badge_scan",
+    # x18 re-parked mid-round to fund dd13's slot
     "x21_runtime_fields",
     "x22_factor_normalize",
     "x22_painless_normalizer",
