@@ -8,6 +8,7 @@ micro-batch of run_pipeline.sh) + a restart to prove checkpoint resume.
 from __future__ import annotations
 
 import json
+from datetime import datetime, timedelta
 
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.alerts import (
     start_alert_query,
@@ -31,11 +32,22 @@ def _write_ndjson(path, rows):
     path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
 
 
+def _fresh_ts(minutes: int = 0) -> str:
+    """A crawl timestamp ``minutes`` after a base anchored one hour
+    before the test RUNS — tests exercising the ST4 staleness sink
+    (start_alert_query's fresh_only, a current_timestamp() compare)
+    must never hard-code dates: a literal that was 'fresh' when the
+    test was written silently crosses the 2-day limit and every alert
+    drops (this happened — the r08 time bomb)."""
+    base = datetime.now() - timedelta(hours=1)
+    return (base + timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%S")
+
+
 def test_alert_stream_end_to_end(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
     ckpt = tmp_path / "ckpt"
-    now = "2026-08-13T10:00:00"
+    now = _fresh_ts()
     stale = "2020-01-01T00:00:00"
     _write_ndjson(
         landing / "batch1.json",
@@ -242,8 +254,8 @@ def test_alert_stream_with_realert_layer(spark, tmp_path):
 
     _write_ndjson(
         landing / "a.json",
-        [_listing(1, 95, "2026-08-13T10:00:00"),
-         _listing(2, 95, "2026-08-13T10:10:00", dup="it1")],  # inside window
+        [_listing(1, 95, _fresh_ts(0)),
+         _listing(2, 95, _fresh_ts(10), dup="it1")],  # inside window
     )
     run()
     assert [a["id"] for a in got] == ["it1"]
@@ -251,7 +263,7 @@ def test_alert_stream_with_realert_layer(spark, tmp_path):
 
     # same key past the realert window -> re-fires (checkpointed state)
     _write_ndjson(
-        landing / "b.json", [_listing(3, 95, "2026-08-13T10:45:00", dup="it1")]
+        landing / "b.json", [_listing(3, 95, _fresh_ts(45), dup="it1")]
     )
     run()
     assert [a["id"] for a in got] == ["it1", "it1"]
