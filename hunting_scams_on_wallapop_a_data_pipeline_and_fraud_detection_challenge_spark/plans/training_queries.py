@@ -8378,3 +8378,80 @@ def dd13_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WN_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# w05: cohort retention — weekly cohort x offset activity matrix
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86_400 * 1_000_000  # one week of epoch microseconds
+
+
+def _w05_sql() -> str:
+    return f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk
+               FROM events),
+    f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM e),
+    j AS (SELECT f.cw, a.wk - f.cw AS off FROM a JOIN f USING (user_id)),
+    m AS (SELECT cw, off, count(*) AS n_active FROM j GROUP BY cw, off),
+    c AS (SELECT cw, count(*) AS cohort_size FROM f GROUP BY cw)
+    SELECT m.cw AS cohort_week, m.off AS week_offset,
+           m.n_active, c.cohort_size,
+           round((CAST(m.n_active AS DOUBLE) / c.cohort_size) + 1e-6, 4)
+               + 0.0 AS retention
+    FROM m JOIN c USING (cw)
+    """
+
+
+@query("w05_cohort_retention", oracle=_w05_sql, ops=("AGG-COHORT",))
+def w05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream — the
+    standard product/engagement rollup: users cohorted by the week of
+    their FIRST event, one row per (cohort_week, week_offset) with the
+    active-user count, the cohort size, and the retention ratio (one
+    IEEE division of BIGINT counts; weeks are integer epoch-microsecond
+    arithmetic on the NTZ timestamp — the w04 tz rule — so the driver
+    session timezone can never shift a cohort boundary).
+
+    Scale shape (100 TB): ONE corpus-sized shuffle on user_id produces
+    BOTH the cohort assignment (min week) and the distinct active-week
+    set per user (collect_set in the same aggregate — weeks per user
+    are bounded by the observation span, so the set state is tiny);
+    the offsets then EXPLODE from that per-user row, and everything
+    downstream aggregates cohort-sized tables joined by broadcast.
+    Contrast with the naive form that shuffles events twice (min-week
+    join back to the raw stream); plan-pinned to a single events scan
+    in tests/test_plan_shapes.py."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_WEEK_US}"
+        ).alias("wk"),
+    )
+    # one per-user aggregate feeds BOTH the matrix and the cohort-size
+    # branch — materialize it (GC-reclaimed lazy localCheckpoint, the
+    # dd08 pattern) so the events scan and user_id shuffle happen once
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cw"),
+            F.collect_set("wk").alias("weeks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exploded = per_user.select(
+        "cw", F.explode("weeks").alias("wk")
+    ).select("cw", (F.col("wk") - F.col("cw")).alias("off"))
+    m = exploded.groupBy("cw", "off").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    c = per_user.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ratio = F.col("n_active").cast("double") / F.col("cohort_size")
+    return m.join(F.broadcast(c), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").alias("week_offset"),
+        "n_active",
+        "cohort_size",
+        (_r(ratio, 4) + F.lit(0.0)).alias("retention"),
+    )

@@ -731,3 +731,21 @@ def test_dd13_quadratic_is_fingerprint_confined(spark, sf_dir):
     assert joins, "pair join missing"
     for j in joins:
         assert "fp#" in j.split("]")[0], f"non-fingerprint join key: {j}"
+
+
+def test_w05_single_user_shuffle_and_scan(spark, sf_dir):
+    """Cohort retention's scale contract: ONE events scan and ONE
+    corpus-sized shuffle (the per-user aggregate producing both the
+    cohort week and the distinct active-week set); everything
+    downstream aggregates cohort-sized tables and the matrix x size
+    join is a broadcast — never a second pass over the events."""
+    plan = _plan(spark, sf_dir, "w05_cohort_retention")
+    # the per-user aggregate is localCheckpoint-materialized: the final
+    # plan reads the SAME computed RDD for both branches and never
+    # touches the events parquet again (the one scan + one user_id
+    # shuffle live in the checkpoint's parent lineage, executed once)
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Exchange hashpartitioning(user_id" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -28,6 +28,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "a15_mixture_rollup",
     "tp03_triplet_assembly",
     "dd13_winnow_pairs",
+    "w05_cohort_retention",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
@@ -77,8 +78,7 @@ BACK_IN_WINDOW = {
     "txt02_quality_scores",
     "x02_hidden_price_structured",
     "x15_risk_assembly",
-    # x18 re-parked mid-round to fund dd13's slot
-    "x21_runtime_fields",
+    # x18 re-parked mid-round to fund dd13's slot; x21 for w05's
     "x22_factor_normalize",
     "x22_painless_normalizer",
     # double-greens needing thirds:
