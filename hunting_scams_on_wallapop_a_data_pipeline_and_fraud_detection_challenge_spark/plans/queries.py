@@ -1220,9 +1220,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            tk01_bpe_merge_mining parks mm01_media_features, and
 #            a15_mixture_rollup / tp03_triplet_assembly park
 #            txt03_fingerprint / k45_best_component,
-#            dd13_winnow_pairs parks x18_badge_scan, and
-#            w05_cohort_retention parks x21_runtime_fields.
-#            Registry 109 = window 50 + tail 59.
+#            dd13_winnow_pairs parks x18_badge_scan,
+#            w05_cohort_retention parks x21_runtime_fields, and
+#            lm01_bigram_likelihood parks x22_painless_normalizer.
+#            Registry 110 = window 50 + tail 60.
 #   round 9+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1310,6 +1311,9 @@ _ROTATION_TAIL = [
     # re-parked mid-round-8 (four-green) to fund the window slot for the
     # new w05_cohort_retention entry:
     "x21_runtime_fields",
+    # re-parked mid-round-8 (four-green) to fund the window slot for the
+    # new lm01_bigram_likelihood entry:
+    "x22_painless_normalizer",
 ]
 
 

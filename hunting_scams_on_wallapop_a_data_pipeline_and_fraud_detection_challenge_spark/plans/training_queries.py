@@ -8455,3 +8455,101 @@ def w05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         (_r(ratio, 4) + F.lit(0.0)).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lm01: bigram-LM fluency scoring — perplexity-style filtering, log-free
+# ---------------------------------------------------------------------------
+
+
+def _lm01_sql() -> str:
+    return f"""
+    WITH b0 AS (SELECT doc_id, {sql_ngrams(sql_tokens("text"), 2)} AS bg
+                FROM documents),
+    e0 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(bg)+1),
+                         i -> {{'pos': i, 'b': bg[i]}}),
+                         recursive := true)
+           FROM b0 WHERE len(bg) > 0),
+    e AS (SELECT doc_id, pos, b, split_part(b, ' ', 1) AS t FROM e0),
+    bi AS (SELECT b, count(*) AS c2 FROM e GROUP BY b),
+    uni AS (SELECT split_part(b, ' ', 1) AS t,
+                   CAST(sum(c2) AS BIGINT) AS c1
+            FROM bi GROUP BY 1),
+    s AS (SELECT e.doc_id, e.pos, CAST(bi.c2 AS DOUBLE) / uni.c1 AS p
+          FROM e JOIN bi USING (b) JOIN uni USING (t)),
+    g AS (SELECT doc_id, count(*) AS n_bigrams, min(p) AS pmin,
+                 list(p ORDER BY pos) AS ps
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           round(({_sql_fold_sum("ps")} / n_bigrams) + 1e-9, 6) + 0.0
+               AS avg_condprob,
+           round(pmin + 1e-9, 6) + 0.0 AS min_condprob
+    FROM g
+    """
+
+
+@query("lm01_bigram_likelihood", oracle=_lm01_sql, ops=("TXT-LM-SCORE",))
+def lm01_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency scoring — the
+    perplexity-filtering pass (CCNet-style) expressed log-free so the
+    oracle can hash-verify it: per document, the mean and minimum of
+    the conditional probabilities p(t_i | t_{i-1}) = c(bigram) /
+    c(prefix-as-bigram-head) under the corpus's own bigram statistics.
+    Low mean = disfluent / word-salad text; a tiny minimum flags one
+    wildly improbable transition (the splice point of stitched spam).
+    libm log()/exp() never appear (not correctly rounded — the
+    standing oracle-math rule): each p is one IEEE division of BIGINT
+    counts and the mean is a POSITION-PINNED left fold (array_sort by
+    bigram position, then F.aggregate ≡ DuckDB list(p ORDER BY pos) +
+    list_reduce) divided once by the count — bit-identical across
+    engines, where a shuffled SUM() of doubles would not be. The model
+    is self-trained (the doc's own bigrams are in the counts), so
+    every p > 0 and no smoothing constant is needed.
+
+    Scale shape (100 TB): the bigram and prefix dictionaries collapse
+    map-side to vocabulary-bounded tables (the tk01 move — the prefix
+    table derives from the BIGRAM dictionary, never a second corpus
+    pass); the corpus-sized bigram stream joins them by key (AQE
+    broadcasts a dictionary that fits — real LM vocabularies do), and
+    the per-doc reassembly is the one unavoidable doc_id shuffle,
+    carrying (pos, p) pairs. No log-domain driver math, no UDFs,
+    whole-stage codegen throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.select(
+        "doc_id", ngrams(tokens(F.col("text")), 2).alias("bg")
+    ).filter(F.size("bg") > 0)
+    e = b0.select(
+        "doc_id", F.posexplode("bg").alias("pos", "b")
+    ).withColumn("t", F.substring_index("b", " ", 1))
+    bi = e.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        bi.select(F.substring_index("b", " ", 1).alias("t"), "c2")
+        .groupBy("t")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    s = (
+        e.join(bi, "b")
+        .join(uni, "t")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("c2").cast("double") / F.col("c1")).alias("p"),
+        )
+    )
+    g = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.min("p").alias("pmin"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("p")))
+        ).alias("ps"),
+    )
+    fold = _fold_sum(F.transform(F.col("ps"), lambda st: st["p"]))
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        (_r(fold / F.col("n_bigrams"), 6) + F.lit(0.0)).alias(
+            "avg_condprob"
+        ),
+        (_r(F.col("pmin"), 6) + F.lit(0.0)).alias("min_condprob"),
+    )

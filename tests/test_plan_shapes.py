@@ -749,3 +749,17 @@ def test_w05_single_user_shuffle_and_scan(spark, sf_dir):
     assert "Exchange hashpartitioning(user_id" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lm01_dictionaries_collapse_before_the_joins(spark, sf_dir):
+    """Bigram-LM scoring's scale contract: the bigram dictionary is a
+    map-side-partial-collapsed aggregate (vocabulary-bounded shuffle),
+    the prefix dictionary derives from the BIGRAM dictionary (no second
+    corpus aggregate over raw tokens), the dictionary joins never
+    degenerate to nested loops, and no Python UDF appears anywhere —
+    the fold is F.aggregate inside codegen."""
+    plan = _plan(spark, sf_dir, "lm01_bigram_likelihood")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

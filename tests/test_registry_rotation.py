@@ -29,6 +29,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "tp03_triplet_assembly",
     "dd13_winnow_pairs",
     "w05_cohort_retention",
+    "lm01_bigram_likelihood",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
@@ -80,7 +81,7 @@ BACK_IN_WINDOW = {
     "x15_risk_assembly",
     # x18 re-parked mid-round to fund dd13's slot; x21 for w05's
     "x22_factor_normalize",
-    "x22_painless_normalizer",
+    # x22_painless_normalizer re-parked mid-round to fund lm01's slot
     # double-greens needing thirds:
     "st01_windowed_frequency",
     "nn08_recall_gate",
