@@ -1221,9 +1221,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            a15_mixture_rollup / tp03_triplet_assembly park
 #            txt03_fingerprint / k45_best_component,
 #            dd13_winnow_pairs parks x18_badge_scan,
-#            w05_cohort_retention parks x21_runtime_fields, and
-#            lm01_bigram_likelihood parks x22_painless_normalizer.
-#            Registry 110 = window 50 + tail 60.
+#            w05_cohort_retention parks x21_runtime_fields,
+#            lm01_bigram_likelihood parks x22_painless_normalizer, and
+#            a16_event_type_pivot parks f06_condition_normalize.
+#            Registry 111 = window 50 + tail 61.
 #   round 9+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1314,6 +1315,9 @@ _ROTATION_TAIL = [
     # re-parked mid-round-8 (four-green) to fund the window slot for the
     # new lm01_bigram_likelihood entry:
     "x22_painless_normalizer",
+    # re-parked mid-round-8 (four-green) to fund the window slot for the
+    # new a16_event_type_pivot entry:
+    "f06_condition_normalize",
 ]
 
 

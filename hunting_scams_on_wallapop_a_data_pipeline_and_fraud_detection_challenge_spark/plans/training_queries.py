@@ -8553,3 +8553,59 @@ def lm01_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (_r(F.col("pmin"), 6) + F.lit(0.0)).alias("min_condprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a16: per-user event-type pivot — wide activity profile in one pass
+# ---------------------------------------------------------------------------
+#: pinned pivot columns: passing explicit values to .pivot() skips the
+#: extra distinct-values JOB Spark otherwise runs before planning, and
+#: makes the output schema stable for the driver's hash gate
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "a16_event_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+               f" AS n_{t}" for t in _EVENT_TYPES
+           )},
+           count(*) AS n_total
+    FROM events GROUP BY user_id
+    """,
+    ops=("AGG-PIVOT",),
+)
+def a16_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile as a PIVOT: one wide row per user with
+    a count column per event type plus the total — the feature-table
+    shape a fraud model consumes directly (long→wide is the last step
+    of most behavioral feature pipelines). The oracle expresses the
+    same pivot relationally (FILTER'd counts), so every cell
+    hash-matches.
+
+    Scale shape (100 TB): the pivot values are PINNED
+    (``_EVENT_TYPES``), so Spark skips the distinct-values pre-job it
+    runs for an open pivot and plans ONE hash aggregate keyed on
+    user_id with map-side partial pivot counts — a single shuffle
+    carrying one wide row per (partition, user), no join, no second
+    pass. An unpinned ``.pivot(col)`` at 100 TB is two corpus scans
+    and a driver-side collect of the value set; never ship that."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    total = reduce(
+        add, [F.coalesce(F.col(t), F.lit(0)) for t in _EVENT_TYPES]
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        total.cast("bigint").alias("n_total"),
+    )

@@ -763,3 +763,16 @@ def test_lm01_dictionaries_collapse_before_the_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a16_pinned_pivot_is_one_aggregate(spark, sf_dir):
+    """The pivot's scale contract: pinned values mean NO distinct-values
+    pre-job — the plan is one scan into one user_id-keyed hash
+    aggregate with map-side partial pivot counts; no joins, no
+    windows, no second pass."""
+    plan = _plan(spark, sf_dir, "a16_event_type_pivot")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_pivotfirst" in plan.lower(), plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "Window"):
+        assert j not in plan, plan

@@ -30,6 +30,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "dd13_winnow_pairs",
     "w05_cohort_retention",
     "lm01_bigram_likelihood",
+    "a16_event_type_pivot",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r07 — the 20
@@ -69,7 +70,7 @@ BACK_IN_WINDOW = {
     # comment in plans/queries.py)
     "a04_stats_export",
     "dd05_embedding_neardup",
-    "f06_condition_normalize",
+    # f06 re-parked mid-round to fund a16's slot
     "f07_keyword_filter",
     "f08_gated_enrichment",
     "f09_nested_json_projection",
