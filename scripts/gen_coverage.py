@@ -35,6 +35,7 @@ MANUAL = {
     "ST5": "`streaming/alerts.py:format_alerts` — tests/test_streaming_alerts.py (subject/body asserted)",
     "ST6": "`streaming/alerts.py:deduped_alerts` (watermarked dedupe) + `realert_suppressed` (faithful ElastAlert realert via applyInPandasWithState, checkpoint-restored state) — tests/test_streaming_alerts.py",
     "ST7": "checkpointLocation resume — tests/test_streaming_alerts.py (second run, no re-fire)",
+    "ST8": "`streaming/sessions.py:sessionized_counts` (native session_window + watermark; cross-restart session merge, exactly-once append emission) — tests/test_streaming_sessions.py",
 }
 
 ORDER = (
@@ -46,7 +47,7 @@ ORDER = (
     + [f"K{i}" for i in range(1, 7)]
     + [f"U{i}" for i in range(1, 4)]
     + [f"X{i}" for i in range(1, 24)]
-    + [f"ST{i}" for i in range(1, 8)]
+    + [f"ST{i}" for i in range(1, 9)]
     + ["UD1", "UD2", "UD3"]
 )
 
