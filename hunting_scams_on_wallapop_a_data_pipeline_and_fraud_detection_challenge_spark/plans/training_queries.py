@@ -8292,6 +8292,15 @@ def tp03_triplet_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WN_K = 4  # token k-gram size hashed into the winnow stream
 _WN_W = 4  # winnow window: one fingerprint kept (the min) per window
 _WN_MIN_SHARED = 2  # pairs reported at >= this many shared fingerprints
+#: stop-list threshold: a fingerprint present in MORE than this many
+#: documents is boilerplate (licence headers, navigation chrome) and
+#: carries no pair-discriminative signal — MOSS drops these too. It is
+#: ALSO the scale guarantee: bucket occupancy is capped at _WN_MAX_DF,
+#: so the within-bucket quadratic is a bounded constant per bucket and
+#: the whole plan stays linear in corpus size (measured by
+#: scripts/scale_smoke.py, whose K-copies corpus would otherwise grow
+#: every shared-prefix bucket K-fold).
+_WN_MAX_DF = 32
 
 
 def _dd13_sql() -> str:
@@ -8308,9 +8317,13 @@ def _dd13_sql() -> str:
                        AS fp
             FROM hv),
     e AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+    hot AS (SELECT fp FROM e GROUP BY fp
+            HAVING count(*) > {_WN_MAX_DF}),
+    e2 AS (SELECT * FROM e
+           WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = e.fp)),
     p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  count(*) AS n_shared
-          FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
     SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= {_WN_MIN_SHARED}
     """
@@ -8338,12 +8351,19 @@ def dd13_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc BEFORE the explode, and the only quadratic step is confined
     to same-fingerprint buckets (the dd02 banding argument — a
     fingerprint is a 4-window's min hash, so buckets group documents
-    sharing a specific local run, not a global property); the pair
-    aggregate is map-side combinable. Winnowing keeps ~2/(w+1) of the
-    k-gram stream, so the exploded table is ~2.5x smaller than ct01's
-    full shingle explode. NOTE: winnowing is ORDER-SENSITIVE, so the
-    k-gram stream is :func:`ngrams` (positional, with multiplicity) —
-    :func:`shingles`'s distinct-set form would scramble the windows."""
+    sharing a specific local run, not a global property). Bucket
+    occupancy is HARD-CAPPED by the ``_WN_MAX_DF`` stop list: a
+    fingerprint in more than 32 documents is boilerplate (licence
+    text, navigation chrome — MOSS drops these for the same reason)
+    and is anti-joined out as a broadcast-sized hot list BEFORE the
+    pair join, so per-bucket pair work is a bounded constant and the
+    plan is linear in corpus size (gated in scripts/scale_smoke.py).
+    The pair aggregate is map-side combinable. Winnowing keeps
+    ~2/(w+1) of the k-gram stream, so the exploded table is ~2.5x
+    smaller than ct01's full shingle explode. NOTE: winnowing is
+    ORDER-SENSITIVE, so the k-gram stream is :func:`ngrams`
+    (positional, with multiplicity) — :func:`shingles`'s distinct-set
+    form would scramble the windows."""
     docs = _t(spark, sf_dir, "documents")
     grams = ngrams(tokens(F.col("text")), _WN_K)
     hview = F.transform(grams, lambda s: hmod(s))
@@ -8366,10 +8386,17 @@ def dd13_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("fp"),
+    ).localCheckpoint(eager=False)
+    hot = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _WN_MAX_DF)
+        .select("fp")
     )
+    e2 = e.join(F.broadcast(hot), "fp", "left_anti")
     return (
-        e.alias("a")
-        .join(e.alias("b"), "fp")
+        e2.alias("a")
+        .join(e2.alias("b"), "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("a_id"),

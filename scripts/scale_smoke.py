@@ -74,6 +74,20 @@ OPS = [
     # (baskets don't grow with corpus size), so pair volume — and the
     # whole plan — scales with the fact table
     "co01_supplier_cooccurrence",
+    # round-8 additions. incremental pipeline: one doc_id-keyed diff +
+    # the bloom/eval broadcasts — scan-dominated. BPE mining: the
+    # corpus collapses to the word dictionary first, so added corpus
+    # volume only grows the map-side partials. mixture rollup: one
+    # Expand aggregate. winnowing: fingerprints are computed in the
+    # scan projection and the pair join is bucket-confined — linear
+    # while bucket occupancy stays bounded (the near-dup perturbation
+    # keeps fingerprint buckets copy-sized, the dd02 argument). LM
+    # scoring: two dictionary joins + one doc_id reassembly shuffle.
+    "cp03_incremental_pipeline",
+    "tk01_bpe_merge_mining",
+    "a15_mixture_rollup",
+    "dd13_winnow_pairs",
+    "lm01_bigram_likelihood",
 ]
 
 
@@ -256,7 +270,23 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
         ).parquet(f"{out_dir}/{t}.parquet")
 
 
+def _release_blocks(spark) -> None:
+    """Between-op hygiene: drop the previous op's cached/checkpointed
+    blocks so its memory footprint cannot tax the NEXT op's timing.
+    Ops that localCheckpoint(eager=False) leave materialized RDD blocks
+    in the BlockManager until the Python references are GC'd and the
+    ContextCleaner runs — on the x20 corpus those blocks are large
+    enough to distort later measurements (dd05's x20 leg measured 65 s
+    in a lean session vs 147 s after the round-8 ops ran first)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def time_op(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    _release_blocks(spark)
     t0 = time.monotonic()
     rows = REGISTRY[name].fn(spark, sf_dir).count()
     return time.monotonic() - t0, rows
@@ -365,9 +395,11 @@ def main() -> None:
     bounds = {name: 2 * k for name in OPS}
     for label, fn, bound in EMB_OPS:
         bounds[label] = round(bound(k), 1)
+        _release_blocks(spark)
         t0 = time.monotonic()
         base_rows = fn(spark, BASE, 1).count()
         base_s = time.monotonic() - t0
+        _release_blocks(spark)
         t0 = time.monotonic()
         big_rows = fn(spark, out_dir, k).count()
         big_s = time.monotonic() - t0

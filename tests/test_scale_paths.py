@@ -689,3 +689,47 @@ def test_dd11_arrow_path_matches_sql_path(spark, sf_dir):
             ).collect()
         }
         assert sql_rows == arrow_rows, f"dd11 twin diverged at {kw or 'default'}"
+
+
+def test_dd13_stoplist_drops_boilerplate_buckets(spark, tmp_path):
+    """The winnow stop list's two contracts on a synthetic corpus:
+
+    - 40 documents sharing identical boilerplate produce NO pairs —
+      every fingerprint they share has df=40 > _WN_MAX_DF, so the hot
+      list removes the whole bucket (at the correctness SFs no
+      fingerprint crosses the cap, so this is the test that actually
+      exercises the filter);
+    - a rare two-document overlap (df=2) still pairs, with the full
+      shared-fingerprint count — the stop list only removes
+      non-discriminative buckets, never signal."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd13_winnow_pairs,
+    )
+
+    boiler = (
+        "common header one two three four five six seven eight nine "
+        "ten eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        "eighteen nineteen twenty site footer terms conditions apply"
+    )
+    rare = (
+        "rare alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega aleph bet gimel dalet he vav zayin het tet yod"
+    )
+    rows = [Row(doc_id=i, text=boiler) for i in range(40)]
+    rows += [Row(doc_id=100, text=rare), Row(doc_id=101, text=rare)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    pairs = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in dd13_winnow_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (100, 101) in pairs, pairs
+    assert pairs[(100, 101)] >= 2
+    assert all(a == 100 for (a, b) in pairs), (
+        f"boilerplate bucket leaked pairs: {sorted(pairs)[:5]}"
+    )
