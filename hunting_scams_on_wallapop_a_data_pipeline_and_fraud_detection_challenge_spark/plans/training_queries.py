@@ -7888,10 +7888,11 @@ def cp03_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the ONLY corpus-sized shuffle is cdc01's one
     full-outer diff on the snapshot key (bucketed snapshots make it a
     co-located merge). The historical side is read once and collapses
-    map-side to ≤ 4,096 (word, bits) rows (bit_or partial
-    aggregation) plus the eval slice's distinct hashes — benchmark-
-    sized by definition; both return as broadcasts, so the delta-sized
-    probe never joins corpus-sized data. dd12's exact-verification
+    map-side to ≤ 4,096 (word, bits) rows (bit_or partial aggregation,
+    broadcast — hard-capped, so the hint is safe) plus the eval
+    slice's distinct hashes — benchmark-sized in practice but joined
+    UNHINTED on the int64 hash (the tp01 lesson: AQE broadcasts from
+    the measured post-distinct size). dd12's exact-verification
     join is deliberately ABSENT here: this is the production path the
     dd12 driver row certifies (its no-false-negatives gate re-proves
     the one-sided error every round), so the delta is gated by the
@@ -8001,8 +8002,11 @@ def cp03_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     persh = hitbits.groupBy("doc_id", "change_type", "h").agg(
         F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit")
     )
+    # the eval slice is benchmark-sized in practice but corpus-derived
+    # here — no broadcast hint (the tp01 lesson): AQE elects broadcast
+    # from the MEASURED post-distinct size when it fits
     flagged = persh.join(
-        F.broadcast(ev.withColumn("eval_hit", F.lit(1))), "h", "left"
+        ev.withColumn("eval_hit", F.lit(1)), "h", "left"
     ).select(
         "doc_id",
         "change_type",
@@ -8355,9 +8359,10 @@ def dd13_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy is HARD-CAPPED by the ``_WN_MAX_DF`` stop list: a
     fingerprint in more than 32 documents is boilerplate (licence
     text, navigation chrome — MOSS drops these for the same reason)
-    and is anti-joined out as a broadcast-sized hot list BEFORE the
-    pair join, so per-bucket pair work is a bounded constant and the
-    plan is linear in corpus size (gated in scripts/scale_smoke.py).
+    and is anti-joined out BEFORE the pair join (unhinted, on the same
+    int64 fp key — AQE broadcasts the hot list when its measured size
+    fits), so per-bucket pair work is a bounded constant and the plan
+    is linear in corpus size (gated in scripts/scale_smoke.py).
     The pair aggregate is map-side combinable. Winnowing keeps
     ~2/(w+1) of the k-gram stream, so the exploded table is ~2.5x
     smaller than ct01's full shingle explode. NOTE: winnowing is
@@ -8393,7 +8398,11 @@ def dd13_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > _WN_MAX_DF)
         .select("fp")
     )
-    e2 = e.join(F.broadcast(hot), "fp", "left_anti")
+    # the hot list is tiny on real corpora but not bounded a priori —
+    # no broadcast hint (the tp01 lesson); the anti-join shuffles on
+    # the same int64 fp key the pair join uses, and AQE downgrades it
+    # to broadcast when the measured hot list is actually small
+    e2 = e.join(hot, "fp", "left_anti")
     return (
         e2.alias("a")
         .join(e2.alias("b"), "fp")

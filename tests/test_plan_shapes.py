@@ -649,13 +649,15 @@ def test_ivf_retrieval_legs_probe_instead_of_scan(spark, sf_dir):
 
 def test_cp03_history_feeds_only_the_bloom(spark, sf_dir):
     """The incremental pipeline's scale contract (VERDICT r07 item 5):
-    the historical corpus is read only to build broadcast-sized state —
-    the ≤4,096-word bloom (map-side partial bit_or before its exchange)
-    and the eval slice's distinct hashes — so the delta-sized probe
-    joins are all BroadcastHashJoins; the ONLY join allowed to shuffle
-    corpus-sized data is the snapshot diff keyed on doc_id (Catalyst
-    narrows the full-outer to an outer join under the incoming filter).
-    No shingle-keyed corpus-vs-delta sort-merge join may ever appear."""
+    the historical corpus is read only to build collapsed state — the
+    ≤4,096-word bloom (map-side partial bit_or, broadcast: hard-capped
+    so the hint is safe) and the eval slice's DISTINCT hashes (joined
+    unhinted on the int64 h — AQE may broadcast or sort-merge from
+    measured sizes). The only joins allowed to shuffle are keyed on
+    doc_id (the snapshot diff; Catalyst narrows the full-outer to an
+    outer join under the incoming filter) or on the int64 hash h (the
+    eval exclusion) — never on raw shingle strings, and nothing may
+    degenerate to a nested loop."""
     df = REGISTRY["cp03_incremental_pipeline"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
@@ -663,8 +665,9 @@ def test_cp03_history_feeds_only_the_bloom(spark, sf_dir):
     for line in plan.splitlines():
         s = line.lstrip(" +-:*")
         if s.startswith("SortMergeJoin"):
-            assert "doc_id#" in s.split("]")[0], (
-                f"corpus-sized non-doc_id sort-merge join in cp03: {s}"
+            keys = s.split("]")[0]
+            assert "doc_id#" in keys or "h#" in keys, (
+                f"string-keyed sort-merge join in cp03: {s}"
             )
     # the bloom build's shuffled state is word-bounded: partial bit_or
     agg_lines = [
