@@ -1209,7 +1209,7 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            (or fifth) non-vacuous rows in r07 plus nn02/dd06 (five
 #            greens) and a01c. The 19 mid/late-r07-parked four-greens
 #            (a04, dd05, f06-f09, j01, j03, k01, k45, mm01, txt02,
-#            txt03, f07, x02, x15, x18, x21, both x22s) rotate back in
+#            txt03, x02, x15, x18, x21, both x22s) rotate back in
 #            for fifth rows; all 20 r07 arrivals (single-green) stay
 #            in-window for second rows; st01/nn08/ds09 (double-green)
 #            stay in for thirds; the 8 r05/r06-era three-greens (cp02,

@@ -4069,10 +4069,12 @@ def dd09_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the explode collapses map-side into
     (doc_id, span) presence before the distinct shuffle; the
     document-frequency table shrinks to the boilerplate dictionary
-    (df >= threshold — vocabulary-sized, like txt06's rarity
-    dictionary) which broadcasts back onto the span stream, so the
-    corpus text never shuffles — one distinct + one dictionary agg +
-    one broadcast-join agg. Integer-first: both counts aggregate as
+    (df >= threshold) which joins back onto the span stream UNHINTED —
+    a boilerplate dictionary is plausibly sublinear but has no hard
+    cap (unlike txt07's top-K vocab), so AQE elects broadcast vs
+    shuffle from its measured size (plan-pinned in
+    tests/test_plan_shapes.py) — one distinct + one dictionary agg +
+    one dictionary-join agg. Integer-first: both counts aggregate as
     BIGINT, the one division happens per doc at the end."""
     from ..functions.textstats import ngrams
 
@@ -4092,7 +4094,7 @@ def dd09_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     boiler = df.filter(F.col("df") >= _SPAN_DF).select("g", F.lit(1).alias("hit"))
     return (
-        spans.join(F.broadcast(boiler), "g", "left")
+        spans.join(boiler, "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
@@ -4497,8 +4499,12 @@ def dd10_semantic_dedup(
     over the centroid literal per row, nn06's normalized space); the
     within-cell self-join is the only shuffle, bounded by cell
     occupancy; the dup-id set collapses distinct map-side and comes
-    back as a broadcast-sized left join. The seeded fit replays in the
-    oracle, so every keep/drop verdict is hash-verified.
+    back as an UNHINTED left join keyed on vec_id — the dup set is
+    dup-rate-sized (billions of rows at a realistic 10-30% dup rate
+    on 100 TB), so no broadcast hint: AQE elects the strategy from
+    measured sizes (plan-pinned in tests/test_plan_shapes.py). The
+    seeded fit replays in the oracle, so every keep/drop verdict is
+    hash-verified.
 
     Cost law (measured, scripts/scale_smoke.py K=20): assignment costs
     rows*cells, the cell join costs rows*occupancy = rows^2/cells —
@@ -4553,7 +4559,7 @@ def dd10_semantic_dedup(
         .distinct()
         .select("vec_id", F.lit(True).alias("is_dup"))
     )
-    return assigned.join(F.broadcast(dups), "vec_id", "left").select(
+    return assigned.join(dups, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.col("is_dup").isNull().alias("keep"),
@@ -4822,9 +4828,12 @@ def dd11_hierarchical_semdedup(
     (coarse fold bound once, then member-filtered fine folds — the
     filter compares ints per fine cell; only members pay a dim-length
     fold), the within-fine-cell self-join is the only shuffle, and the
-    dup-id set comes back as a broadcast-sized left join. Both fit
-    levels replay in the oracle (constants shared verbatim), so every
-    keep/drop verdict is hash-verified.
+    dup-id set comes back as an UNHINTED left join keyed on vec_id —
+    dup-rate-sized like dd10's, so no broadcast hint (AQE elects the
+    strategy from measured sizes; plan-pinned in
+    tests/test_plan_shapes.py). Both fit levels replay in the oracle
+    (constants shared verbatim), so every keep/drop verdict is
+    hash-verified.
 
     ``impl="arrow"`` cuts the constant of both n^(4/3) terms (same law,
     same verdicts — the family twin architecture): per Arrow batch, one
@@ -4909,7 +4918,7 @@ def dd11_hierarchical_semdedup(
         .distinct()
         .select("vec_id", F.lit(True).alias("is_dup"))
     )
-    return assigned.join(F.broadcast(dups), "vec_id", "left").select(
+    return assigned.join(dups, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.col("is_dup").isNull().alias("keep"),
@@ -5116,8 +5125,12 @@ def ct03_semantic_contamination(
     self-join (cells ~ sqrt(n) keeps it at the documented n^1.5; the
     dd11 coarse->fine assignment applies unchanged if the corpus
     outgrows that); the contaminated-id set collapses distinct map-side
-    and returns as a broadcast-sized left join. Every verdict row is
-    hash-verified against the replayed-fit oracle."""
+    and returns as an UNHINTED left join keyed on vec_id — the hit set
+    is contamination-rate-sized with no a-priori bound (and the
+    benchmark here is a corpus slice), so no broadcast hint: AQE elects
+    the strategy from measured sizes (plan-pinned in
+    tests/test_plan_shapes.py). Every verdict row is hash-verified
+    against the replayed-fit oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _fit_centroids(
         [list(r) for r in _normalized_sample_matrix(_train_vecs(spark, sf_dir))],
@@ -5154,7 +5167,7 @@ def ct03_semantic_contamination(
         .distinct()
         .select("vec_id", F.lit(True).alias("hit"))
     )
-    return corp.join(F.broadcast(hits), "vec_id", "left").select(
+    return corp.join(hits, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.col("hit").isNotNull().alias("contaminated"),
@@ -6527,10 +6540,15 @@ def dd12_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the build side collapses to at most 4,096
     (word, bits) rows via map-side partial ``bit_or`` — the shuffle
     moves kilobytes regardless of corpus size, and the probe join
-    broadcasts the word table. The exact-verification join is the only
-    corpus-sized shuffle and exists to VERIFY the filter; a production
-    delta-ingest run keeps just the bloom (broadcast, ~32 KB here,
-    a few GB for a trillion-shingle corpus split across executors)."""
+    broadcasts the word table (the ONLY hint: hard-capped at 4,096
+    rows, so it is safe a priori). The exact-verification join is the
+    only corpus-sized shuffle and exists to VERIFY the filter — the
+    historical distinct-hash set is corpus-sized, so that join is
+    UNHINTED and keyed on the int64 h (AQE elects the strategy from
+    measured sizes, exactly like cp03's eval join; plan-pinned in
+    tests/test_plan_shapes.py). A production delta-ingest run keeps
+    just the bloom (broadcast, ~32 KB here, a few GB for a
+    trillion-shingle corpus split across executors)."""
     docs = _t(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -6585,7 +6603,7 @@ def dd12_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit")
     )
     flagged = persh.join(
-        F.broadcast(exh.withColumn("exact_hit", F.lit(1))), "h", "left"
+        exh.withColumn("exact_hit", F.lit(1)), "h", "left"
     ).select(
         "doc_id",
         "bloom_hit",
@@ -8608,7 +8626,10 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
                f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
                f" AS n_{t}" for t in _EVENT_TYPES
            )},
-           count(*) AS n_total
+           CAST({" + ".join(
+               f"count(*) FILTER (WHERE event_type = '{t}')"
+               for t in _EVENT_TYPES
+           )} AS BIGINT) AS n_total
     FROM events GROUP BY user_id
     """,
     ops=("AGG-PIVOT",),
@@ -8618,8 +8639,10 @@ def a16_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     a count column per event type plus the total — the feature-table
     shape a fraud model consumes directly (long→wide is the last step
     of most behavioral feature pipelines). The oracle expresses the
-    same pivot relationally (FILTER'd counts), so every cell
-    hash-matches.
+    same pivot relationally (FILTER'd counts); n_total is the SUM of
+    the five pinned FILTER'd counts on BOTH sides — pivot semantics,
+    not count(*) — so an event_type outside ``_EVENT_TYPES`` in future
+    data cannot silently diverge the hash (ADVICE r08).
 
     Scale shape (100 TB): the pivot values are PINNED
     (``_EVENT_TYPES``), so Spark skips the distinct-values pre-job it

@@ -277,11 +277,25 @@ def _release_blocks(spark) -> None:
     in the BlockManager until the Python references are GC'd and the
     ContextCleaner runs — on the x20 corpus those blocks are large
     enough to distort later measurements (dd05's x20 leg measured 65 s
-    in a lean session vs 147 s after the round-8 ops ran first)."""
+    in a lean session vs 147 s after the round-8 ops ran first).
+
+    gc alone is NOT enough (ADVICE r08): the ContextCleaner processes
+    its reference queue asynchronously, so blocks can outlive both gc
+    calls. The fix is explicit: every persistent RDD still registered
+    with the context — localCheckpoint blocks included; no prior op's
+    DataFrame is ever reused across ops, so dropping them is safe —
+    gets a BLOCKING unpersist, which returns only after the
+    BlockManager has removed the blocks. Methodology note: blocking
+    unpersist (r09) makes per-op timings independent of cleaner
+    latency; rounds ≤ r07 had neither this nor the gc pass, so their
+    stored x20 numbers for checkpoint-heavy ops read up to ~40% high
+    under cross-op pressure (the dd05 case above)."""
     import gc
 
     spark.catalog.clearCache()
     gc.collect()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(True)
     spark.sparkContext._jvm.System.gc()
 
 

@@ -283,13 +283,18 @@ def test_ds06_distributed_prefix_sum_shape(spark, sf_dir):
             )
 
 
-def test_dd09_dictionary_broadcasts_spans_never_sortmerge(spark, sf_dir):
-    """dd09's boilerplate dictionary (df >= threshold — vocabulary-
-    sized) must come back onto the span stream as a broadcast join; a
-    SortMergeJoin here would shuffle every span of the corpus."""
-    plan = _plan(spark, sf_dir, "dd09_boilerplate_spans")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_dd09_dictionary_join_is_not_hint_forced(spark, sf_dir):
+    """dd09's boilerplate dictionary (df >= threshold) is plausibly
+    sublinear but has NO hard cap (unlike txt07's top-K vocab), so its
+    probe join must carry no broadcast hint — AQE elects broadcast vs
+    shuffle from the dictionary's measured size (VERDICT r08 watch
+    item). The join stays a keyed equi-join either way."""
+    df = REGISTRY["dd09_boilerplate_spans"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_txt07_vocab_is_topk_and_broadcast(spark, sf_dir):
@@ -335,19 +340,23 @@ def test_ds09_weighted_sample_is_shuffle_free(spark, sf_dir):
 def test_nn08_recall_gate_joins_broadcast_the_exact_set(spark, sf_dir):
     """The recall gate's hit-counting joins probe the bounded exact /
     brute-force sets as broadcasts. The ONLY sort-merge joins allowed
-    in the composed plan ride in via the retrieval-leg contract rows:
-    tp02's deliberately-unhinted (lo, hi) pair-set anti-joins (the
-    VERDICT r07 de-broadcast fix) and rk01's depth-bounded (q_id, id)
-    rank-fusion full-outers — any other SMJ means a hit-count join
-    lost its broadcast."""
+    in the composed plan ride in via the retrieval-leg contract rows
+    and the dedup-twin contract rows: tp02's deliberately-unhinted
+    (lo, hi) pair-set anti-joins (the VERDICT r07 de-broadcast fix),
+    rk01's depth-bounded (q_id, id) rank-fusion full-outers, and
+    dd10/dd11's deliberately-unhinted vec_id dup-verdict left joins
+    (the VERDICT r08 de-broadcast fix) — any other SMJ means a
+    hit-count join lost its broadcast."""
     plan = _plan(spark, sf_dir, "nn08_recall_gate")
     assert "BroadcastHashJoin" in plan
     for line in plan.splitlines():
         s = line.lstrip(" +-:*")
         if s.startswith("SortMergeJoin"):
             keys = s.split("]")[0]
-            ok = ("LeftAnti" in s and "lo#" in keys) or (
-                "FullOuter" in s and "q_id#" in keys
+            ok = (
+                ("LeftAnti" in s and "lo#" in keys)
+                or ("FullOuter" in s and "q_id#" in keys)
+                or ("LeftOuter" in s and "vec_id#" in keys)
             )
             assert ok, (
                 f"unexpected sort-merge join in nn08's composed plan: {s}"
@@ -360,10 +369,16 @@ def test_dd11_assignment_lives_in_the_scan_projection(spark, sf_dir):
     anywhere in the full plan; and the assignment STAGE (rebuilt
     pre-checkpoint, since the localCheckpoint hides its lineage from
     the final plan) is pure scan-projection work — zero exchanges, with
-    the embeddings scan pruned to (vec_id, embedding)."""
-    plan = _plan(spark, sf_dir, "dd11_hierarchical_semdedup")
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    the embeddings scan pruned to (vec_id, embedding). The dup-id
+    verdict join is dup-rate-sized, so it must carry NO broadcast hint
+    (VERDICT r08 item 1) — AQE elects the strategy from measured sizes;
+    the join stays a keyed equi-join either way."""
+    df = REGISTRY["dd11_hierarchical_semdedup"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
     from pyspark.sql import functions as F
 
@@ -507,10 +522,48 @@ def test_dd12_bloom_build_collapses_and_broadcasts(spark, sf_dir):
     map-side partial bit_or (the shuffle carries at most 4,096 partial
     words per partition no matter the corpus size) and the probe side
     joins the bloom by broadcast — the incoming corpus never sort-merge
-    joins the filter."""
-    plan = _plan(spark, sf_dir, "dd12_bloom_incremental")
+    joins the filter. The ONLY hint in the plan is that ≤4,096-word
+    bloom table (hard-capped, safe a priori); the exact-verification
+    join against the historical distinct-hash set is corpus-sized, so
+    it is UNHINTED and keyed on the int64 h — AQE elects its strategy
+    from measured sizes (VERDICT r08 item 1)."""
+    df = REGISTRY["dd12_bloom_incremental"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    plan = qe.executedPlan().toString()
     assert "partial_bit_or" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dd10_verdict_join_is_not_hint_forced(spark, sf_dir):
+    """SemDeDup's keep/drop verdict join probes the distinct dup-id
+    set, which is dup-rate-sized (billions of rows at a realistic
+    10-30% dup rate on 100 TB) — so it must carry NO broadcast hint
+    (VERDICT r08 item 1): AQE elects the strategy from measured sizes,
+    and the join stays a keyed equi-join either way."""
+    df = REGISTRY["dd10_semantic_dedup"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ct03_hit_join_is_not_hint_forced(spark, sf_dir):
+    """Semantic decontamination's verdict join probes the
+    contaminated-id set, which is contamination-rate-sized with no
+    a-priori bound (the benchmark here is a corpus slice) — so it must
+    carry NO broadcast hint (VERDICT r08 item 1): AQE elects the
+    strategy from measured sizes, and the join stays a keyed
+    equi-join either way."""
+    df = REGISTRY["ct03_semantic_contamination"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_sk01_cms_cells_are_partial_agg(spark, sf_dir):
