@@ -126,6 +126,13 @@ HEADLINE = [
     "w05_cohort_retention",
     "lm01_bigram_likelihood",
     "a16_event_type_pivot",
+    # round-9 additions: Lee-et-al duplicate-span emission, the
+    # 8-round BPE merge-sequence trainer, data-constrained epoch
+    # allocation, and the CLIP-shape image-text alignment score
+    "dd14_duplicate_spans",
+    "tk02_bpe_trainer",
+    "ds12_epoch_allocation",
+    "mm03_alignment_score",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

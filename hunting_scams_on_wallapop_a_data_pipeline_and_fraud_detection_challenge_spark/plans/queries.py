@@ -1225,7 +1225,22 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            lm01_bigram_likelihood parks x22_painless_normalizer, and
 #            a16_event_type_pivot parks f06_condition_normalize.
 #            Registry 111 = window 50 + tail 61.
-#   round 9+ rotate a different set of multi-greens back (use
+#   round 9  tail: the r08 tail plus four newly-parked five-greens. The
+#            8 r08 arrivals (cp03, tk01, a15, tp03, dd13, w05, lm01,
+#            a16 — single-green) stay in-window for second rows; the 20
+#            r07 arrivals (double-green) stay for thirds; st01/nn08/
+#            ds09 (triple-green after r08) stay for fourths; the 8
+#            r05/r06-era entries (cp02, dd09, dd10, ds08, nn06, nn07,
+#            txt07, ud2 — four-green after r08) stay in. New entries
+#            this round park rotated-back five-greens one-for-one:
+#            dd14_duplicate_spans (Lee-et-al span dedup) parks
+#            f07_keyword_filter, tk02_bpe_trainer (multi-round merge
+#            sequence) parks f08_gated_enrichment,
+#            ds12_epoch_allocation (data-constrained mixing) parks
+#            f09_nested_json_projection, and mm03_alignment_score
+#            (CLIP-filter shape) parks j01_fallback_stats_join.
+#            Registry 115 = window 50 + tail 65.
+#   round 10+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
 #
@@ -1318,6 +1333,13 @@ _ROTATION_TAIL = [
     # re-parked mid-round-8 (four-green) to fund the window slot for the
     # new a16_event_type_pivot entry:
     "f06_condition_normalize",
+    # parked round-9 (all five-green) to fund the window slots for the
+    # new dd14_duplicate_spans, tk02_bpe_trainer, ds12_epoch_allocation
+    # and mm03_alignment_score entries:
+    "f07_keyword_filter",
+    "f08_gated_enrichment",
+    "f09_nested_json_projection",
+    "j01_fallback_stats_join",
 ]
 
 

@@ -8668,3 +8668,509 @@ def a16_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         total.cast("bigint").alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd14: exact-substring span dedup — the duplicated-text-region emitter
+# ---------------------------------------------------------------------------
+#: positional k-gram size for span coverage (dd13's fingerprint k)
+_SP_K = 4
+#: minimum reported span length in TOKENS (n_grams + k - 1 >= this)
+_SP_MIN_TOK = 8
+
+
+def _dd14_sql() -> str:
+    return f"""
+    WITH t0 AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+    g AS (SELECT doc_id, {sql_ngrams("t", _SP_K)} AS sh FROM t0),
+    e AS (SELECT doc_id, pos, {sql_hmod("s")} AS h FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(sh) + 1),
+                            i -> {{'pos': i, 's': sh[i]}}),
+                            recursive := true)
+              FROM g WHERE len(sh) > 0)),
+    shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+               GROUP BY h HAVING count(*) >= 2),
+    c AS (SELECT e.doc_id, e.pos FROM e JOIN shared USING (h)),
+    r AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS grp
+          FROM c),
+    sp AS (SELECT doc_id, min(pos) AS span_start, count(*) AS n_grams
+           FROM r GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(n_grams + {_SP_K} - 1 AS BIGINT) AS span_len,
+           CAST(n_grams AS BIGINT) AS n_grams
+    FROM sp WHERE n_grams + {_SP_K} - 1 >= {_SP_MIN_TOK}
+    """
+
+
+@query("dd14_duplicate_spans", oracle=_dd14_sql, ops=("DEDUP-SPAN",))
+def dd14_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): emit the (doc_id,
+    span_start, span_len) token runs that appear VERBATIM in at least
+    one other document — the span boundaries a scrubber needs, which
+    dd13's pair detector stops short of. A position is covered when
+    its k-gram hash occurs in >= 2 distinct documents; maximal runs of
+    consecutive covered positions are the duplicated regions (the
+    k-gram-coverage surrogate for Lee et al.'s suffix-array spans: any
+    duplicated run of >= k tokens yields consecutive covered k-grams,
+    and the union of regions — merged across different partners — is
+    exactly what a scrubber removes). Spans shorter than
+    ``_SP_MIN_TOK`` tokens are noise and dropped, mirroring the
+    paper's 50-token floor scaled to the synthetic corpus.
+
+    Pure integer algebra (positional h32 k-gram hashes, BIGINT
+    positions/counts) — every span row hash-matches the oracle.
+    Spark ``posexplode`` is 0-based vs the oracle's 1-based
+    ``range``, so the Spark side pins pos+1 (the lm01 idiom).
+
+    Scale shape (100 TB): positional grams are computed per document
+    in the scan projection; the shared-hash dictionary collapses via
+    (doc_id, h) DISTINCT then a map-side-combinable count — never a
+    pairwise occurrence join (dd13 owns the WHO-matches-whom question;
+    dd14 answers WHERE, which needs only the df >= 2 verdict per
+    hash). The shared set is dup-rate-sized, so the coverage semi-join
+    is UNHINTED on the int64 h (AQE elects the strategy from measured
+    sizes — the r09 de-broadcast rule); the run detection is a per-doc
+    window (partitioned by doc_id, parallel across docs) over covered
+    positions only. Linear in corpus size (gated in
+    scripts/scale_smoke.py): no pair join exists for hot boilerplate
+    hashes to blow up."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", ngrams(tokens(F.col("text")), _SP_K).alias("sh")
+    ).filter(F.size("sh") > 0)
+    # the positional-hash stream feeds BOTH the shared-dictionary agg
+    # and the coverage join — materialize once (the dd09/dd13 pattern)
+    e = g.select(
+        "doc_id", F.posexplode("sh").alias("pos0", "s")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        hmod(F.col("s")).alias("h"),
+    ).localCheckpoint(eager=False)
+    shared = (
+        e.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    # dup-rate-sized shared set: unhinted semi-join on the int64 h
+    covered = e.join(shared, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = covered.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("n_grams") + _SP_K - 1).cast("bigint").alias("span_len"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+        )
+        .filter(F.col("span_len") >= _SP_MIN_TOK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tk02: multi-round BPE trainer — the ordered merge sequence
+# ---------------------------------------------------------------------------
+#: merge rounds trained (each round = one argmax merge applied corpus-wide)
+_TK2_ROUNDS = 8
+
+
+def _tk02_sql(rounds: int = _TK2_ROUNDS) -> str:
+    """Generated nested-CTE oracle: wd0 is the wrapped word dictionary;
+    each round r derives pair counts pc{r} from wd{r-1}, picks the
+    argmax merge m{r} (cnt desc, then (l, rgt) asc), and applies it
+    with one left-to-right non-overlapping string replace."""
+    parts = [
+        f"""tok AS (SELECT unnest({sql_tokens("text")}) AS w FROM documents),
+    wd0 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"wd{r - 1}"
+        parts.append(f"""pc{r} AS (
+        SELECT l, rgt, CAST(sum(c) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(sy)),
+                          i -> {{'l': sy[i], 'rgt': sy[i + 1]}}),
+                          recursive := true), c
+            FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+                                      '><') AS sy, c
+                  FROM {prev})
+            WHERE len(sy) >= 2
+        ) GROUP BY l, rgt),
+    m{r} AS (SELECT l, rgt, cnt FROM pc{r}
+             ORDER BY cnt DESC, l ASC, rgt ASC LIMIT 1),
+    wd{r} AS (SELECT replace(s, '<' || l || '><' || rgt || '>',
+                             '<' || l || rgt || '>') AS s, c
+              FROM {prev}, m{r})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, l AS left_sym,"
+        f" rgt AS right_sym, l || rgt AS merged, cnt FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + unions
+
+
+@query("tk02_bpe_trainer", oracle=_tk02_sql, ops=("TOKENIZE-TRAIN",))
+def tk02_bpe_trainer(
+    spark: SparkSession, sf_dir: str, *, rounds: int = _TK2_ROUNDS
+) -> DataFrame:
+    """Multi-round BPE trainer (Sennrich et al.): iterate tk01 — pick
+    the most frequent adjacent symbol pair, merge it EVERYWHERE in the
+    word dictionary, re-count, repeat — and emit the ordered merge
+    list (round, left/right symbol, merged symbol, count), i.e. the
+    actual artifact a tokenizer ships. The merge sequence is pure
+    BIGINT counting + lexicographic (l, r) tiebreak, so every row
+    hash-matches the generated nested-CTE oracle.
+
+    Segmentation rides a STRING encoding so no engine needs a fold:
+    each word is its symbols wrapped as ``<sym>`` (``<`` and ``>``
+    are outside the token alphabet, enforced by the ``^[a-z]+$``
+    dictionary filter), and applying merge (l, r) is ONE
+    left-to-right non-overlapping ``replace(s, '<l><r>', '<lr>')`` —
+    identical greedy semantics in Java and DuckDB, including the
+    overlapping-chain case l == r (``<a><a><a>`` -> ``<aa><a>``),
+    and the wrapping makes partial-symbol false matches impossible
+    (``<ba><b>`` never matches ``<a><b>``).
+
+    Scale shape (100 TB): the corpus collapses ONCE to the word
+    dictionary (map-side partial counts — the tk01 move); every
+    round's pair explode, pair aggregate, and merge application touch
+    ONLY the dictionary (vocab-sized, never the corpus), the per-round
+    argmax is a serial window over the symbol-pair table (alphabet²-
+    bounded), and the merge row joins back as a one-row bounded
+    broadcast (the ds11 one-row-dim pattern — safe a priori, unlike
+    the r09-removed corpus-sized hints). The dictionary is
+    lineage-cut per round (lazy localCheckpoint) because each round
+    references it twice — pair counts AND merge application — which
+    would otherwise double the plan refs per round (the dd06 rule).
+    Plan-pinned in tests/test_plan_shapes.py: ONE corpus scan total."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    wd = (
+        tok.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("s"), "c")
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for rnd in range(1, rounds + 1):
+        sy = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        # bind the computed symbol array once (the lambda rule), then
+        # emit adjacent (l, rgt) structs; the size >= 2 filter keeps
+        # sequence() ascending (the shingles guard)
+        prs = F.element_at(
+            F.transform(
+                F.array(sy),
+                lambda a: F.transform(
+                    F.sequence(F.lit(1), F.size(a) - 1),
+                    lambda i: F.struct(
+                        F.element_at(a, i).alias("l"),
+                        F.element_at(a, i + 1).alias("rgt"),
+                    ),
+                ),
+            ),
+            1,
+        )
+        pairs = (
+            wd.filter(F.size(sy) >= 2)
+            .select(F.explode(prs).alias("p"), "c")
+            .select(
+                F.col("p.l").alias("l"), F.col("p.rgt").alias("rgt"), "c"
+            )
+        )
+        pc = pairs.groupBy("l", "rgt").agg(F.sum("c").alias("cnt"))
+        wrank = Window.orderBy(F.desc("cnt"), F.asc("l"), F.asc("rgt"))
+        m = (
+            pc.withColumn("rk", F.row_number().over(wrank))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.lit(rnd).cast("bigint").alias("rnd"), "l", "rgt", "cnt"
+            )
+            .localCheckpoint(eager=False)
+        )
+        merges.append(m)
+        wd = (
+            wd.crossJoin(F.broadcast(m.select("l", "rgt")))
+            .select(
+                F.expr(
+                    "replace(s, '<' || l || '><' || rgt || '>',"
+                    " '<' || l || rgt || '>')"
+                ).alias("s"),
+                "c",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = reduce(DataFrame.unionByName, merges)
+    return out.select(
+        "rnd",
+        F.col("l").alias("left_sym"),
+        F.col("rgt").alias("right_sym"),
+        F.concat("l", "rgt").alias("merged"),
+        "cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds12: data-constrained epoch allocation — repeat sources under a budget
+# ---------------------------------------------------------------------------
+#: token budget as a multiple of the weighted sources' unique supply —
+#: proportional, so the allocation shape is SF-independent
+_DS12_MULT = 3
+#: hard epoch cap (Muennighoff et al. find ~4 epochs near-free, value
+#: decaying to ~0 by ~16; 8 is the conservative operational ceiling)
+_DS12_CAP = 8
+
+
+def _ds12_sql() -> str:
+    wsum = sum(_MIX_WEIGHTS.values())
+    return f"""
+    WITH sup AS (
+        SELECT source,
+               CAST(sum(len({sql_tokens("text")})) AS BIGINT) AS n_tok,
+               {_mix_weight_case("source")} AS w
+        FROM documents WHERE source IN ({_mix_sources_sql()})
+        GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_all FROM sup),
+    base AS (
+        SELECT source, n_tok,
+               ({_DS12_MULT} * n_all * w) // {wsum} AS target_tok
+        FROM sup, tot),
+    e AS (
+        SELECT source, n_tok, target_tok,
+               least(greatest((target_tok + n_tok - 1) // n_tok, 1),
+                     {_DS12_CAP}) AS epochs
+        FROM base),
+    f AS (
+        SELECT source, n_tok, target_tok, epochs,
+               2 * n_tok - (n_tok // (1 << CAST(epochs - 1 AS INT)))
+                   AS eff_tok
+        FROM e)
+    SELECT source, n_tok, target_tok,
+           CAST(epochs AS BIGINT) AS epochs,
+           CAST(eff_tok AS BIGINT) AS eff_tok,
+           round((CAST(eff_tok AS DOUBLE) / target_tok) + 1e-9, 6) + 0.0
+               AS utilization
+    FROM f
+    """
+
+
+@query("ds12_epoch_allocation", oracle=_ds12_sql, ops=("DS-EPOCH",))
+def ds12_epoch_allocation(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mult: int = _DS12_MULT,
+    cap: int = _DS12_CAP,
+) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): when the token budget
+    exceeds the unique supply, repeat each source for
+    ``ceil(target / supply)`` epochs (capped), and report the
+    EFFECTIVE token yield under a repetition discount — epoch e is
+    worth supply/2^(e-1), the power-of-two decay stand-in for the
+    paper's fitted value decay (libm ``pow`` is not correctly rounded
+    and never appears in oracle math; 2^k is exact shift arithmetic).
+    Targets come from ds05's mixture weights over a budget of
+    ``mult ×`` total weighted supply, so the allocation shape is
+    SF-independent: effective tokens = 2n - n//2^(e-1) (the truncating
+    BIGINT form of n·(2 - 2^(1-e))), utilization = one IEEE division.
+
+    Composes ds05's ``_MIX_WEIGHTS``/``_mix_weight_case`` constants;
+    the oracle is the same closed form, so every row hash-matches.
+
+    Scale shape (100 TB): ONE map-side-combinable aggregate collapses
+    the corpus to per-source token supplies (dimension-sized); the
+    budget total is a one-row aggregate joined back as a bounded
+    broadcast (safe a priori — the r09 hint rule allows only
+    hard-capped sides); everything after is per-source integer
+    arithmetic in the projection. The corpus never shuffles."""
+    if mult <= 0 or cap < 1:
+        raise ValueError("mult must be positive and cap >= 1")
+    wsum = sum(_MIX_WEIGHTS.values())
+    docs = _t(spark, sf_dir, "documents")
+    wcase = F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(v))
+            for k, v in sorted(_MIX_WEIGHTS.items())
+        ]
+    )
+    sup = (
+        docs.filter(F.col("source").isin(*_MIX_WEIGHTS.keys()))
+        .select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tok"))
+        .withColumn("w", wcase)
+        .localCheckpoint(eager=False)
+    )
+    tot = sup.agg(F.sum("n_tok").alias("n_all"))
+    base = sup.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.expr(f"({mult} * n_all * w) DIV {wsum}").alias("target_tok"),
+    )
+    e = base.withColumn(
+        "epochs",
+        F.least(
+            F.greatest(
+                F.expr("(target_tok + n_tok - 1) DIV n_tok"), F.lit(1)
+            ),
+            F.lit(cap),
+        ).cast("bigint"),
+    )
+    f = e.withColumn(
+        "eff_tok",
+        F.expr(
+            "2 * n_tok - (n_tok DIV shiftleft(CAST(1 AS BIGINT),"
+            " CAST(epochs - 1 AS INT)))"
+        ).cast("bigint"),
+    )
+    return f.select(
+        "source",
+        "n_tok",
+        "target_tok",
+        "epochs",
+        "eff_tok",
+        (
+            _r(F.col("eff_tok").cast("double") / F.col("target_tok"), 6)
+            + F.lit(0.0)
+        ).alias("utilization"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm03: image-text alignment scoring — the CLIP-filter shape
+# ---------------------------------------------------------------------------
+#: alignment threshold on the fake-feature/embedding cosine — fake
+#: features are ~uniform, so 0.1 splits the corpus into both verdicts
+_MM_ALIGN_T = 0.1
+
+
+def _mm03_sql() -> str:
+    g2s = "g0*g0 + g1*g1 + g2*g2 + g3*g3"
+    e2s = "e0*e0 + e1*e1 + e2*e2 + e3*e3"
+    dot = "g0*e0 + g1*e1 + g2*e2 + g3*e3"
+    return f"""
+    WITH f AS (
+        SELECT doc_id AS media_id, source,
+               CAST(('0x' || substring(md5(text), 1, 2)) AS INT) - 128 AS g0,
+               CAST(('0x' || substring(md5(text), 3, 2)) AS INT) - 128 AS g1,
+               CAST(('0x' || substring(md5(text), 5, 2)) AS INT) - 128 AS g2,
+               CAST(('0x' || substring(md5(text), 7, 2)) AS INT) - 128 AS g3
+        FROM documents),
+    v AS (SELECT vec_id,
+                 CAST(embedding[1] AS DOUBLE) AS e0,
+                 CAST(embedding[2] AS DOUBLE) AS e1,
+                 CAST(embedding[3] AS DOUBLE) AS e2,
+                 CAST(embedding[4] AS DOUBLE) AS e3
+          FROM embeddings WHERE len(embedding) >= 4),
+    s AS (SELECT source,
+                 CASE WHEN ({g2s}) > 0 AND ({e2s}) > 0.0
+                      THEN ({dot}) / (sqrt(CAST({g2s} AS DOUBLE))
+                                      * sqrt({e2s}))
+                      ELSE 0.0 END AS cos
+          FROM f JOIN v ON f.media_id = v.vec_id)
+    SELECT source,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN cos >= {_MM_ALIGN_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_aligned,
+           round((CAST(sum(CASE WHEN cos >= {_MM_ALIGN_T} THEN 1 ELSE 0
+                           END) AS DOUBLE) / count(*)) + 1e-9, 6) + 0.0
+               AS align_rate,
+           round(min(cos) + 1e-9, 6) + 0.0 AS min_cos,
+           round(max(cos) + 1e-9, 6) + 0.0 AS max_cos
+    FROM s GROUP BY source
+    """
+
+
+@query("mm03_alignment_score", oracle=_mm03_sql, ops=("MM-PAIR",))
+def mm03_alignment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment scoring — the CLIP-filter shape (Schuhmann
+    et al.'s LAION pipeline: score every (image, caption) pair by
+    embedding cosine, keep pairs above a threshold, audit the rate per
+    source): mm01's Arrow-batched fake-decoder features project each
+    media payload to a 4-vector (md5 bytes, centered at 128), paired
+    with the document's embedding head via the deterministic
+    media↔doc identity map (media_id == vec_id), and alignment is the
+    cosine between them. Per source: pair count, aligned count (cos >=
+    threshold), alignment rate, and the min/max cosine — the audit
+    numbers a multimodal curation run reports.
+
+    Exactness: the cosine is a FIXED-ASSOCIATION 4-term dot (left-to-
+    right, written identically in both engines) of integer-derived g
+    and parquet-read doubles, one sqrt each side, one division —
+    bit-identical cross-engine, so the threshold verdicts and min/max
+    hash-match (zero-norm rows pinned to cos = 0.0 on both sides; the
+    rate is BIGINT counts and one IEEE division). The fake decoder's
+    md5-derived features ARE the oracle's relational md5 — the mm01
+    contract this entry composes.
+
+    Scale shape (100 TB): the feature extraction is mapInPandas over
+    Arrow batches — payload bytes NEVER cross a shuffle (plan-pinned
+    in tests/test_plan_shapes.py: no exchange carries payload/text);
+    only the 4-int feature rows meet the embeddings in one keyed
+    equi-join on the int64 id (corpus-sized both sides: UNHINTED, AQE
+    decides — the r09 rule), and the per-source rollup is a map-side-
+    combinable aggregate over dimension-sized groups."""
+    from ..functions.multimodal import documents_as_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(
+        documents_as_media(docs)
+    ).select("media_id", "f0", "f1", "f2", "f3")
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") >= 4)
+        .select(
+            F.col("vec_id").alias("media_id"),
+            *[
+                F.element_at("embedding", i + 1)
+                .cast("double")
+                .alias(f"e{i}")
+                for i in range(4)
+            ],
+        )
+    )
+    j = feats.join(src, "media_id").join(emb, "media_id")
+    for i in range(4):
+        j = j.withColumn(f"g{i}", F.col(f"f{i}") - F.lit(128))
+    g2s = F.expr("g0*g0 + g1*g1 + g2*g2 + g3*g3")
+    e2s = F.expr("e0*e0 + e1*e1 + e2*e2 + e3*e3")
+    dot = F.expr("g0*e0 + g1*e1 + g2*e2 + g3*e3")
+    cos = F.when(
+        (g2s > 0) & (e2s > 0.0),
+        dot / (F.sqrt(g2s.cast("double")) * F.sqrt(e2s)),
+    ).otherwise(F.lit(0.0))
+    s = j.select("source", cos.alias("cos"))
+    aligned = F.when(F.col("cos") >= _MM_ALIGN_T, 1).otherwise(0)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(aligned).cast("bigint").alias("n_aligned"),
+        (
+            _r(
+                F.sum(aligned).cast("double") / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("align_rate"),
+        (_r(F.min("cos"), 6) + F.lit(0.0)).alias("min_cos"),
+        (_r(F.max("cos"), 6) + F.lit(0.0)).alias("max_cos"),
+    )

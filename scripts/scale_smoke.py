@@ -88,6 +88,18 @@ OPS = [
     "a15_mixture_rollup",
     "dd13_winnow_pairs",
     "lm01_bigram_likelihood",
+    # round-9 additions. span dedup: positional hashes in the scan
+    # projection, one (doc_id, h) distinct + df count, an unhinted
+    # equi semi-join on h, per-doc windows — NO pair join exists, so
+    # hot boilerplate hashes cannot blow anything up (each occurrence
+    # meets exactly one df row). BPE trainer: the corpus collapses to
+    # the word dictionary ONCE; all 8 rounds iterate vocab-sized
+    # state, so corpus growth touches only the wd0 build. epoch
+    # allocation: one per-source partial-sum aggregate, dimension-
+    # sized everything after.
+    "dd14_duplicate_spans",
+    "tk02_bpe_trainer",
+    "ds12_epoch_allocation",
 ]
 
 

@@ -832,3 +832,93 @@ def test_a16_pinned_pivot_is_one_aggregate(spark, sf_dir):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
               "Window"):
         assert j not in plan, plan
+
+
+def test_dd14_shared_set_join_is_not_hint_forced(spark, sf_dir):
+    """Span dedup's scale contract: the shared-hash set (df >= 2) is
+    dup-rate-sized, so the coverage semi-join must carry NO broadcast
+    hint (the r09 de-broadcast rule) — AQE elects the strategy from
+    measured sizes; the positional-hash stream is materialized once
+    (two ExistingRDD consumers: the dictionary agg and the coverage
+    join) so the corpus is tokenized exactly once; no pair join exists
+    anywhere (dd13 owns who-matches-whom), so nothing can degenerate
+    to a nested loop."""
+    df = REGISTRY["dd14_duplicate_spans"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_tk02_rounds_iterate_the_dictionary_not_the_corpus(spark, sf_dir):
+    """The BPE trainer's scale contract: the corpus collapses ONCE to
+    the word dictionary (one parquet scan with a map-side partial
+    count, asserted on the rebuilt pre-checkpoint stage), and every
+    merge round consumes lineage-cut dictionary state — the final
+    8-round plan contains ZERO parquet scans (8 ExistingRDD reads, one
+    per round's argmax) and no cartesian product (the one-row merge
+    dims ride bounded broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.functions.textstats import (
+        tokens,
+    )
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _TK2_ROUNDS,
+        _t,
+    )
+
+    # the dictionary stage, rebuilt without its lineage cut
+    wd0 = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = wd0._jdf.queryExecution().executedPlan().toString()
+    assert wp.count("Scan parquet") == 1, wp
+    assert "partial_count" in wp, wp
+
+    plan = _plan(spark, sf_dir, "tk02_bpe_trainer")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == _TK2_ROUNDS, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mm03_payload_never_shuffles(spark, sf_dir):
+    """The alignment scorer's scale contract: payload bytes and raw
+    text stay inside the mapInPandas stage / scan projections — no
+    exchange (shuffle or broadcast) may carry them; only the 4-int
+    feature rows, the id->source dim, and the embedding head meet in
+    the keyed joins, and those joins carry no broadcast hint (AQE
+    decides — both sides are corpus-sized)."""
+    fmt = _formatted_plan(spark, sf_dir, "mm03_alignment_score")
+    payloads = _exchange_payloads(fmt)
+    assert payloads, "no exchanges found — plan parse failed?"
+    for p in payloads:
+        assert "payload#" not in p and "text#" not in p, (
+            f"exchange carries raw payload/text: {p}"
+        )
+    df = REGISTRY["mm03_alignment_score"].fn(spark, sf_dir)
+    assert (
+        df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+        == 0
+    )
+
+
+def test_ds12_corpus_never_shuffles(spark, sf_dir):
+    """The epoch allocator's scale contract: one parquet scan collapses
+    the corpus to per-source supplies with a map-side partial sum; the
+    only hint is the ONE-ROW budget total (bounded a priori — the only
+    hint class the r09 rule allows); everything downstream is
+    projection arithmetic over the dimension-sized supply table."""
+    df = REGISTRY["ds12_epoch_allocation"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    plan = qe.executedPlan().toString()
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan

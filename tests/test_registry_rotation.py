@@ -20,9 +20,19 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 8 — the operators
+#: Entries with ZERO green driver rows entering round 9 — the operators
 #: added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
+    "dd14_duplicate_spans",
+    "tk02_bpe_trainer",
+    "ds12_epoch_allocation",
+    "mm03_alignment_score",
+}
+
+#: Single-green entries (first non-vacuous rows earned in r08 — the 8
+#: r08 arrivals) — the schedule keeps any entry with <2 green rows
+#: in-window until it has two.
+SINGLE_GREEN = {
     "cp03_incremental_pipeline",
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
@@ -33,10 +43,9 @@ NEEDS_FIRST_ROW: set[str] = {
     "a16_event_type_pivot",
 }
 
-#: Single-green entries (first non-vacuous rows earned in r07 — the 20
-#: r07 arrivals) — the schedule keeps any entry with <2 green rows
-#: in-window until it has two.
-SINGLE_GREEN = {
+#: Double-green entries (the 20 r07 arrivals, seconds earned in r08) —
+#: kept in-window for third rows so they become parking stock.
+DOUBLE_GREEN = {
     "dd11_hierarchical_semdedup",
     "ct03_semantic_contamination",
     "ds10_temperature_resample",
@@ -59,35 +68,25 @@ SINGLE_GREEN = {
     "co01_supplier_cooccurrence",
 }
 
-#: The 19 four-greens parked mid/late-round-7 to fund the r07 arrival
-#: slots rotate back in for fifth rows (minus any re-parked this round
-#: to fund NEW entries — see the schedule comment in plans/queries.py).
-#: st01/nn08/ds09 (double-green) and the 8 r05/r06-era three-greens
-#: (cp02, dd09, dd10, ds08, nn06, nn07, txt07, ud2) also stay in-window
-#: — asserted here so a tail regression can't silently drop them.
+#: Multi-green entries deliberately kept in-window this round: the
+#: remaining rotated-back five-greens (f07/f08/f09/j01 were parked to
+#: fund the four r09 arrival slots — see the schedule comment in
+#: plans/queries.py), st01/nn08/ds09 (triple-green after r08, staying
+#: for fourths), and the 8 r05/r06-era four-greens — asserted here so
+#: a tail regression can't silently drop them.
 BACK_IN_WINDOW = {
-    # j03 re-parked mid-round to fund cp03's slot (see the schedule
-    # comment in plans/queries.py)
     "a04_stats_export",
     "dd05_embedding_neardup",
-    # f06 re-parked mid-round to fund a16's slot
-    "f07_keyword_filter",
-    "f08_gated_enrichment",
-    "f09_nested_json_projection",
-    "j01_fallback_stats_join",
     "k01_newest_first_cap",
-    # k45 and txt03 re-parked mid-round to fund a15/tp03's slots
     "txt02_quality_scores",
     "x02_hidden_price_structured",
     "x15_risk_assembly",
-    # x18 re-parked mid-round to fund dd13's slot; x21 for w05's
     "x22_factor_normalize",
-    # x22_painless_normalizer re-parked mid-round to fund lm01's slot
-    # double-greens needing thirds:
+    # triple-greens needing fourths:
     "st01_windowed_frequency",
     "nn08_recall_gate",
     "ds09_weighted_sample",
-    # three-greens needing fourths:
+    # four-greens needing fifths:
     "cp02_tokenizer_prep_pipeline",
     "dd09_boilerplate_spans",
     "dd10_semantic_dedup",
@@ -107,6 +106,9 @@ def test_window_contains_every_entry_needing_rows():
     )
     assert SINGLE_GREEN <= window, (
         f"single-green entries outside the window: {SINGLE_GREEN - window}"
+    )
+    assert DOUBLE_GREEN <= window, (
+        f"double-green entries outside the window: {DOUBLE_GREEN - window}"
     )
     assert BACK_IN_WINDOW <= window
 

@@ -733,3 +733,124 @@ def test_dd13_stoplist_drops_boilerplate_buckets(spark, tmp_path):
     assert all(a == 100 for (a, b) in pairs), (
         f"boilerplate bucket leaked pairs: {sorted(pairs)[:5]}"
     )
+
+
+def test_dd14_copied_paragraph_yields_exact_span(spark, tmp_path):
+    """Lee et al.'s span contract on a synthetic corpus: a 12-token
+    paragraph copied into two otherwise-distinct documents must come
+    back as EXACTLY one span per document — correct start position
+    (1-based, differing between the docs), token length equal to the
+    paragraph, and gram count n - k + 1. The unique surrounding tokens
+    share no k-gram, so nothing else may be reported."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd14_duplicate_spans,
+    )
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    doc_a = "ua ub uc ud ue " + para + " va vb vc vd"
+    doc_b = "wa wb wc " + para + " xa xb"
+    rows = [Row(doc_id=1, text=doc_a), Row(doc_id=2, text=doc_b)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    spans = {
+        r.doc_id: (r.span_start, r.span_len, r.n_grams)
+        for r in dd14_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # paragraph = 12 tokens, k = 4 -> 9 consecutive covered grams;
+    # doc 1 prefixes 5 unique tokens (span starts at 6), doc 2
+    # prefixes 3 (span starts at 4)
+    assert spans == {1: (6, 12, 9), 2: (4, 12, 9)}, spans
+
+
+def test_tk02_matches_pure_python_bpe(spark, sf_dir):
+    """The 8-round merge sequence must equal a from-scratch Python BPE
+    (greedy left-to-right merge application, count-desc/(l, r)-asc
+    argmax) over the same word dictionary — an oracle independent of
+    both engines' string machinery."""
+    from collections import Counter
+
+    import re
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _TK2_ROUNDS,
+        tk02_bpe_trainer,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    words = Counter(
+        w
+        for t in texts
+        for w in t.lower().split()
+        if re.fullmatch(r"[a-z]+", w)
+    )
+
+    def apply_merge(sym: tuple, l: str, r: str) -> tuple:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return tuple(out)
+
+    wd = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for rnd in range(1, _TK2_ROUNDS + 1):
+        pc: Counter = Counter()
+        for sym, c in wd.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, l, r, l + r, cnt))
+        wd = {apply_merge(sym, l, r): c for sym, c in wd.items()}
+
+    got = sorted(
+        (r.rnd, r.left_sym, r.right_sym, r.merged, r.cnt)
+        for r in tk02_bpe_trainer(spark, sf_dir).collect()
+    )
+    assert got == expect, (got, expect)
+
+
+def test_ds12_epoch_allocation_replay(spark, sf_dir):
+    """The allocation contract: every weighted source gets >= 1 epoch,
+    nobody hits the cap at the default budget, the epoch spread is
+    real (0 < max - min — the weights force it even with near-equal
+    supplies), effective tokens sit in [n_tok, 2*n_tok), and bad
+    parameters raise."""
+    import pytest as _pytest
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _DS12_CAP,
+        _MIX_WEIGHTS,
+        ds12_epoch_allocation,
+    )
+
+    rows = ds12_epoch_allocation(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(_MIX_WEIGHTS)
+    eps = [r.epochs for r in rows]
+    assert min(eps) >= 1 and max(eps) < _DS12_CAP
+    assert max(eps) - min(eps) > 0, f"no epoch spread: {eps}"
+    for r in rows:
+        assert r.n_tok <= r.eff_tok < 2 * r.n_tok, r
+        assert r.eff_tok <= r.epochs * r.n_tok, r
+
+    capped = ds12_epoch_allocation(spark, sf_dir, mult=1000).collect()
+    assert {r.epochs for r in capped} == {_DS12_CAP}
+
+    with _pytest.raises(ValueError):
+        ds12_epoch_allocation(spark, sf_dir, mult=0)
+    with _pytest.raises(ValueError):
+        ds12_epoch_allocation(spark, sf_dir, cap=0)
