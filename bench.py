@@ -133,6 +133,8 @@ HEADLINE = [
     "tk02_bpe_trainer",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
+    "dd15_span_scrub",
+    "tk03_bpe_compression",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

@@ -1238,8 +1238,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            sequence) parks f08_gated_enrichment,
 #            ds12_epoch_allocation (data-constrained mixing) parks
 #            f09_nested_json_projection, and mm03_alignment_score
-#            (CLIP-filter shape) parks j01_fallback_stats_join.
-#            Registry 115 = window 50 + tail 65.
+#            (CLIP-filter shape) parks j01_fallback_stats_join. Late
+#            additions: dd15_span_scrub (apply dd14's spans) parks
+#            k01_newest_first_cap, and tk03_bpe_compression (apply
+#            tk02's merges) parks x02_hidden_price_structured.
+#            Registry 117 = window 50 + tail 67.
 #   round 10+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1340,6 +1343,10 @@ _ROTATION_TAIL = [
     "f08_gated_enrichment",
     "f09_nested_json_projection",
     "j01_fallback_stats_join",
+    # parked late-round-9 (both five-green) to fund the window slots
+    # for the new dd15_span_scrub and tk03_bpe_compression entries:
+    "k01_newest_first_cap",
+    "x02_hidden_price_structured",
 ]
 
 

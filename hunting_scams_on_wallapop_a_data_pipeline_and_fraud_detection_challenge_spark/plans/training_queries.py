@@ -8679,9 +8679,12 @@ _SP_K = 4
 _SP_MIN_TOK = 8
 
 
-def _dd14_sql() -> str:
-    return f"""
-    WITH t0 AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
+def _dd14_ctes() -> str:
+    """The shared CTE chain of the span-dedup oracles (dd14 selects the
+    spans; dd15 scrubs them out of the token stream): positional k-gram
+    hashes -> df >= 2 shared set -> covered positions -> maximal runs
+    (``sp`` carries doc_id, span_start, n_grams)."""
+    return f"""t0 AS (SELECT doc_id, {sql_tokens("text")} AS t FROM documents),
     g AS (SELECT doc_id, {sql_ngrams("t", _SP_K)} AS sh FROM t0),
     e AS (SELECT doc_id, pos, {sql_hmod("s")} AS h FROM (
               SELECT doc_id,
@@ -8697,7 +8700,12 @@ def _dd14_sql() -> str:
                      AS grp
           FROM c),
     sp AS (SELECT doc_id, min(pos) AS span_start, count(*) AS n_grams
-           FROM r GROUP BY doc_id, grp)
+           FROM r GROUP BY doc_id, grp)"""
+
+
+def _dd14_sql() -> str:
+    return f"""
+    WITH {_dd14_ctes()}
     SELECT doc_id,
            CAST(span_start AS BIGINT) AS span_start,
            CAST(n_grams + {_SP_K} - 1 AS BIGINT) AS span_len,
@@ -8789,11 +8797,12 @@ def dd14_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TK2_ROUNDS = 8
 
 
-def _tk02_sql(rounds: int = _TK2_ROUNDS) -> str:
-    """Generated nested-CTE oracle: wd0 is the wrapped word dictionary;
-    each round r derives pair counts pc{r} from wd{r-1}, picks the
-    argmax merge m{r} (cnt desc, then (l, rgt) asc), and applies it
-    with one left-to-right non-overlapping string replace."""
+def _tk02_ctes(rounds: int = _TK2_ROUNDS) -> str:
+    """The shared CTE chain of the BPE oracles: wd0 is the wrapped word
+    dictionary; each round r derives pair counts pc{r} from wd{r-1},
+    picks the argmax merge m{r} (cnt desc, then (l, rgt) asc), and
+    applies it with one left-to-right non-overlapping string replace.
+    tk02 selects the merge rows; tk03 selects the final dictionary."""
     parts = [
         f"""tok AS (SELECT unnest({sql_tokens("text")}) AS w FROM documents),
     wd0 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s,
@@ -8817,12 +8826,16 @@ def _tk02_sql(rounds: int = _TK2_ROUNDS) -> str:
     wd{r} AS (SELECT replace(s, '<' || l || '><' || rgt || '>',
                              '<' || l || rgt || '>') AS s, c
               FROM {prev}, m{r})""")
+    return ",\n    ".join(parts)
+
+
+def _tk02_sql(rounds: int = _TK2_ROUNDS) -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rnd, l AS left_sym,"
         f" rgt AS right_sym, l || rgt AS merged, cnt FROM m{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + unions
+    return "WITH " + _tk02_ctes(rounds) + "\n    " + unions
 
 
 @query("tk02_bpe_trainer", oracle=_tk02_sql, ops=("TOKENIZE-TRAIN",))
@@ -8859,6 +8872,23 @@ def tk02_bpe_trainer(
     references it twice — pair counts AND merge application — which
     would otherwise double the plan refs per round (the dd06 rule).
     Plan-pinned in tests/test_plan_shapes.py: ONE corpus scan total."""
+    _, merges = _tk02_dict_chain(spark, sf_dir, rounds)
+    out = reduce(DataFrame.unionByName, merges)
+    return out.select(
+        "rnd",
+        F.col("l").alias("left_sym"),
+        F.col("rgt").alias("right_sym"),
+        F.concat("l", "rgt").alias("merged"),
+        "cnt",
+    )
+
+
+def _tk02_dict_chain(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared Spark chain of the BPE family (the _tk02_ctes twin):
+    returns (final wrapped dictionary, per-round one-row merge frames).
+    tk02 emits the merges; tk03 audits the final dictionary."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     wd = (
@@ -8916,14 +8946,7 @@ def tk02_bpe_trainer(
             )
             .localCheckpoint(eager=False)
         )
-    out = reduce(DataFrame.unionByName, merges)
-    return out.select(
-        "rnd",
-        F.col("l").alias("left_sym"),
-        F.col("rgt").alias("right_sym"),
-        F.concat("l", "rgt").alias("merged"),
-        "cnt",
-    )
+    return wd, merges
 
 
 # ---------------------------------------------------------------------------
@@ -9173,4 +9196,182 @@ def mm03_alignment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("align_rate"),
         (_r(F.min("cos"), 6) + F.lit(0.0)).alias("min_cos"),
         (_r(F.max("cos"), 6) + F.lit(0.0)).alias("max_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd15: span scrubbing — apply dd14's duplicated regions to the corpus
+# ---------------------------------------------------------------------------
+
+
+def _dd15_sql() -> str:
+    return f"""
+    WITH {_dd14_ctes()},
+    rm AS (SELECT DISTINCT doc_id, CAST(rp AS BIGINT) AS pos FROM (
+               SELECT doc_id,
+                      unnest(range(span_start,
+                                   span_start + n_grams + {_SP_K} - 1))
+                          AS rp
+               FROM sp WHERE n_grams + {_SP_K} - 1 >= {_SP_MIN_TOK})),
+    tk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, tkn FROM (
+               SELECT doc_id,
+                      unnest(list_transform(range(1, len(t) + 1),
+                             i -> {{'pos': i, 'tkn': t[i]}}),
+                             recursive := true)
+               FROM t0 WHERE len(t) > 0)),
+    tot AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY doc_id),
+    kept AS (SELECT tk.doc_id, tk.pos, tk.tkn FROM tk
+             WHERE NOT EXISTS (SELECT 1 FROM rm
+                               WHERE rm.doc_id = tk.doc_id
+                                 AND rm.pos = tk.pos)),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  md5(string_agg(tkn, ' ' ORDER BY pos)) AS fp
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tok,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_tok - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           round((CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_tok)
+                 + 1e-6, 4) + 0.0 AS kept_ratio,
+           COALESCE(k.fp, md5('')) AS scrubbed_fp
+    FROM tot t LEFT JOIN ka k USING (doc_id)
+    """
+
+
+@query("dd15_span_scrub", oracle=_dd15_sql, ops=("DEDUP-SCRUB",))
+def dd15_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span scrubbing — the APPLY half of Lee et al.'s dedup (dd14
+    finds the duplicated regions; dd15 removes them): per document,
+    drop every token position inside a reported span and emit the
+    accounting a curation run needs — total/kept/removed token counts,
+    the kept ratio, and the md5 fingerprint of the scrubbed text
+    (position-ordered token reassembly), which is what downstream
+    exact-dedup keys on after scrubbing. Adjacent spans can overlap in
+    TOKEN space even though their gram runs are disjoint (a gram gap
+    shorter than k-1), so removal positions are de-duplicated before
+    the anti-join. A fully-scrubbed document stays in the output with
+    n_kept = 0 and the empty-string fingerprint (COALESCE on both
+    engines — DuckDB's empty aggregate is NULL where Spark's
+    concat_ws is '').
+
+    Exactness: counts are BIGINT, the ratio is one IEEE division, and
+    the fingerprint reassembly is position-pinned on both sides (Spark
+    array_sort(collect_list(struct(pos, tok))) ≡ DuckDB
+    string_agg(... ORDER BY pos) — the lm01 idiom), so every row
+    hash-matches.
+
+    Scale shape (100 TB): composes dd14's plan (positional hashes in
+    the scan, unhinted df >= 2 semi-join, per-doc windows) and adds
+    one posexplode of the token stream, an anti-join keyed on
+    (doc_id, pos) — UNHINTED: the removal set is dup-rate-sized (the
+    r09 rule) — and one per-doc reassembly aggregate whose state is
+    bounded by document length. The corpus text itself never shuffles;
+    only (pos, token) pairs of KEPT positions do, exactly once."""
+    spans = dd14_duplicate_spans(spark, sf_dir)
+    rm = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_len") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    docs = _t(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tkn")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            "tkn",
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    kept = tk.join(rm, ["doc_id", "pos"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tkn")))
+                    ),
+                    lambda st: st["tkn"],
+                ),
+            )
+        ).alias("fp"),
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        (
+            _r(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("n_tok"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("kept_ratio"),
+        F.coalesce(F.col("fp"), F.md5(F.lit(""))).alias("scrubbed_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tk03: tokenizer-apply audit — compression of the trained merge table
+# ---------------------------------------------------------------------------
+
+
+def _tk03_sql(rounds: int = _TK2_ROUNDS) -> str:
+    word = "regexp_replace(s, '[<>]', '', 'g')"
+    syms = "string_split(substring(s, 2, length(s) - 2), '><')"
+    return (
+        "WITH "
+        + _tk02_ctes(rounds)
+        + f"""
+    SELECT {word} AS word, c,
+           CAST(length({word}) AS BIGINT) AS n_chars,
+           CAST(len({syms}) AS BIGINT) AS n_syms,
+           CAST(length({word}) - len({syms}) AS BIGINT) AS saved
+    FROM wd{rounds}
+    """
+    )
+
+
+@query("tk03_bpe_compression", oracle=_tk03_sql, ops=("TOKENIZE-APPLY",))
+def tk03_bpe_compression(
+    spark: SparkSession, sf_dir: str, *, rounds: int = _TK2_ROUNDS
+) -> DataFrame:
+    """Tokenizer APPLICATION audit — encode the dictionary with tk02's
+    trained merge table and report per-word compression: the word, its
+    corpus frequency, character count, post-merge symbol count, and
+    the saved symbols. Summed over frequencies this is the
+    chars-per-token curve a tokenizer team watches as merges accrue —
+    the artifact that decides when to STOP training (vc01 answers
+    vocab size, tk02 which merges, tk03 what they bought).
+
+    Shares tk02's chain verbatim (``_tk02_dict_chain`` /
+    ``_tk02_ctes``), so the segmentation being audited is bit-identical
+    to the trained tokenizer — and the oracle replays the same 8
+    rounds, so every row hash-matches. Pure string/BIGINT algebra.
+
+    Scale shape (100 TB): identical to tk02 (the corpus collapses once
+    to the word dictionary; rounds iterate vocab-sized lineage-cut
+    state); the audit itself is a projection over the final dictionary
+    — no extra shuffle at all."""
+    wd, _ = _tk02_dict_chain(spark, sf_dir, rounds)
+    word = F.regexp_replace("s", "[<>]", "")
+    syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+    return wd.select(
+        word.alias("word"),
+        "c",
+        F.length(word).cast("bigint").alias("n_chars"),
+        F.size(syms).cast("bigint").alias("n_syms"),
+        (F.length(word) - F.size(syms)).cast("bigint").alias("saved"),
     )

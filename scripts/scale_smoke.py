@@ -100,6 +100,11 @@ OPS = [
     "dd14_duplicate_spans",
     "tk02_bpe_trainer",
     "ds12_epoch_allocation",
+    # span scrubbing composes dd14 + one token posexplode + an
+    # unhinted (doc_id, pos) anti-join; compression audit is a
+    # projection over tk02's final dictionary — both linear
+    "dd15_span_scrub",
+    "tk03_bpe_compression",
 ]
 
 

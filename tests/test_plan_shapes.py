@@ -922,3 +922,33 @@ def test_ds12_corpus_never_shuffles(spark, sf_dir):
     plan = qe.executedPlan().toString()
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dd15_scrub_joins_are_not_hint_forced(spark, sf_dir):
+    """The span scrubber's scale contract: it composes dd14's unhinted
+    plan and adds an anti-join keyed on (doc_id, pos) against the
+    dup-rate-sized removal set plus one per-doc reassembly aggregate —
+    zero broadcast hints anywhere, no nested loop, and the raw text
+    never enters an exchange (only (pos, token) pairs of kept
+    positions do)."""
+    df = REGISTRY["dd15_span_scrub"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    fmt = _formatted_plan(spark, sf_dir, "dd15_span_scrub")
+    for p in _exchange_payloads(fmt):
+        assert "text#" not in p, f"exchange carries raw text: {p}"
+
+
+def test_tk03_audit_is_a_projection_over_the_final_dictionary(spark, sf_dir):
+    """The compression audit's scale contract: identical to tk02 (the
+    shared chain — zero corpus rescans in the final plan, the last
+    round's checkpointed dictionary is the single input) plus a pure
+    projection: no joins, no windows, no aggregates after the chain."""
+    plan = _plan(spark, sf_dir, "tk03_bpe_compression")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window", "HashAggregate"):
+        assert node not in plan, plan

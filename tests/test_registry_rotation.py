@@ -27,6 +27,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "tk02_bpe_trainer",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
+    "dd15_span_scrub",
+    "tk03_bpe_compression",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r08 — the 8
@@ -77,9 +79,7 @@ DOUBLE_GREEN = {
 BACK_IN_WINDOW = {
     "a04_stats_export",
     "dd05_embedding_neardup",
-    "k01_newest_first_cap",
     "txt02_quality_scores",
-    "x02_hidden_price_structured",
     "x15_risk_assembly",
     "x22_factor_normalize",
     # triple-greens needing fourths:

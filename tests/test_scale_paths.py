@@ -854,3 +854,80 @@ def test_ds12_epoch_allocation_replay(spark, sf_dir):
         ds12_epoch_allocation(spark, sf_dir, mult=0)
     with _pytest.raises(ValueError):
         ds12_epoch_allocation(spark, sf_dir, cap=0)
+
+
+def test_dd15_scrubs_exactly_the_copied_paragraph(spark, tmp_path):
+    """Scrubbing the dd14 synthetic corpus: the copied 12-token
+    paragraph is removed from BOTH docs, the unique surround survives
+    in order, and the scrubbed fingerprint equals a hand-computed md5
+    of the kept tokens."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd15_span_scrub,
+    )
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    keep_a = ["ua", "ub", "uc", "ud", "ue", "va", "vb", "vc", "vd"]
+    keep_b = ["wa", "wb", "wc", "xa", "xb"]
+    doc_a = " ".join(keep_a[:5]) + " " + para + " " + " ".join(keep_a[5:])
+    doc_b = " ".join(keep_b[:3]) + " " + para + " " + " ".join(keep_b[3:])
+    rows = [Row(doc_id=1, text=doc_a), Row(doc_id=2, text=doc_b)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = {r.doc_id: r for r in dd15_span_scrub(spark, str(tmp_path)).collect()}
+    assert got[1].n_tok == 21 and got[1].n_kept == 9
+    assert got[2].n_tok == 17 and got[2].n_kept == 5
+    assert got[1].n_removed == got[2].n_removed == 12
+    for doc_id, kept in ((1, keep_a), (2, keep_b)):
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[doc_id].scrubbed_fp == want, doc_id
+
+
+def test_dd15_fully_scrubbed_doc_stays_accounted(spark, tmp_path):
+    """A document that is ENTIRELY duplicated text (a byte-identical
+    twin pair) must stay in the output with n_kept = 0 and the
+    empty-string fingerprint — scrubbing removes text, never rows."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        dd15_span_scrub,
+    )
+
+    twin = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [Row(doc_id=1, text=twin), Row(doc_id=2, text=twin)]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in dd15_span_scrub(spark, str(tmp_path)).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    for d in (1, 2):
+        assert got[d].n_kept == 0 and got[d].n_removed == 12
+        assert got[d].kept_ratio == 0.0
+        assert got[d].scrubbed_fp == empty
+
+
+def test_tk03_compression_invariants_and_zero_round_identity(spark, sf_dir):
+    """Applying the trained merges can only SHORTEN segmentations
+    (n_syms <= n_chars, saved = difference >= 0), at least one word
+    must actually compress after 8 rounds, and the rounds=0 replay is
+    the identity (every word still fully character-split)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        tk03_bpe_compression,
+    )
+
+    rows = tk03_bpe_compression(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r.n_syms <= r.n_chars for r in rows)
+    assert all(r.saved == r.n_chars - r.n_syms for r in rows)
+    assert any(r.saved > 0 for r in rows)
+
+    base = tk03_bpe_compression(spark, sf_dir, rounds=0).collect()
+    assert {r.word for r in base} == {r.word for r in rows}
+    assert all(r.n_syms == r.n_chars and r.saved == 0 for r in base)
