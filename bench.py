@@ -339,10 +339,15 @@ def main() -> None:
     # Durable copy (VERDICT r06 item 6): the driver's stored BENCH tail
     # head-truncates the queries dict, so persist the FULL line in-repo
     # where round-over-round numbers survive without a judge re-run.
+    # Only the default-SF (sf0.1) run is the round-over-round record —
+    # a probe at another SF must not clobber it (bitten in r09 by the
+    # sf0.001 JSON-shape probe).
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_latest.json"), "w") as f:
-            f.write(payload + "\n")
+        if sf == "0.1":
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_latest.json"), "w") as f:
+                f.write(payload + "\n")
     except OSError:
         pass
     spark.stop()
