@@ -135,6 +135,8 @@ HEADLINE = [
     "mm03_alignment_score",
     "dd15_span_scrub",
     "tk03_bpe_compression",
+    # round-9 late addition: the windowed greedy conversion funnel
+    "a17_conversion_funnel",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

@@ -1241,8 +1241,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            (CLIP-filter shape) parks j01_fallback_stats_join. Late
 #            additions: dd15_span_scrub (apply dd14's spans) parks
 #            k01_newest_first_cap, and tk03_bpe_compression (apply
-#            tk02's merges) parks x02_hidden_price_structured.
-#            Registry 117 = window 50 + tail 67.
+#            tk02's merges) parks x02_hidden_price_structured, and
+#            a17_conversion_funnel (windowed greedy stage chain) parks
+#            txt02_quality_scores.
+#            Registry 118 = window 50 + tail 68.
 #   round 10+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1347,6 +1349,9 @@ _ROTATION_TAIL = [
     # for the new dd15_span_scrub and tk03_bpe_compression entries:
     "k01_newest_first_cap",
     "x02_hidden_price_structured",
+    # parked late-round-9 (five-green) to fund the window slot for the
+    # new a17_conversion_funnel entry:
+    "txt02_quality_scores",
 ]
 
 

@@ -9375,3 +9375,145 @@ def tk03_bpe_compression(
         F.size(syms).cast("bigint").alias("n_syms"),
         (F.length(word) - F.size(syms)).cast("bigint").alias("saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a17: windowed conversion funnel — greedy stage chain over the events
+# ---------------------------------------------------------------------------
+#: ordered funnel stages (event_type values)
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+#: each stage must fire within this window of the previous one
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+#: the Spark twin of DuckDB's epoch_us(ts) on the NTZ timestamp — the
+#: w04/w05 tz rule: pure integer micros, so the driver session timezone
+#: can never shift a window boundary
+_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def _a17_sql() -> str:
+    w = _FUNNEL_WINDOW_US
+    s1, s2, s3 = _FUNNEL_STAGES
+    return f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    u1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = '{s1}' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN u1 USING (user_id)
+           WHERE e.event_type = '{s2}' AND e.us > u1.t1
+             AND e.us - u1.t1 <= {w}
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN u2 USING (user_id)
+           WHERE e.event_type = '{s3}' AND e.us > u2.t2
+             AND e.us - u2.t2 <= {w}
+           GROUP BY e.user_id),
+    s AS (
+        SELECT CAST(0 AS BIGINT) AS stage_no, 'any' AS stage,
+               count(DISTINCT user_id) AS n FROM e
+        UNION ALL SELECT 1, '{s1}', count(*) FROM u1
+        UNION ALL SELECT 2, '{s2}', count(*) FROM u2
+        UNION ALL SELECT 3, '{s3}', count(*) FROM u3)
+    SELECT stage_no, stage, CAST(n AS BIGINT) AS n_users,
+           round(COALESCE(CAST(n AS DOUBLE)
+                          / lag(n) OVER (ORDER BY stage_no), 1.0)
+                 + 1e-9, 6) + 0.0 AS conv_prev,
+           round((CAST(n AS DOUBLE)
+                  / first_value(n) OVER (ORDER BY stage_no))
+                 + 1e-9, 6) + 0.0 AS conv_start
+    FROM s
+    """
+
+
+@query("a17_conversion_funnel", oracle=_a17_sql, ops=("AGG-FUNNEL",))
+def a17_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel (the product-analytics staple every
+    event warehouse ships): per user, the GREEDY ordered chain
+    first-view -> first-click-after-it -> first-purchase-after-that,
+    each hop required within a 24 h window of the previous stage; per
+    stage, the users reached plus step and overall conversion rates.
+    Greedy-from-first is the pinned deterministic chain choice (the
+    industry default; a per-user retry scan is the same plan with the
+    stage aggregates swapped for a fold).
+
+    Exactness: stage times are integer epoch MICROSECONDS on the NTZ
+    timestamp (the w04/w05 tz rule — `timestampdiff` from the epoch ≡
+    DuckDB `epoch_us`, so the driver session timezone cannot shift a
+    window boundary); stage populations are BIGINT counts; the rates
+    are IEEE divisions computed by a 4-row serial window (lag /
+    first_value over stage_no — identical default frames in both
+    engines). Every row hash-matches.
+
+    Scale shape (100 TB): the (user_id, event_type, us) projection is
+    computed once in the scan and materialized (lazy localCheckpoint —
+    four consumers); each stage is one map-side-combinable min/count
+    aggregate keyed on user_id plus one keyed equi-join of the
+    previous stage's (user, t) table back onto the event stream —
+    UNHINTED (stage tables are conversion-rate-sized, no a-priori
+    bound; AQE elects broadcast from measured sizes). The only serial
+    window runs over exactly 4 rows. No folds, no UDFs, no driver
+    loops — stage count is a constant, not data-dependent."""
+    w = _FUNNEL_WINDOW_US
+    s1, s2, s3 = _FUNNEL_STAGES
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_EPOCH_US).alias("us")
+    ).localCheckpoint(eager=False)
+    u1 = (
+        ev.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(u1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") - F.col("t1") <= w))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(u2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") - F.col("t2") <= w))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    rows = [
+        ev.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(0).cast("bigint").alias("stage_no"),
+            F.lit("any").alias("stage"),
+            "n",
+        )
+    ]
+    for i, (name, u) in enumerate([(s1, u1), (s2, u2), (s3, u3)], start=1):
+        rows.append(
+            u.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(i).cast("bigint").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n",
+            )
+        )
+    s = reduce(DataFrame.unionByName, rows)
+    wser = Window.orderBy("stage_no")
+    return s.select(
+        "stage_no",
+        "stage",
+        F.col("n").cast("bigint").alias("n_users"),
+        (
+            _r(
+                F.coalesce(
+                    F.col("n").cast("double") / F.lag("n").over(wser),
+                    F.lit(1.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("conv_prev"),
+        (
+            _r(
+                F.col("n").cast("double") / F.first("n").over(wser), 6
+            )
+            + F.lit(0.0)
+        ).alias("conv_start"),
+    )

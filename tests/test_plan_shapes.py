@@ -952,3 +952,19 @@ def test_tk03_audit_is_a_projection_over_the_final_dictionary(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") == 1, plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "Window", "HashAggregate"):
         assert node not in plan, plan
+
+
+def test_a17_funnel_stage_joins_are_not_hint_forced(spark, sf_dir):
+    """The funnel's scale contract: stage tables are conversion-rate-
+    sized with no a-priori bound, so the stage joins carry NO broadcast
+    hint (AQE decides from measured sizes); each stage aggregate gets
+    map-side partial min/count; the only serial window runs over the
+    4 assembled stage rows, and nothing degenerates to a nested
+    loop."""
+    df = REGISTRY["a17_conversion_funnel"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan

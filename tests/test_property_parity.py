@@ -264,3 +264,83 @@ def _collapsed_coverage(tfs: list[int]) -> dict[int, tuple[int, int]]:
 @settings(max_examples=300, deadline=None)
 def test_vc01_collapse_equals_naive_ranking(tfs):
     assert _collapsed_coverage(tfs) == _naive_coverage(tfs)
+
+
+# ---------------------------------------------------------------------------
+# dd14: k-gram span coverage vs a from-scratch naive implementation
+# ---------------------------------------------------------------------------
+
+_SPAN_POOL = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+def _naive_spans(doc_tokens: dict, k: int, min_tok: int) -> set:
+    """Reference span dedup on raw token tuples (no hashing): positional
+    k-grams, document frequency over distinct docs, >= 2 coverage,
+    maximal 1-based runs, min-length filter."""
+    from collections import Counter
+
+    grams = {
+        d: [tuple(t[i : i + k]) for i in range(len(t) - k + 1)]
+        for d, t in doc_tokens.items()
+        if len(t) >= k
+    }
+    df: Counter = Counter()
+    for gs in grams.values():
+        for g in set(gs):
+            df[g] += 1
+    out = set()
+    for d, gs in grams.items():
+        runs: list[list[int]] = []
+        for i, g in enumerate(gs):
+            if df[g] < 2:
+                continue
+            p = i + 1
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            n = e - s + 1
+            if n + k - 1 >= min_tok:
+                out.add((d, s, n + k - 1, n))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_SPAN_POOL), min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dd14_spans_match_naive_reference(spark, docs):
+    """dd14 over ADVERSARIAL tiny corpora (6-token alphabet, so shared
+    k-grams and overlapping runs are common) must emit exactly the
+    spans a from-scratch Python implementation computes on raw token
+    tuples — pinning the posexplode offset, the df >= 2 semantics, the
+    gaps-and-islands run detection, and the min-length filter at
+    once."""
+    import shutil
+    import tempfile
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _SP_K,
+        _SP_MIN_TOK,
+        dd14_duplicate_spans,
+    )
+
+    doc_tokens = {i: toks for i, toks in enumerate(docs)}
+    tmp = tempfile.mkdtemp(prefix="dd14_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in doc_tokens.items()],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            (r.doc_id, r.span_start, r.span_len, r.n_grams)
+            for r in dd14_duplicate_spans(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == _naive_spans(doc_tokens, _SP_K, _SP_MIN_TOK)

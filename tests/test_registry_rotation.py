@@ -29,6 +29,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "mm03_alignment_score",
     "dd15_span_scrub",
     "tk03_bpe_compression",
+    "a17_conversion_funnel",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r08 — the 8
@@ -79,7 +80,6 @@ DOUBLE_GREEN = {
 BACK_IN_WINDOW = {
     "a04_stats_export",
     "dd05_embedding_neardup",
-    "txt02_quality_scores",
     "x15_risk_assembly",
     "x22_factor_normalize",
     # triple-greens needing fourths:

@@ -931,3 +931,58 @@ def test_tk03_compression_invariants_and_zero_round_identity(spark, sf_dir):
     base = tk03_bpe_compression(spark, sf_dir, rounds=0).collect()
     assert {r.word for r in base} == {r.word for r in rows}
     assert all(r.n_syms == r.n_chars and r.saved == 0 for r in base)
+
+
+def test_a17_funnel_greedy_window_semantics(spark, tmp_path):
+    """The funnel chain on a hand-built event log: user 10 converts all
+    three stages inside the windows; user 20's click lands OUTSIDE the
+    24 h window of their first view (even though a purchase follows);
+    user 30 clicks before ever viewing (order violation); user 40 only
+    views. Greedy-from-first is pinned too: user 50's FIRST view is
+    followed by a click 30 h later (outside), and an earlier
+    conversion chain must NOT be rescued by a later view."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        a17_conversion_funnel,
+    )
+
+    def ev(i, u, t, typ):
+        return Row(
+            event_id=i, ts=t, user_id=u, event_type=typ, value=1.0, props="{}"
+        )
+
+    import datetime as dt
+
+    B = dt.datetime(2026, 1, 1, 0, 0, 0)
+    H = dt.timedelta(hours=1)
+    rows = [
+        # user 10: view @0, click @+2h, purchase @+3h -> full funnel
+        ev(1, 10, B, "view"), ev(2, 10, B + 2 * H, "click"),
+        ev(3, 10, B + 3 * H, "purchase"),
+        # user 20: view @0, click @+30h (outside 24h), purchase @+31h
+        ev(4, 20, B, "view"), ev(5, 20, B + 30 * H, "click"),
+        ev(6, 20, B + 31 * H, "purchase"),
+        # user 30: click @0 then view @+1h (no click after the view)
+        ev(7, 30, B, "click"), ev(8, 30, B + 1 * H, "view"),
+        # user 40: views only
+        ev(9, 40, B, "view"),
+        # user 50: first view @0, click @+30h, SECOND view @+29h —
+        # greedy chains from the FIRST view, so the +30h click is
+        # outside its window and the funnel stops at stage 1
+        ev(10, 50, B, "view"), ev(11, 50, B + 29 * H, "view"),
+        ev(12, 50, B + 30 * H, "click"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r.stage_no: (r.stage, r.n_users)
+        for r in a17_conversion_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: ("any", 5),
+        1: ("view", 5),
+        2: ("click", 1),
+        3: ("purchase", 1),
+    }, got
