@@ -135,8 +135,10 @@ HEADLINE = [
     "mm03_alignment_score",
     "dd15_span_scrub",
     "tk03_bpe_compression",
-    # round-9 late addition: the windowed greedy conversion funnel
+    # round-9 late additions: the windowed greedy conversion funnel
+    # and the MRR/recall@k retrieval-eval harness over rk01's fusion
     "a17_conversion_funnel",
+    "rk02_retrieval_eval",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

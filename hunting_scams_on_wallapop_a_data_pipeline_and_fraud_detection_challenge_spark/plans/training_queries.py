@@ -9517,3 +9517,144 @@ def a17_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("conv_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rk02: retrieval-quality evaluation — MRR / hits@k against exact truth
+# ---------------------------------------------------------------------------
+#: relevant set per query = the exact brute-force cosine top-R
+_EVAL_REL = 5
+
+
+def _rk02_sql() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    nb AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
+    eb AS (SELECT * FROM nb WHERE nrm > 0),
+    qe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM eb
+           WHERE vec_id < {_RRF_QUERIES}),
+    tscored AS (
+        SELECT qe.q_id, c.vec_id AS id,
+               {_sql_dot("c.v", "qe.qv")} / (c.nrm * qe.qn) AS cos
+        FROM eb c CROSS JOIN qe WHERE c.vec_id <> qe.q_id
+    ),
+    tranked AS (
+        SELECT q_id, id, row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rk
+        FROM tscored
+    ),
+    truth AS (SELECT q_id, id FROM tranked WHERE rk <= {_EVAL_REL}),
+    sysr AS (SELECT q_id, doc_id, fused_rk FROM ({_rk01_sql()})),
+    hits AS (
+        SELECT s.q_id, min(s.fused_rk) AS frr,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM sysr s JOIN truth t ON s.q_id = t.q_id AND s.doc_id = t.id
+        GROUP BY s.q_id
+    )
+    SELECT q.q_id,
+           CAST(COALESCE(h.frr, 0) AS BIGINT) AS first_rel_rank,
+           round((CASE WHEN h.frr IS NULL THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(1 AS DOUBLE) / h.frr END) + 1e-9, 6)
+               + 0.0 AS reciprocal_rank,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round((CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_EVAL_REL})
+                 + 1e-9, 6) + 0.0 AS recall_at_k
+    FROM (SELECT DISTINCT q_id FROM qe) q LEFT JOIN hits h USING (q_id)
+    """
+
+
+@query("rk02_retrieval_eval", oracle=_rk02_sql, ops=("EVAL-RANK",))
+def rk02_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — the metrics harness every
+    retrieval stack ships (MRR / recall@k, Voorhees' TREC staples):
+    score rk01's fused ranking against the EXACT brute-force cosine
+    top-{_EVAL_REL} as the relevance set, per query: the rank of the
+    first relevant result, its reciprocal (the per-query MRR term),
+    the relevant results retrieved, and recall@k. Queries that
+    retrieve nothing relevant stay in the output with rank 0 / rr 0.0
+    (rk01's never-NULL rule). Per-QUERY granularity deliberately: a
+    corpus-level mean of reciprocal ranks would be a shuffled float
+    sum (order-dependent — the standing integer-first rule); the
+    per-query rows are exact, and any consumer can fold them in a
+    pinned order.
+
+    Exactness: ranks are BIGINT row_numbers with pinned tiebreaks
+    (both lists); the reciprocal and recall are one IEEE division
+    each; the truth leg replays rk01's own cosine primitives; the
+    oracle composes the full rk01 oracle text as a subquery (the nn08
+    WITH-inside-FROM idiom) so BOTH sides evaluate the SAME system
+    list. Every row hash-matches.
+
+    Scale shape (100 TB): the truth leg broadcasts the bounded query
+    block over one corpus scan (rk01's own shape) and is
+    depth-bounded after ranking; the metric join touches
+    |queries|·topk rows — driver-trivial at any corpus size. In
+    production the truth set is a labeled table read, not a computed
+    leg; the join and aggregate shapes are identical either way."""
+    sysr = rk01_rank_fusion(spark, sf_dir).select(
+        "q_id", "doc_id", "fused_rk"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    eb = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    tscored = (
+        eb.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("id"),
+            (
+                _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+            ).alias("cos"),
+        )
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    truth = (
+        tscored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= _EVAL_REL)
+        .select("q_id", F.col("id").alias("doc_id"))
+    )
+    hits = (
+        sysr.join(truth, ["q_id", "doc_id"])
+        .groupBy("q_id")
+        .agg(
+            F.min("fused_rk").alias("frr"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    qids = qe.select("q_id").distinct()
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("frr"), F.lit(0)).cast("bigint").alias(
+            "first_rel_rank"
+        ),
+        (
+            _r(
+                F.when(
+                    F.col("frr").isNull(), F.lit(0.0)
+                ).otherwise(F.lit(1.0) / F.col("frr")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("reciprocal_rank"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            _r(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(_EVAL_REL),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )

@@ -968,3 +968,15 @@ def test_a17_funnel_stage_joins_are_not_hint_forced(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_rk02_eval_joins_stay_depth_bounded(spark, sf_dir):
+    """The eval harness's scale contract: the truth leg broadcasts the
+    bounded query block over one corpus scan (rk01's own shape — BNLJ
+    count grows by exactly one for the truth leg), the metric join
+    touches only depth-bounded lists, and no CartesianProduct
+    appears."""
+    df = REGISTRY["rk02_retrieval_eval"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan  # lex + emb + truth
+    assert "CartesianProduct" not in plan, plan

