@@ -8935,17 +8935,22 @@ def _tk02_dict_chain(
             .localCheckpoint(eager=False)
         )
         merges.append(m)
-        wd = (
-            wd.crossJoin(F.broadcast(m.select("l", "rgt")))
-            .select(
-                F.expr(
-                    "replace(s, '<' || l || '><' || rgt || '>',"
-                    " '<' || l || rgt || '>')"
-                ).alias("s"),
-                "c",
-            )
-            .localCheckpoint(eager=False)
+        wd = wd.crossJoin(F.broadcast(m.select("l", "rgt"))).select(
+            F.expr(
+                "replace(s, '<' || l || '><' || rgt || '>',"
+                " '<' || l || rgt || '>')"
+            ).alias("s"),
+            "c",
         )
+        # lineage-cut every SECOND round: wd is consumed twice per
+        # round (pair counts + merge application), so refs grow 2^r
+        # between cuts — a 2-round cadence bounds the duplication at
+        # 4x while halving the checkpointed block count (the wall
+        # clock is analysis-dominated and measures the same either
+        # way; the win is BlockManager pressure, the scale_smoke
+        # _release_blocks lesson)
+        if rnd % 2 == 0 or rnd == rounds:
+            wd = wd.localCheckpoint(eager=False)
     return wd, merges
 
 
