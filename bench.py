@@ -150,6 +150,8 @@ HEADLINE = [
     # and the MRR/recall@k retrieval-eval harness over rk01's fusion
     "a17_conversion_funnel",
     "rk02_retrieval_eval",
+    # round-9 late addition: cross-media duplicated-frame detection
+    "mm04_frame_dedup",
 ]
 
 #: landing-corpus recipe version — part of the cache path, so editing

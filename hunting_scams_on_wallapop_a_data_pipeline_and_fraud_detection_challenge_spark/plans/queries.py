@@ -1243,9 +1243,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            k01_newest_first_cap, and tk03_bpe_compression (apply
 #            tk02's merges) parks x02_hidden_price_structured, and
 #            a17_conversion_funnel (windowed greedy stage chain) parks
-#            txt02_quality_scores, and rk02_retrieval_eval (MRR /
-#            recall@k against exact truth) parks a04_stats_export.
-#            Registry 119 = window 50 + tail 69.
+#            txt02_quality_scores, rk02_retrieval_eval (MRR /
+#            recall@k against exact truth) parks a04_stats_export, and
+#            mm04_frame_dedup (cross-media duplicated frames) parks
+#            x15_risk_assembly.
+#            Registry 120 = window 50 + tail 70.
 #   round 10+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1356,6 +1358,9 @@ _ROTATION_TAIL = [
     # parked late-round-9 (five-green) to fund the window slot for the
     # new rk02_retrieval_eval entry:
     "a04_stats_export",
+    # parked late-round-9 (five-green) to fund the window slot for the
+    # new mm04_frame_dedup entry:
+    "x15_risk_assembly",
 ]
 
 

@@ -9663,3 +9663,99 @@ def rk02_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm04: duplicated-frame detection — dd09's boilerplate pass at frame level
+# ---------------------------------------------------------------------------
+
+
+def _mm04_sql() -> str:
+    return """
+    WITH m AS (
+        SELECT doc_id, text AS t FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+    ),
+    f AS (SELECT doc_id, unnest(range(0, length(t), 64)) AS off, t FROM m),
+    fr AS (SELECT doc_id AS media_id,
+                  md5(substring(t, CAST(off + 1 AS INT), 64)) AS d
+           FROM f),
+    sh AS (SELECT d FROM (SELECT DISTINCT media_id, d FROM fr)
+           GROUP BY d HAVING count(*) >= 2)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM sh WHERE sh.d = fr.d)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+           round((CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM sh
+                                             WHERE sh.d = fr.d)
+                                THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+                 + 1e-6, 4) + 0.0 AS dup_share
+    FROM fr GROUP BY media_id
+    """
+
+
+@query("mm04_frame_dedup", oracle=_mm04_sql, ops=("MM-FRAME-DEDUP",))
+def mm04_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-frame detection — dd09's boilerplate pass applied at
+    FRAME level (the video-curation staple: intro/outro cards, channel
+    watermark stills, and slate frames repeat across media and should
+    not count as unique training signal): a sampled frame is
+    duplicated when its digest appears in >= 2 distinct media; per
+    media, the frame count, duplicated-frame count, and the share —
+    the audit number a multimodal curation run reports before
+    frame-level dedup. Composes mm02's frame sampler verbatim (same
+    mapInPandas stage, same byte-slice digests, same ASCII guard), so
+    the stream a real codec would emit is exactly what gets deduped.
+
+    Exactness: digests are md5 hex strings identical to the oracle's
+    relational replay (the mm02 contract); counts are BIGINT; the
+    share is one IEEE division. Every row hash-matches.
+
+    Scale shape (100 TB): payload bytes never cross a shuffle (the
+    mapInPandas stage emits only fixed-width digest rows —
+    plan-pinned); the shared-digest dictionary collapses via
+    (media_id, d) DISTINCT then a map-side-combinable count — the
+    dd14 shape, no pair join anywhere — and the shared set is
+    dup-rate-sized so its coverage join is UNHINTED on the digest key
+    (AQE elects from measured sizes; the r09 rule). The per-media
+    rollup is one keyed aggregate."""
+    from ..functions.multimodal import documents_as_media, frame_sample
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        == F.length(F.col("text"))
+    )
+    fr = frame_sample(documents_as_media(docs), every_n_bytes=64).select(
+        "media_id", F.col("frame_digest").alias("d")
+    ).localCheckpoint(eager=False)
+    sh = (
+        fr.select("media_id", "d")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") >= 2)
+        .select("d", F.lit(1).alias("hit"))
+    )
+    return (
+        fr.join(sh, "d", "left")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_frames"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "n_dup_frames",
+            (
+                _r(
+                    F.col("n_dup_frames").cast("double")
+                    / F.col("n_frames"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dup_share"),
+        )
+    )

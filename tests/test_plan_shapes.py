@@ -980,3 +980,23 @@ def test_rk02_eval_joins_stay_depth_bounded(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == 3, plan  # lex + emb + truth
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mm04_payload_never_shuffles_and_shared_set_unhinted(spark, sf_dir):
+    """Frame dedup's scale contract: payload bytes and raw text stay
+    inside the mapInPandas stage (no exchange carries them — only
+    fixed-width digest rows shuffle); the shared-digest set is
+    dup-rate-sized, so its coverage join carries NO broadcast hint
+    (AQE decides); no pair join exists, so nothing can degenerate to
+    a nested loop."""
+    df = REGISTRY["mm04_frame_dedup"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    fmt = _formatted_plan(spark, sf_dir, "mm04_frame_dedup")
+    for p in _exchange_payloads(fmt):
+        assert "payload#" not in p and "text#" not in p, (
+            f"exchange carries raw payload/text: {p}"
+        )

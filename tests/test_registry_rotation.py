@@ -31,6 +31,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "tk03_bpe_compression",
     "a17_conversion_funnel",
     "rk02_retrieval_eval",
+    "mm04_frame_dedup",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r08 — the 8
@@ -80,7 +81,6 @@ DOUBLE_GREEN = {
 #: a tail regression can't silently drop them.
 BACK_IN_WINDOW = {
     "dd05_embedding_neardup",
-    "x15_risk_assembly",
     "x22_factor_normalize",
     # triple-greens needing fourths:
     "st01_windowed_frequency",

@@ -1019,3 +1019,33 @@ def test_rk02_metrics_against_hand_positions(spark, sf_dir):
             assert any(
                 s.q_id == q and s.fused_rk == r.first_rel_rank for s in sysr
             )
+
+
+def test_mm04_flags_only_cross_media_duplicated_frames(spark, tmp_path):
+    """Frame-dedup semantics on a hand-built corpus: two media sharing
+    one identical 64-byte frame (and differing elsewhere) each report
+    exactly that frame as duplicated; a third all-unique media reports
+    zero. Frames repeated WITHIN one media only do not count (>= 2
+    distinct media, like dd14's df >= 2 over docs)."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        mm04_frame_dedup,
+    )
+
+    shared = "s" * 64
+    rows = [
+        Row(doc_id=1, text=shared + "a" * 64),
+        Row(doc_id=2, text="b" * 64 + shared),
+        Row(doc_id=3, text="c" * 64 + "d" * 64),
+        # doc 4 repeats its own frame twice but shares with nobody
+        Row(doc_id=4, text="e" * 64 + "e" * 64),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.media_id: (r.n_frames, r.n_dup_frames)
+        for r in mm04_frame_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0), 4: (2, 0)}, got
