@@ -344,3 +344,53 @@ def test_dd14_spans_match_naive_reference(spark, docs):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == _naive_spans(doc_tokens, _SP_K, _SP_MIN_TOK)
+
+
+# ---------------------------------------------------------------------------
+# tk02: the wrapped-symbol replace() merge vs a pure-Python greedy merge
+# ---------------------------------------------------------------------------
+
+
+def _py_merge(sym: tuple, l: str, r: str) -> tuple:
+    """Reference greedy left-to-right non-overlapping BPE merge."""
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "aa", "ba"]),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("a", "ab"),
+                     ("ab", "a"), ("aa", "a"), ("b", "ab")]),
+)
+def test_tk02_replace_merge_equals_greedy_python(spark_prop, syms, merge):
+    """The wrapped-symbol string encoding's core claim, adversarially
+    and in BOTH engines: replace(s, '<l><r>', '<lr>') on the
+    '<sym>...' encoding must equal a pure-Python greedy left-to-right
+    non-overlapping merge for ANY symbol sequence — including the
+    overlapping-chain case l == r ('<a><a><a>' -> '<aa><a>'),
+    multi-char symbols whose text embeds other symbols ('<ba><b>'
+    must NOT match pattern '<a><b>'), and merges whose output
+    re-occurs later in the same string."""
+    from pyspark.sql import functions as F
+
+    spark, con = spark_prop
+    l, r = merge
+    wrapped = "".join(f"<{x}>" for x in syms)
+    expr = f"replace('{wrapped}', '<{l}><{r}>', '<{l}{r}>')"
+    got_spark = spark.range(1).select(F.expr(expr).alias("s")).collect()[0].s
+    got_duck = con.execute(f"SELECT {expr}").fetchone()[0]
+    want = "".join(f"<{x}>" for x in _py_merge(tuple(syms), l, r))
+    assert got_spark == want, (syms, merge, got_spark, want)
+    assert got_duck == want, (syms, merge, got_duck, want)
