@@ -36,6 +36,7 @@ MANUAL = {
     "ST6": "`streaming/alerts.py:deduped_alerts` (watermarked dedupe) + `realert_suppressed` (faithful ElastAlert realert via applyInPandasWithState, checkpoint-restored state) — tests/test_streaming_alerts.py",
     "ST7": "checkpointLocation resume — tests/test_streaming_alerts.py (second run, no re-fire)",
     "ST8": "`streaming/sessions.py:sessionized_counts` (native session_window + watermark; cross-restart session merge, exactly-once append emission) — tests/test_streaming_sessions.py",
+    "ST9": "`streaming/corpus_ingest.py:start_bloom_ingest_query` + `seed_bloom_state` (continuous bloom-delta dedup: <=4,096-word on-disk state, idempotent bit_or merge, batch->stream seed handoff) — tests/test_streaming_bloom.py (cross-batch dup flagging, checkpoint resume, verdict parity with dd12)",
 }
 
 ORDER = (
