@@ -48,7 +48,7 @@ ORDER = (
     + [f"K{i}" for i in range(1, 7)]
     + [f"U{i}" for i in range(1, 4)]
     + [f"X{i}" for i in range(1, 24)]
-    + [f"ST{i}" for i in range(1, 9)]
+    + [f"ST{i}" for i in range(1, 10)]
     + ["UD1", "UD2", "UD3"]
 )
 
