@@ -8823,9 +8823,10 @@ def _tk02_ctes(rounds: int = _TK2_ROUNDS) -> str:
         ) GROUP BY l, rgt),
     m{r} AS (SELECT l, rgt, cnt FROM pc{r}
              ORDER BY cnt DESC, l ASC, rgt ASC LIMIT 1),
-    wd{r} AS (SELECT replace(s, '<' || l || '><' || rgt || '>',
-                             '<' || l || rgt || '>') AS s, c
-              FROM {prev}, m{r})""")
+    wd{r} AS (SELECT CASE WHEN l IS NULL THEN s
+                          ELSE replace(s, '<' || l || '><' || rgt || '>',
+                                       '<' || l || rgt || '>') END AS s, c
+              FROM {prev} LEFT JOIN m{r} ON TRUE)""")
     return ",\n    ".join(parts)
 
 
@@ -8935,10 +8936,17 @@ def _tk02_dict_chain(
             .localCheckpoint(eager=False)
         )
         merges.append(m)
-        wd = wd.crossJoin(F.broadcast(m.select("l", "rgt"))).select(
+        # LEFT join on TRUE, not a crossJoin: when a round's argmax is
+        # EMPTY (pairs exhausted before the round budget), the
+        # dictionary must pass through unchanged — a crossJoin with an
+        # empty one-row dim would annihilate it (caught by
+        # test_tk02_stops_emitting_when_pairs_exhaust; the oracle
+        # mirrors with LEFT JOIN ON TRUE + the same NULL guard)
+        wd = wd.join(F.broadcast(m.select("l", "rgt")), F.lit(True), "left").select(
             F.expr(
-                "replace(s, '<' || l || '><' || rgt || '>',"
-                " '<' || l || rgt || '>')"
+                "CASE WHEN l IS NULL THEN s"
+                " ELSE replace(s, '<' || l || '><' || rgt || '>',"
+                " '<' || l || rgt || '>') END"
             ).alias("s"),
             "c",
         )

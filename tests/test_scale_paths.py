@@ -1049,3 +1049,37 @@ def test_mm04_flags_only_cross_media_duplicated_frames(spark, tmp_path):
         for r in mm04_frame_dedup(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0), 4: (2, 0)}, got
+
+
+def test_tk02_stops_emitting_when_pairs_exhaust(spark, tmp_path):
+    """A corpus whose words fully merge before the round budget runs
+    out must emit exactly the merges that existed — one per round
+    until the dictionary has no adjacent pairs left — and the final
+    dictionary audit (tk03) must show every word as ONE symbol. The
+    empty-argmax rounds produce no rows on BOTH engines (the crossJoin
+    with an empty one-row dim empties the chain), so the behavior is
+    hash-stable, not an accident."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        tk02_bpe_trainer,
+        tk03_bpe_compression,
+    )
+
+    # vocabulary {ab, ba}: round 1 merges the global argmax pair,
+    # round 2 merges the other word's pair, round 3+ has nothing left
+    spark.createDataFrame(
+        [Row(doc_id=1, text="ab ba ab"), Row(doc_id=2, text="ba ab")]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    merges = sorted(
+        (r.rnd, r.merged, r.cnt)
+        for r in tk02_bpe_trainer(spark, str(tmp_path)).collect()
+    )
+    assert merges == [(1, "ab", 3), (2, "ba", 2)], merges
+
+    audit = {
+        r.word: (r.n_syms, r.saved)
+        for r in tk03_bpe_compression(spark, str(tmp_path)).collect()
+    }
+    assert audit == {"ab": (1, 1), "ba": (1, 1)}, audit
