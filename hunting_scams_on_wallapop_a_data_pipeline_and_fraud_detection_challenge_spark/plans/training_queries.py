@@ -9427,11 +9427,18 @@ def _a17_sql() -> str:
         UNION ALL SELECT 2, '{s2}', count(*) FROM u2
         UNION ALL SELECT 3, '{s3}', count(*) FROM u3)
     SELECT stage_no, stage, CAST(n AS BIGINT) AS n_users,
-           round(COALESCE(CAST(n AS DOUBLE)
-                          / lag(n) OVER (ORDER BY stage_no), 1.0)
+           round((CASE WHEN lag(n) OVER (ORDER BY stage_no) IS NULL
+                       THEN CAST(1 AS DOUBLE)
+                       WHEN lag(n) OVER (ORDER BY stage_no) = 0
+                       THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(n AS DOUBLE)
+                            / lag(n) OVER (ORDER BY stage_no) END)
                  + 1e-9, 6) + 0.0 AS conv_prev,
-           round((CAST(n AS DOUBLE)
-                  / first_value(n) OVER (ORDER BY stage_no))
+           round((CASE WHEN first_value(n) OVER (ORDER BY stage_no) = 0
+                       THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(n AS DOUBLE)
+                            / first_value(n) OVER (ORDER BY stage_no)
+                  END)
                  + 1e-9, 6) + 0.0 AS conv_start
     FROM s
     """
@@ -9509,26 +9516,26 @@ def a17_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     s = reduce(DataFrame.unionByName, rows)
     wser = Window.orderBy("stage_no")
+    # empty-stage guards (the a16 ADVICE lesson applied proactively):
+    # a 0-user previous stage would make the step rate 0/0 = NaN —
+    # NaN's cross-engine hash behavior is fragile, so both engines pin
+    # the conventions explicitly (first row -> 1.0, dead funnel -> 0.0)
+    prev_n = F.lag("n").over(wser)
+    base_n = F.first("n").over(wser)
+    conv_prev = (
+        F.when(prev_n.isNull(), F.lit(1.0))
+        .when(prev_n == 0, F.lit(0.0))
+        .otherwise(F.col("n").cast("double") / prev_n)
+    )
+    conv_start = F.when(base_n == 0, F.lit(0.0)).otherwise(
+        F.col("n").cast("double") / base_n
+    )
     return s.select(
         "stage_no",
         "stage",
         F.col("n").cast("bigint").alias("n_users"),
-        (
-            _r(
-                F.coalesce(
-                    F.col("n").cast("double") / F.lag("n").over(wser),
-                    F.lit(1.0),
-                ),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("conv_prev"),
-        (
-            _r(
-                F.col("n").cast("double") / F.first("n").over(wser), 6
-            )
-            + F.lit(0.0)
-        ).alias("conv_start"),
+        (_r(conv_prev, 6) + F.lit(0.0)).alias("conv_prev"),
+        (_r(conv_start, 6) + F.lit(0.0)).alias("conv_start"),
     )
 
 

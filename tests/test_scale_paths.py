@@ -1083,3 +1083,40 @@ def test_tk02_stops_emitting_when_pairs_exhaust(spark, tmp_path):
         for r in tk03_bpe_compression(spark, str(tmp_path)).collect()
     }
     assert audit == {"ab": (1, 1), "ba": (1, 1)}, audit
+
+
+def test_a17_dead_funnel_rates_are_defined(spark, tmp_path):
+    """A corpus with activity but ZERO stage-1 events (nobody views)
+    must report 0-user stages with DEFINED rates — the step rate after
+    a dead stage is pinned to 0.0 on both engines, never the 0/0 NaN
+    a naive division would produce (NaN hash behavior is
+    engine-fragile; the a16 ADVICE lesson applied proactively)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        a17_conversion_funnel,
+    )
+
+    B = dt.datetime(2026, 1, 1)
+    rows = [
+        Row(event_id=1, ts=B, user_id=1, event_type="click", value=1.0,
+            props="{}"),
+        Row(event_id=2, ts=B, user_id=2, event_type="purchase", value=1.0,
+            props="{}"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r.stage_no: r for r in a17_conversion_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got[0].n_users == 2 and got[0].conv_prev == 1.0
+    for k in (1, 2, 3):
+        assert got[k].n_users == 0
+        assert got[k].conv_start == 0.0
+        assert not math.isnan(got[k].conv_prev), got[k]
+    assert got[1].conv_prev == 0.0  # 0 of 2
+    assert got[2].conv_prev == 0.0 and got[3].conv_prev == 0.0  # dead stages
