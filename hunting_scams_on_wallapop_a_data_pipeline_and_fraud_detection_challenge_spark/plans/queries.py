@@ -1248,7 +1248,29 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            mm04_frame_dedup (cross-media duplicated frames) parks
 #            x15_risk_assembly.
 #            Registry 120 = window 50 + tail 70.
-#   round 10+ rotate a different set of multi-greens back (use
+#   round 10 tail: the r09 tail plus the EXPENSIVE in-window
+#            multi-greens, parked one-for-one for the round's new
+#            entries — this round's parks double as the VERDICT r09
+#            item-7 window-cost cut (the r09 window ran ~135 s at
+#            sf0.01; dd05 alone ~28 s, ud2 ~12 s). The 9 r09 arrivals
+#            (single-green) stay in-window for second rows; the 8 r08
+#            arrivals (double-green) stay for thirds; the 20 r07
+#            arrivals (triple-green) stay for fourths; st01/ds09
+#            (four-green) and nn08 (four-green but RESHAPED — the
+#            twin/leg contract rows split out into nn09, so it must
+#            re-earn a green at its new 6-row shape) stay in;
+#            x22_factor and the cheap five-greens (dd09, ds08, txt07)
+#            stay because parking them buys no meaningful window time.
+#            Parks: dd05_embedding_neardup (six-green, ~28 s) funds
+#            nn09_twin_contracts, ud2_spec_extraction (five-green,
+#            ~12 s) funds tk04_bpe_encode, cp02_tokenizer_prep_pipeline
+#            (five-green) funds cp04_span_scrub_pipeline,
+#            nn06_residual_ivfpq (five-green) funds dd16_url_dedup,
+#            nn07_opq_pq (five-green) funds rk03_ndcg, and
+#            dd10_semantic_dedup (five-green; nn09's twin contract
+#            still re-runs both its forms every round) funds
+#            mm05_pair_dedup.
+#   round 11+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
 #
@@ -1361,6 +1383,11 @@ _ROTATION_TAIL = [
     # parked late-round-9 (five-green) to fund the window slot for the
     # new mm04_frame_dedup entry:
     "x15_risk_assembly",
+    # parked round-10 (six-green, and at ~28 s the single most
+    # expensive window entry) to fund the window slot for the new
+    # nn09_twin_contracts entry (the twin/leg contract rows split out
+    # of nn08 — VERDICT r09 item 7):
+    "dd05_embedding_neardup",
 ]
 
 

@@ -5474,11 +5474,28 @@ def _nn08_oracle() -> str:
             f"       CAST(hits AS DOUBLE) / total >= {floor} AS meets_floor\n"
             f"FROM h_{tag}, t_{tag}"
         )
-    # dd10 twin-contract row (VERDICT r06 item 3): the Spark side counts
-    # (vec_id, cell, keep) agreements between dd10's Arrow twin and its
-    # SQL form; the oracle replays the SQL form once, so its expectation
-    # is TOTAL agreement — any silent Arrow/SQL divergence leaves Spark's
-    # hits short of total and turns the whole driver row red.
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _nn09_oracle() -> str:
+    """DuckDB twin of the twin/leg contract gate (split out of nn08 in
+    round 10 so rotation can park the two gates independently — VERDICT
+    r09 item 7). Two row kinds:
+
+    - dd10/dd11 twin-contract rows (VERDICT r06 item 3): the Spark side
+      counts (vec_id, cell, keep) agreements between each SemDeDup
+      form's Arrow twin and its SQL form; the oracle replays the SQL
+      form once, so its expectation is TOTAL agreement — any silent
+      Arrow/SQL divergence leaves Spark's hits short of total and turns
+      the whole driver row red.
+    - production-retrieval-leg contract rows (VERDICT r07 item 3): both
+      the brute-force oracle and the IVF-twin SQL replay here, hits =
+      result pairs they agree on, total = the brute-force set — the
+      IVF legs' recall floors become driver-re-verified numbers."""
+    from .queries import REGISTRY
+
+    ctes = []
+    selects = []
     for dname in ("dd10_semantic_dedup", "dd11_hierarchical_semdedup"):
         tag = dname.split("_")[0]
         ctes.append(
@@ -5492,10 +5509,6 @@ def _nn08_oracle() -> str:
             "       CAST(total AS DOUBLE) / total >= 1.0 AS meets_floor\n"
             f"FROM t_{tag}"
         )
-    # production-retrieval-leg contract rows (VERDICT r07 item 3): both
-    # the brute-force oracle and the IVF-twin SQL replay here, hits =
-    # result pairs they agree on, total = the brute-force set — the
-    # IVF legs' recall floors become driver-re-verified numbers.
     leg_specs = [
         ("tp02_hard_negatives", _tp02_sql(), _tp02_ivf_sql(), "q_id, neg_id"),
         ("rk01_rank_fusion", _rk01_sql(), _rk01_sql(ivf=True), "q_id, doc_id"),
@@ -5547,22 +5560,11 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     still hash-matches; a silent Arrow/SQL divergence would turn this
     row red, making the driver itself re-verify the twin contract.
 
-    Two further rows extend that driver-verified twin contract to the
-    DEDUP family (VERDICT r06 item 3): for dd10 AND dd11, hits =
-    (vec_id, cell, keep) verdicts the Arrow twin and SQL form agree on,
-    total = the verdict count, and the oracle (one replay of each SQL
-    form) expects full agreement — recall 1.0, floor 1.0 — so a single
-    diverging keep/drop verdict anywhere in the corpus turns the row
-    red.
-
-    Two final rows gate the composed PRODUCTION retrieval legs (VERDICT
-    r07 item 3): tp02's IVF hard-negative miner and rk01's IVF semantic
-    retriever each count the result pairs they share with their own
-    brute-force oracle-subject form (hits) against that form's full set
-    (total); the floors live in ``_LEG_RECALL_FLOORS`` — one constant
-    consumed by both engines — and the oracle replays both forms' SQL
-    twins, so the recall NUMBERS hash-match and a leg regression turns
-    the driver row red."""
+    The dedup-twin and production-retrieval-leg contract rows that
+    composed here through round 9 now live in ``nn09_twin_contracts``
+    (VERDICT r09 item 7: the combined 10-row gate cost ~30 s of the
+    driver window; the split lets rotation park the two gates
+    independently)."""
     exact = (
         nn01_cosine_topk(spark, sf_dir, impl="arrow")
         .select("q_id", "vec_id", "rk")
@@ -5595,13 +5597,45 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (recall >= F.lit(floor)).alias("meets_floor"),
         )
         out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query("nn09_twin_contracts", oracle=_nn09_oracle, ops=("TWIN-CONTRACT-GATE",))
+def nn09_twin_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified twin/leg contract gate, split out of
+    ``nn08_recall_gate`` in round 10 (VERDICT r09 item 7) so rotation
+    can park the ANN-recall rows and these composed-contract rows
+    independently. Four rows:
+
+    Two rows extend the driver-verified twin contract to the DEDUP
+    family (VERDICT r06 item 3): for dd10 AND dd11, hits =
+    (vec_id, cell, keep) verdicts the Arrow twin and SQL form agree on,
+    total = the verdict count, and the oracle (one replay of each SQL
+    form) expects full agreement — recall 1.0, floor 1.0 — so a single
+    diverging keep/drop verdict anywhere in the corpus turns the row
+    red. The agreement join carries NO broadcast hint (VERDICT r09
+    item 1: ``d_arrow`` is the FULL per-vector verdict table — corpus-
+    sized, the same a-priori-unbounded class the r08/r09 de-hint fixes
+    removed from the production dedup paths; a gate that only runs
+    when its driver can hold the corpus is a weaker contract). AQE
+    elects the strategy from measured sizes — at correctness SFs it
+    picks the same broadcast the hint used to force; at 100 TB it
+    degrades gracefully to a keyed sort-merge join.
+
+    Two rows gate the composed PRODUCTION retrieval legs (VERDICT r07
+    item 3): tp02's IVF hard-negative miner and rk01's IVF semantic
+    retriever each count the result pairs they share with their own
+    brute-force oracle-subject form (hits) against that form's full set
+    (total); the floors live in ``_LEG_RECALL_FLOORS`` — one constant
+    consumed by both engines — and the oracle replays both forms' SQL
+    twins, so the recall NUMBERS hash-match and a leg regression turns
+    the driver row red. The leg sets stay genuinely bounded (|queries|
+    × k), so their hit joins keep the broadcast hint."""
+    out = None
     # dedup twin-contract rows: hits = (vec_id, cell, keep) verdicts the
     # Arrow twin and the SQL form AGREE on; the oracle's expectation is
     # hits == total, so one diverging verdict turns the row red — the
-    # nn-family twin verification extended to both SemDeDup forms. The
-    # agreement join broadcasts the Arrow side (bounded at the
-    # correctness SF this gate runs at; the production dedup paths
-    # themselves never join verdict-to-verdict).
+    # nn-family twin verification extended to both SemDeDup forms.
     d_recall = F.col("hits") / F.col("total")
     for dname, dfn in (
         ("dd10_semantic_dedup", dd10_semantic_dedup),
@@ -5610,7 +5644,7 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_sql = dfn(spark, sf_dir)
         d_arrow = dfn(spark, sf_dir, impl="arrow")
         d_row = (
-            d_sql.join(F.broadcast(d_arrow), ["vec_id", "cell", "keep"])
+            d_sql.join(d_arrow, ["vec_id", "cell", "keep"])
             .agg(F.count(F.lit(1)).alias("hits"))
             .crossJoin(d_sql.agg(F.count(F.lit(1)).alias("total")))
             .select(
@@ -5621,7 +5655,7 @@ def nn08_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (d_recall >= F.lit(1.0)).alias("meets_floor"),
             )
         )
-        out = out.unionByName(d_row)
+        out = d_row if out is None else out.unionByName(d_row)
     # production-retrieval-leg contract rows (VERDICT r07 item 3): the
     # composed IVF legs (tp02's hard-negative miner, rk01's semantic
     # retriever) re-verify their recall floors vs their own brute-force

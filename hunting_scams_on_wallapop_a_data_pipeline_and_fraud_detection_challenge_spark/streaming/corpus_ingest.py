@@ -509,6 +509,73 @@ def _probe_against_bloom(
     )
 
 
+def _bloom_state_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """COMMITTED bloom-state versions under ``state_dir`` (``v=<n>``
+    directories containing a parquet ``_SUCCESS`` marker), ascending.
+
+    Listing goes through the Hadoop FileSystem API so any scheme the
+    checkpoint supports (local, HDFS, object stores with a committer)
+    works. A missing ``state_dir`` is the one legitimate "no state yet"
+    case and returns ``[]``; every OTHER failure mode (permissions,
+    transient FS faults) propagates — silently treating corruption as
+    "first batch" would reset the dedup history (ADVICE r09)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(marker):
+            out.append(n)
+    return sorted(out)
+
+
+def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest COMMITTED (word, bits) bloom table, or an empty one
+    when no version has ever committed. Readers never see a mid-write
+    state: a version directory only becomes visible here once its
+    parquet ``_SUCCESS`` marker exists."""
+    versions = _bloom_state_versions(spark, state_dir)
+    if not versions:
+        return spark.createDataFrame([], "word BIGINT, bits BIGINT")
+    return spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+
+
+def _write_bloom_state(spark: SparkSession, df: DataFrame, state_dir: str) -> None:
+    """Commit ``df`` as the next bloom-state version, crash-safely.
+
+    The new table lands at ``state_dir/v=<latest+1>`` — a FRESH path,
+    so a crash mid-write leaves the previous committed version intact
+    and the partial new directory invisible (no ``_SUCCESS``); the
+    switch is atomic from the reader's perspective (ADVICE r09: a plain
+    ``mode("overwrite")`` of ``state_dir`` deleted the old state before
+    the new write committed). After the commit, versions older than the
+    previous one are pruned best-effort — the reader only ever opens
+    the newest, and keeping one predecessor means even a crash mid-
+    prune can never leave zero committed versions."""
+    versions = _bloom_state_versions(spark, state_dir)
+    new = (versions[-1] + 1) if versions else 0
+    # mode("overwrite") only to reclaim an UNCOMMITTED leftover v=<new>
+    # from a crashed writer; a committed v=<new> can't exist (versions
+    # lists every committed dir and new is past the last one)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/v={new}")
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for n in versions[:-1]:  # keep the new version and its predecessor
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={n}"), True)
+
+
 def start_bloom_ingest_query(
     spark: SparkSession,
     landing_dir: str,
@@ -525,13 +592,18 @@ def start_bloom_ingest_query(
     the user sink, then folds the batch's own shingle bits into the
     on-disk word table so later batches see them.
 
-    State is the ≤4,096-row (word, bits) table at ``state_dir`` —
-    trivially bounded regardless of ingest volume (the whole point of
-    the bloom: per-batch state I/O is kilobytes at any corpus size).
-    The merge is a pure ``bit_or``, which is IDEMPOTENT — a batch
-    replayed after a crash re-ORs the same bits, so the state cannot
-    be corrupted by at-least-once delivery; output exactly-once comes
-    from the checkpointed source offsets like every other ingest query
+    State is the ≤4,096-row (word, bits) table under ``state_dir``,
+    stored as monotonically-versioned ``v=<n>`` commits — trivially
+    bounded regardless of ingest volume (the whole point of the bloom:
+    per-batch state I/O is kilobytes at any corpus size). Two distinct
+    guarantees (ADVICE r09 separated them): REPLAY safety comes from
+    the merge being a pure idempotent ``bit_or`` — a batch replayed
+    after a crash re-ORs the same bits; CRASH safety comes from the
+    versioned layout — each merge commits to a fresh ``v=<n+1>``
+    directory and readers only open directories with a ``_SUCCESS``
+    marker, so a crash mid-write can never destroy the previous state
+    (see :func:`_write_bloom_state`). Output exactly-once comes from
+    the checkpointed source offsets like every other ingest query
     here. Within-batch duplicates do NOT flag each other (the batch's
     bits land only after its verdicts) — that intra-delta diff belongs
     to the batch pipeline (cp03), same split as the reference's
@@ -546,17 +618,23 @@ def start_bloom_ingest_query(
     stream = read_document_stream(spark, landing_dir)
 
     def _sink(batch_df, batch_id):
+        session = batch_df.sparkSession
         sh = _shingle_hash_stream(batch_df)
-        try:
-            bloom = batch_df.sparkSession.read.parquet(state_dir)
-        except Exception:  # first batch: no state laid down yet
-            bloom = batch_df.sparkSession.createDataFrame(
-                [], "word BIGINT, bits BIGINT"
-            )
-        sink(_probe_against_bloom(sh, bloom, threshold), batch_id)
+        bloom = read_bloom_state(session, state_dir)
+        # materialize the verdicts BEFORE the state merge (ADVICE r09):
+        # the probe plan lazily scans the state version it was built
+        # against, so an un-materialized DataFrame re-evaluated by the
+        # user sink after this batch's merge could observe post-merge
+        # state; the eager localCheckpoint pins the verdicts to THIS
+        # batch's pre-merge view (micro-batch-sized, bounded)
+        verdicts = _probe_against_bloom(sh, bloom, threshold).localCheckpoint(
+            eager=True
+        )
+        sink(verdicts, batch_id)
         # fold the batch's bits into the word table: bounded collect
         # (≤ _BLOOM_WORDS + batch words rows), idempotent bit_or merge,
-        # atomic overwrite (parquet commit protocol)
+        # committed as a fresh state VERSION (crash mid-write leaves the
+        # previous version readable — see _write_bloom_state)
         merged: dict[int, int] = {
             int(r["word"]): int(r["bits"]) for r in bloom.collect()
         }
@@ -564,9 +642,13 @@ def start_bloom_ingest_query(
             w = int(r["word"])
             merged[w] = merged.get(w, 0) | int(r["bits"])
         if merged:
-            batch_df.sparkSession.createDataFrame(
-                sorted(merged.items()), "word BIGINT, bits BIGINT"
-            ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+            _write_bloom_state(
+                session,
+                session.createDataFrame(
+                    sorted(merged.items()), "word BIGINT, bits BIGINT"
+                ),
+                state_dir,
+            )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
@@ -579,7 +661,8 @@ def start_bloom_ingest_query(
 def seed_bloom_state(spark: SparkSession, docs: DataFrame, state_dir: str) -> None:
     """Lay down the historical corpus's bloom as the stream's starting
     state — the batch→stream handoff (cp03 builds the same table from
-    its snapshot; this writes it where the continuous query reads)."""
-    _bloom_word_rows(_shingle_hash_stream(docs)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(state_dir)
+    its snapshot; this writes it where the continuous query reads),
+    committed as version 0 of the versioned state layout."""
+    _write_bloom_state(
+        spark, _bloom_word_rows(_shingle_hash_stream(docs)), state_dir
+    )

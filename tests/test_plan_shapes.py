@@ -338,17 +338,61 @@ def test_ds09_weighted_sample_is_shuffle_free(spark, sf_dir):
 
 
 def test_nn08_recall_gate_joins_broadcast_the_exact_set(spark, sf_dir):
-    """The recall gate's hit-counting joins probe the bounded exact /
-    brute-force sets as broadcasts. The ONLY sort-merge joins allowed
-    in the composed plan ride in via the retrieval-leg contract rows
-    and the dedup-twin contract rows: tp02's deliberately-unhinted
-    (lo, hi) pair-set anti-joins (the VERDICT r07 de-broadcast fix),
-    rk01's depth-bounded (q_id, id) rank-fusion full-outers, and
-    dd10/dd11's deliberately-unhinted vec_id dup-verdict left joins
-    (the VERDICT r08 de-broadcast fix) — any other SMJ means a
-    hit-count join lost its broadcast."""
+    """The recall gate's hit-counting joins probe the bounded exact set
+    (|queries| × k = 50 rows) as broadcasts. Since the twin/leg contract
+    rows split out into nn09 (VERDICT r09 item 7), nn08's plan composes
+    ONLY the six ANN paths against the broadcast exact set — no
+    sort-merge join may appear anywhere."""
     plan = _plan(spark, sf_dir, "nn08_recall_gate")
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_nn09_twin_contract_joins_are_unhinted(spark, sf_dir):
+    """The twin/leg contract gate's composed plan (split out of nn08 in
+    round 10). The sort-merge joins allowed in ride in via the
+    retrieval-leg contract rows and the dedup-twin contract rows:
+    tp02's deliberately-unhinted (lo, hi) pair-set anti-joins (the
+    VERDICT r07 de-broadcast fix), rk01's depth-bounded (q_id, id)
+    rank-fusion full-outers, dd10/dd11's deliberately-unhinted vec_id
+    dup-verdict left joins (the VERDICT r08 de-broadcast fix), AND the
+    gate's own inner (vec_id, cell, keep) agreement joins — de-hinted
+    in round 10 (VERDICT r09 item 1: d_arrow is a corpus-sized verdict
+    table, so forcing it into a broadcast build OOMs the gate's driver
+    at production scale; AQE elects the strategy from measured sizes).
+    The analyzed plan must carry NO ResolvedHint on any vec_id join —
+    the only remaining hints are the bounded leg-set broadcasts."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    df = REGISTRY["nn09_twin_contracts"].fn(spark, sf_dir)
+    # anchor relative to the composed components (the rk02 ADVICE
+    # pattern — never a hard-coded literal): nn09 adds exactly TWO
+    # hints of its own, the bounded iv-leg broadcasts (|queries| × k
+    # rows each); the de-hinted agreement joins add none. The bf legs'
+    # internal hints don't appear in the composed plan — their lineage
+    # hides behind the lazy localCheckpoint placeholder — so the anchor
+    # sums only the subtrees that survive into it: the four dedup forms
+    # and the two iv legs.
+    component_hints = sum(
+        hints(REGISTRY[n].fn(spark, sf_dir))
+        + hints(REGISTRY[n].fn(spark, sf_dir, impl="arrow"))
+        for n in ("dd10_semantic_dedup", "dd11_hierarchical_semdedup")
+    ) + sum(
+        hints(REGISTRY[n].fn(spark, sf_dir, impl="ivf"))
+        for n in ("tp02_hard_negatives", "rk01_rank_fusion")
+    )
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == component_hints + 2
+    # (BroadcastNestedLoopJoin appears legitimately: the single-row
+    # hits × total crossJoins and rk01's depth-bounded BNLJ legs.)
+    plan = qe.executedPlan().toString()
     for line in plan.splitlines():
         s = line.lstrip(" +-:*")
         if s.startswith("SortMergeJoin"):
@@ -357,9 +401,10 @@ def test_nn08_recall_gate_joins_broadcast_the_exact_set(spark, sf_dir):
                 ("LeftAnti" in s and "lo#" in keys)
                 or ("FullOuter" in s and "q_id#" in keys)
                 or ("LeftOuter" in s and "vec_id#" in keys)
+                or ("Inner" in s and "vec_id#" in keys)
             )
             assert ok, (
-                f"unexpected sort-merge join in nn08's composed plan: {s}"
+                f"unexpected sort-merge join in nn09's composed plan: {s}"
             )
 
 
@@ -975,10 +1020,15 @@ def test_rk02_eval_joins_stay_depth_bounded(spark, sf_dir):
     bounded query block over one corpus scan (rk01's own shape — BNLJ
     count grows by exactly one for the truth leg), the metric join
     touches only depth-bounded lists, and no CartesianProduct
-    appears."""
+    appears. The BNLJ count anchors to rk01's OWN plan (ADVICE r09: a
+    hard-coded literal breaks on any benign rk01 plan change or AQE
+    strategy shift without a real regression) — rk02 adds exactly one
+    nested-loop leg of its own, the exact-truth scan."""
+    rk01_plan = _plan(spark, sf_dir, "rk01_rank_fusion")
     df = REGISTRY["rk02_retrieval_eval"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastNestedLoopJoin") == 3, plan  # lex + emb + truth
+    n_base = rk01_plan.count("BroadcastNestedLoopJoin")
+    assert plan.count("BroadcastNestedLoopJoin") == n_base + 1, plan
     assert "CartesianProduct" not in plan, plan
 
 

@@ -20,9 +20,16 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 9 — the operators
-#: added this round. They must be inside the 50-slot window.
+#: Entries with ZERO green driver rows entering round 10 — the
+#: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
+    "nn09_twin_contracts",
+}
+
+#: Single-green entries (first non-vacuous rows earned in r09 — the 9
+#: r09 arrivals) — the schedule keeps any entry with <2 green rows
+#: in-window until it has two.
+SINGLE_GREEN = {
     "dd14_duplicate_spans",
     "tk02_bpe_trainer",
     "ds12_epoch_allocation",
@@ -34,10 +41,9 @@ NEEDS_FIRST_ROW: set[str] = {
     "mm04_frame_dedup",
 }
 
-#: Single-green entries (first non-vacuous rows earned in r08 — the 8
-#: r08 arrivals) — the schedule keeps any entry with <2 green rows
-#: in-window until it has two.
-SINGLE_GREEN = {
+#: Double-green entries (the 8 r08 arrivals, seconds earned in r09) —
+#: kept in-window for third rows so they become parking stock.
+DOUBLE_GREEN = {
     "cp03_incremental_pipeline",
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
@@ -48,9 +54,10 @@ SINGLE_GREEN = {
     "a16_event_type_pivot",
 }
 
-#: Double-green entries (the 20 r07 arrivals, seconds earned in r08) —
-#: kept in-window for third rows so they become parking stock.
-DOUBLE_GREEN = {
+#: Triple-green entries (the 20 r07 arrivals, thirds earned in r09) —
+#: kept in-window for fourth rows; they are now eligible parking stock
+#: but stay in until the tail needs their slots.
+TRIPLE_GREEN = {
     "dd11_hierarchical_semdedup",
     "ct03_semantic_contamination",
     "ds10_temperature_resample",
@@ -73,28 +80,25 @@ DOUBLE_GREEN = {
     "co01_supplier_cooccurrence",
 }
 
-#: Multi-green entries deliberately kept in-window this round: the
-#: remaining rotated-back five-greens (f07/f08/f09/j01 were parked to
-#: fund the four r09 arrival slots — see the schedule comment in
-#: plans/queries.py), st01/nn08/ds09 (triple-green after r08, staying
-#: for fourths), and the 8 r05/r06-era four-greens — asserted here so
-#: a tail regression can't silently drop them.
+#: Multi-green entries deliberately kept in-window this round (round
+#: 10): nn08 stays DESPITE four greens because the twin/leg contract
+#: rows split out into nn09 — its output shape changed from 10 rows to
+#: 6, so it must re-earn a green with the new shape; st01/ds09
+#: (four-green) and the cheap five/six-greens stay because parking
+#: them buys almost no window time (the round-10 parks are the
+#: EXPENSIVE multi-greens — dd05/ud2/cp02/nn06/nn07/dd10 — cutting the
+#: driver window per VERDICT r09 item 7) — asserted here so a tail
+#: regression can't silently drop them.
 BACK_IN_WINDOW = {
-    "dd05_embedding_neardup",
     "x22_factor_normalize",
-    # triple-greens needing fourths:
+    # four-greens needing fifths (nn08 re-earning post-split):
     "st01_windowed_frequency",
     "nn08_recall_gate",
     "ds09_weighted_sample",
-    # four-greens needing fifths:
-    "cp02_tokenizer_prep_pipeline",
+    # cheap five-greens staying for sixths:
     "dd09_boilerplate_spans",
-    "dd10_semantic_dedup",
     "ds08_curriculum_order",
-    "nn06_residual_ivfpq",
-    "nn07_opq_pq",
     "txt07_vocab_oov",
-    "ud2_spec_extraction",
 }
 
 
@@ -109,6 +113,9 @@ def test_window_contains_every_entry_needing_rows():
     )
     assert DOUBLE_GREEN <= window, (
         f"double-green entries outside the window: {DOUBLE_GREEN - window}"
+    )
+    assert TRIPLE_GREEN <= window, (
+        f"triple-green entries outside the window: {TRIPLE_GREEN - window}"
     )
     assert BACK_IN_WINDOW <= window
 

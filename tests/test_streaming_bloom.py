@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.corpus_ingest import (
+    _bloom_state_versions,
+    read_bloom_state,
     seed_bloom_state,
     start_bloom_ingest_query,
 )
@@ -84,16 +86,59 @@ def test_bloom_stream_flags_cross_batch_dups_and_resumes(spark, tmp_path):
     # checkpoint resume with no new files: nothing re-emits, the word
     # table survives with the same bits
     before = {
-        (r.word, r.bits) for r in spark.read.parquet(str(state)).collect()
+        (r.word, r.bits) for r in read_bloom_state(spark, str(state)).collect()
     }
     got.clear()
     _drain(spark, landing, state, ckpt, got)
     assert got == []
     after = {
-        (r.word, r.bits) for r in spark.read.parquet(str(state)).collect()
+        (r.word, r.bits) for r in read_bloom_state(spark, str(state)).collect()
     }
     assert before == after
     assert len(after) <= 4096
+
+
+def test_bloom_state_survives_partial_writes(spark, tmp_path):
+    """Crash-safety of the versioned state layout (ADVICE r09): an
+    uncommitted version directory — a writer that died mid-write, so no
+    parquet _SUCCESS marker — is invisible to the reader, which keeps
+    serving the last COMMITTED version; and a fresh state dir with
+    NOTHING committed reads as empty instead of erroring. The old
+    mode('overwrite')-in-place layout failed exactly this: the crash
+    deleted the previous state before the new write committed, and the
+    read fallback silently reset the bloom to empty."""
+    from pyspark.sql import Row
+
+    state = tmp_path / "bloom_state"
+    # nothing committed yet: empty, not an error
+    assert read_bloom_state(spark, str(state)).count() == 0
+
+    hist = spark.createDataFrame([Row(doc_id=100, text=DOC_A)])
+    seed_bloom_state(spark, hist, str(state))
+    committed = {
+        (r.word, r.bits) for r in read_bloom_state(spark, str(state)).collect()
+    }
+    assert committed and _bloom_state_versions(spark, str(state)) == [0]
+
+    # simulate a writer that crashed mid-write: v=1 exists with data
+    # files but no _SUCCESS marker
+    partial = state / "v=1"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"garbage, not parquet")
+    assert _bloom_state_versions(spark, str(state)) == [0]
+    after = {
+        (r.word, r.bits) for r in read_bloom_state(spark, str(state)).collect()
+    }
+    assert after == committed
+
+    # the next real commit reclaims the dead v=1 path and becomes the
+    # version readers see (seeding twice is idempotent content-wise)
+    seed_bloom_state(spark, hist, str(state))
+    assert _bloom_state_versions(spark, str(state))[-1] == 1
+    again = {
+        (r.word, r.bits) for r in read_bloom_state(spark, str(state)).collect()
+    }
+    assert again == committed
 
 
 def test_bloom_stream_reads_batch_side_seed(spark, tmp_path):
