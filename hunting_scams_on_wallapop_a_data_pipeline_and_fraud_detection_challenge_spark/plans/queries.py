@@ -1388,6 +1388,9 @@ _ROTATION_TAIL = [
     # nn09_twin_contracts entry (the twin/leg contract rows split out
     # of nn08 — VERDICT r09 item 7):
     "dd05_embedding_neardup",
+    # parked round-10 (five-green) to fund the window slot for the new
+    # dd16_url_dedup entry:
+    "nn06_residual_ivfpq",
 ]
 
 

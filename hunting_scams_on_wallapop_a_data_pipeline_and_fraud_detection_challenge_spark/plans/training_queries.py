@@ -9808,3 +9808,100 @@ def mm04_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd16: normalized-URL dedup — the first pass of every web-corpus pipeline
+# ---------------------------------------------------------------------------
+#: raw-URL derivation shared by both engines (documents carry no URL
+#: column, so crawl URLs are DERIVED deterministically from doc_id/lang
+#: — the cdc01 snapshot-derivation pattern): host spreads docs over
+#: three mirrors, the path key collides ids i and i+3 inside each
+#: 6-block (every canonical URL has exactly two raw variants at the
+#: driver SFs), and scheme/www/query/slash/fragment noise varies with
+#: doc_id so the two variants are never byte-identical.
+_DD16_RAW_SQL = (
+    "CASE WHEN doc_id % 4 IN (0, 1) THEN 'https://' ELSE 'http://' END || "
+    "CASE WHEN doc_id % 4 IN (0, 2) THEN 'www.' ELSE '' END || "
+    "'M' || CAST(doc_id % 3 AS {str}) || '.Example.org' || "
+    "'/item/' || CAST(doc_id {div} 6 AS {str}) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&lang=' || lang "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#ref' ELSE '' END"
+)
+
+
+def _dd16_sql() -> str:
+    raw = _DD16_RAW_SQL.format(str="VARCHAR", div="//")
+    return f"""
+    WITH raw AS (SELECT doc_id, {raw} AS url FROM documents),
+    canon AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(lower(url),
+                       '#.*$', ''),
+                       '\\?.*$', ''),
+                       '^https?://', ''),
+                       '^www\\.', ''),
+                       '/+$', '') AS canonical_url
+        FROM raw)
+    SELECT canonical_url,
+           regexp_extract(canonical_url, '^[^/]+') AS domain,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@query("dd16_url_dedup", oracle=_dd16_sql, ops=("DEDUP-URL",))
+def dd16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-URL deduplication — the cheapest and FIRST dedup pass
+    every web-corpus pipeline runs (CommonCrawl-style recipes drop
+    same-page re-crawls before any content hashing touches the bytes):
+    canonicalize each crawl URL natively — lowercase, strip the
+    fragment, the query string, the ``http(s)://`` scheme, a leading
+    ``www.`` and trailing slashes, in that order — then collapse to
+    one row per canonical URL with the variant count and the surviving
+    (minimum) doc_id. Reference anchor: the reverse operation, X23's
+    ``web_slug`` URL templating (kibana/dashboard_export.ndjson:1,
+    elastalert/rules/high_risk.yaml:38-42) — dd16 undoes exactly the
+    scheme/host/query decoration that templating adds.
+
+    Exactness: the canonical form is a fixed chain of anchored
+    ``regexp_replace`` passes — single-match patterns, so Spark's
+    replace-all and DuckDB's replace-first agree — and the outputs are
+    strings + BIGINT counts; every row hash-matches.
+
+    Scale shape (100 TB): a pure scan projection (the regex chain
+    stays inside whole-stage codegen — no UDF) followed by ONE keyed
+    aggregate on the canonical URL; count/count-distinct/min all get
+    map-side partial aggregation, no join exists anywhere, and the
+    output is canonical-URL-sized. Plan-pinned in
+    tests/test_plan_shapes.py (single exchange, no raw text in it)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.expr(_DD16_RAW_SQL.format(str="STRING", div="DIV"))
+    canon = F.lower(raw)
+    for pat in (r"#.*$", r"\?.*$", r"^https?://", r"^www\.", r"/+$"):
+        canon = F.regexp_replace(canon, pat, "")
+    return (
+        docs.select(
+            F.col("doc_id"),
+            raw.alias("url"),
+            canon.alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.countDistinct("url").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+        )
+        .select(
+            "canonical_url",
+            F.regexp_extract("canonical_url", r"^[^/]+", 0).alias("domain"),
+            "n_raw",
+            "n_variants",
+            "keep_id",
+        )
+    )

@@ -1050,3 +1050,24 @@ def test_mm04_payload_never_shuffles_and_shared_set_unhinted(spark, sf_dir):
         assert "payload#" not in p and "text#" not in p, (
             f"exchange carries raw payload/text: {p}"
         )
+
+
+def test_dd16_is_one_keyed_aggregate_over_a_pruned_scan(spark, sf_dir):
+    """URL dedup's scale contract: the whole canonicalization chain is
+    scan-projection work (no UDF, no join anywhere), the documents scan
+    reads only the columns the URL derivation needs (doc_id, lang —
+    never text), and the only exchanges are the two keyed aggregate
+    hops of the exact distinct-variant count (partial distinct on
+    (canonical_url, url), then the final rollup on canonical_url) —
+    both partition on the canonical URL, with map-side partial
+    aggregation."""
+    plan = _plan(spark, sf_dir, "dd16_url_dedup")
+    assert plan.count("Exchange") == 2, plan
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        assert "canonical_url#" in chunk.split("\n")[0], plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"):
+        assert node not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read and "lang" in read
+    assert "text" not in read, read
+    assert "partial" in plan.lower(), plan

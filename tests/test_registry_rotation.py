@@ -24,6 +24,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
     "nn09_twin_contracts",
+    "dd16_url_dedup",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
