@@ -1391,6 +1391,10 @@ _ROTATION_TAIL = [
     # parked round-10 (five-green) to fund the window slot for the new
     # dd16_url_dedup entry:
     "nn06_residual_ivfpq",
+    # parked round-10 (five-green, ~12 s the second most expensive
+    # window entry) to fund the window slot for the new tk04_bpe_encode
+    # entry:
+    "ud2_spec_extraction",
 ]
 
 

@@ -8839,9 +8839,9 @@ def _tk02_ctes(rounds: int = _TK2_ROUNDS) -> str:
     tk02 selects the merge rows; tk03 selects the final dictionary."""
     parts = [
         f"""tok AS (SELECT unnest({sql_tokens("text")}) AS w FROM documents),
-    wd0 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s,
-                   CAST(count(*) AS BIGINT) AS c
-            FROM tok WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1)"""
+    wd0 AS (SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s, c
+            FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+                  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))"""
     ]
     for r in range(1, rounds + 1):
         prev = f"wd{r - 1}"
@@ -8857,7 +8857,7 @@ def _tk02_ctes(rounds: int = _TK2_ROUNDS) -> str:
         ) GROUP BY l, rgt),
     m{r} AS (SELECT l, rgt, cnt FROM pc{r}
              ORDER BY cnt DESC, l ASC, rgt ASC LIMIT 1),
-    wd{r} AS (SELECT CASE WHEN l IS NULL THEN s
+    wd{r} AS (SELECT w, CASE WHEN l IS NULL THEN s
                           ELSE replace(s, '<' || l || '><' || rgt || '>',
                                        '<' || l || rgt || '>') END AS s, c
               FROM {prev} LEFT JOIN m{r} ON TRUE)""")
@@ -8919,18 +8919,23 @@ def tk02_bpe_trainer(
 
 
 def _tk02_dict_chain(
-    spark: SparkSession, sf_dir: str, rounds: int
+    spark: SparkSession, sf_dir: str, rounds: int, tok: DataFrame | None = None
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The shared Spark chain of the BPE family (the _tk02_ctes twin):
     returns (final wrapped dictionary, per-round one-row merge frames).
-    tk02 emits the merges; tk03 audits the final dictionary."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    The dictionary carries the unwrapped word ``w`` through every round
+    so the APPLY leg (tk04) can join the final segmentation back to the
+    corpus. tk02 emits the merges; tk03 audits the final dictionary;
+    tk04 passes its shared token stream via ``tok`` so the corpus
+    parquet is scanned exactly once across dictionary + encode."""
+    if tok is None:
+        docs = _t(spark, sf_dir, "documents")
+        tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     wd = (
         tok.filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .select(F.regexp_replace("w", "(.)", "<$1>").alias("s"), "c")
+        .select("w", F.regexp_replace("w", "(.)", "<$1>").alias("s"), "c")
         .localCheckpoint(eager=False)
     )
     merges = []
@@ -8977,6 +8982,7 @@ def _tk02_dict_chain(
         # test_tk02_stops_emitting_when_pairs_exhaust; the oracle
         # mirrors with LEFT JOIN ON TRUE + the same NULL guard)
         wd = wd.join(F.broadcast(m.select("l", "rgt")), F.lit(True), "left").select(
+            "w",
             F.expr(
                 "CASE WHEN l IS NULL THEN s"
                 " ELSE replace(s, '<' || l || '><' || rgt || '>',"
@@ -9903,5 +9909,98 @@ def dd16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_raw",
             "n_variants",
             "keep_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tk04: BPE encode — apply the trained merge table to the corpus
+# ---------------------------------------------------------------------------
+
+
+def _tk04_sql(rounds: int = _TK2_ROUNDS) -> str:
+    return (
+        "WITH "
+        + _tk02_ctes(rounds)
+        + f""",
+    enc AS (SELECT w,
+                   CAST(len(string_split(substring(s, 2, length(s) - 2),
+                                         '><')) AS BIGINT) AS n_sym
+            FROM wd{rounds}),
+    dt AS (SELECT doc_id, unnest({sql_tokens("text")}) AS w
+           FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_tok_bpe,
+           round((CAST(sum(coalesce(n_sym, 1)) AS DOUBLE) / count(*))
+                 + 1e-6, 4) + 0.0 AS tok_per_word
+    FROM dt LEFT JOIN enc USING (w)
+    GROUP BY doc_id
+    """
+    )
+
+
+@query("tk04_bpe_encode", oracle=_tk04_sql, ops=("TOKENIZE-ENCODE",))
+def tk04_bpe_encode(
+    spark: SparkSession, sf_dir: str, *, rounds: int = _TK2_ROUNDS
+) -> DataFrame:
+    """Tokenizer ENCODE pass — apply tk02's trained merge table to the
+    corpus itself and emit per-document token counts (words, BPE
+    tokens, tokens-per-word), closing the train→apply loop a shipping
+    tokenizer pipeline needs (VERDICT r09 item 3: tk03 audits the
+    dictionary; a user preparing training data wants tokens/doc over
+    ``documents``). Sennrich-BPE apply semantics ride for free: the
+    trained chain already applied every merge to every dictionary
+    word in order (the wrapped-symbol replace chain), so the final
+    dictionary IS the encoder — each word's token count is its
+    post-merge symbol count, and encoding a document is one
+    dictionary lookup per word. Out-of-dictionary words (anything
+    not ``^[a-z]+$`` — numbers, punctuation-bearing tokens) count as
+    one fallback token each, the standard byte-fallback accounting.
+
+    Exactness: symbol counts and word counts are BIGINT; tokens-per-
+    word is one IEEE division. The oracle replays the same 8-round
+    CTE chain and probes it per word — every row hash-matches.
+
+    Scale shape (100 TB): the corpus parquet is scanned ONCE — the
+    exploded (doc_id, word) stream is lineage-cut and feeds BOTH the
+    dictionary build (word-keyed partial-agg collapse, the tk02 move)
+    and the encode join; the 8 merge rounds touch only the vocab-sized
+    dictionary (tk02's plan shape, unchanged); the encode join is a
+    word-keyed equi-join against the vocab-sized final dictionary —
+    deliberately UNHINTED (vocab grows with the corpus, so it is
+    a-priori unbounded — the r09 de-broadcast rule; AQE elects the
+    broadcast from measured sizes at any realistic vocab), and the
+    per-doc rollup is one keyed aggregate with map-side partials.
+    Plan-pinned: zero parquet scans in the final plan (the corpus is
+    consumed via the one checkpointed token stream), no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=False)
+    wd, _ = _tk02_dict_chain(spark, sf_dir, rounds, tok=dt.select("w"))
+    enc = wd.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        ).cast("bigint").alias("n_sym"),
+    )
+    return (
+        dt.join(enc, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sym"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_tok_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tok_bpe",
+            (
+                _r(F.col("n_tok_bpe").cast("double") / F.col("n_words"), 4)
+                + F.lit(0.0)
+            ).alias("tok_per_word"),
         )
     )

@@ -1071,3 +1071,23 @@ def test_dd16_is_one_keyed_aggregate_over_a_pruned_scan(spark, sf_dir):
     assert "doc_id" in read and "lang" in read
     assert "text" not in read, read
     assert "partial" in plan.lower(), plan
+
+
+def test_tk04_encode_consumes_checkpointed_tokens_unhinted(spark, sf_dir):
+    """The encode pass's scale contract: the corpus parquet is scanned
+    ZERO times in the final plan — the one exploded (doc_id, word)
+    stream is a lazy localCheckpoint feeding both the dictionary build
+    and the encode join (it prints as Scan ExistingRDD, the tk02 pin
+    trick) — no Python UDF appears, and the encode join carries NO
+    broadcast hint (the vocab side is a-priori unbounded; AQE elects
+    from measured sizes): the analyzed plan shows ZERO ResolvedHints —
+    the tk02 chain's one-row merge-dim hints live behind the final
+    dictionary's checkpoint placeholder, and the encode pass adds none
+    of its own."""
+    df = REGISTRY["tk04_bpe_encode"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -25,6 +25,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 NEEDS_FIRST_ROW: set[str] = {
     "nn09_twin_contracts",
     "dd16_url_dedup",
+    "tk04_bpe_encode",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
