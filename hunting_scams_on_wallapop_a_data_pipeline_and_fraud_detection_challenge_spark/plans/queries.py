@@ -1395,6 +1395,9 @@ _ROTATION_TAIL = [
     # window entry) to fund the window slot for the new tk04_bpe_encode
     # entry:
     "ud2_spec_extraction",
+    # parked round-10 (five-green) to fund the window slot for the new
+    # cp04_span_scrub_pipeline entry:
+    "cp02_tokenizer_prep_pipeline",
 ]
 
 

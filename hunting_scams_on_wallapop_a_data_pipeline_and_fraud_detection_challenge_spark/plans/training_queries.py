@@ -33,7 +33,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -9013,8 +9013,39 @@ _DS12_MULT = 3
 _DS12_CAP = 8
 
 
-def _ds12_sql() -> str:
+def _ds12_alloc_sql(
+    mult: int = _DS12_MULT, cap: int = _DS12_CAP, carry: str = ""
+) -> str:
+    """Allocation tail shared by ds12 and cp04: expects a ``sup`` CTE
+    with (source, n_tok, w[, carry columns]) and emits the alloc_*
+    CTE chain plus the final SELECT (alloc_* names avoid colliding
+    with the dd14/dd15 CTEs cp04 composes in front)."""
     wsum = sum(_MIX_WEIGHTS.values())
+    return f"""alloc_t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_all FROM sup),
+    alloc_b AS (
+        SELECT source, {carry}n_tok,
+               ({mult} * n_all * w) // {wsum} AS target_tok
+        FROM sup, alloc_t),
+    alloc_e AS (
+        SELECT source, {carry}n_tok, target_tok,
+               least(greatest((target_tok + n_tok - 1) // n_tok, 1),
+                     {cap}) AS epochs
+        FROM alloc_b),
+    alloc_f AS (
+        SELECT source, {carry}n_tok, target_tok, epochs,
+               2 * n_tok - (n_tok // (1 << CAST(epochs - 1 AS INT)))
+                   AS eff_tok
+        FROM alloc_e)
+    SELECT source, {carry}n_tok, target_tok,
+           CAST(epochs AS BIGINT) AS epochs,
+           CAST(eff_tok AS BIGINT) AS eff_tok,
+           round((CAST(eff_tok AS DOUBLE) / target_tok) + 1e-9, 6) + 0.0
+               AS utilization
+    FROM alloc_f
+    """
+
+
+def _ds12_sql() -> str:
     return f"""
     WITH sup AS (
         SELECT source,
@@ -9022,27 +9053,7 @@ def _ds12_sql() -> str:
                {_mix_weight_case("source")} AS w
         FROM documents WHERE source IN ({_mix_sources_sql()})
         GROUP BY source),
-    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_all FROM sup),
-    base AS (
-        SELECT source, n_tok,
-               ({_DS12_MULT} * n_all * w) // {wsum} AS target_tok
-        FROM sup, tot),
-    e AS (
-        SELECT source, n_tok, target_tok,
-               least(greatest((target_tok + n_tok - 1) // n_tok, 1),
-                     {_DS12_CAP}) AS epochs
-        FROM base),
-    f AS (
-        SELECT source, n_tok, target_tok, epochs,
-               2 * n_tok - (n_tok // (1 << CAST(epochs - 1 AS INT)))
-                   AS eff_tok
-        FROM e)
-    SELECT source, n_tok, target_tok,
-           CAST(epochs AS BIGINT) AS epochs,
-           CAST(eff_tok AS BIGINT) AS eff_tok,
-           round((CAST(eff_tok AS DOUBLE) / target_tok) + 1e-9, 6) + 0.0
-               AS utilization
-    FROM f
+    {_ds12_alloc_sql()}
     """
 
 
@@ -9078,14 +9089,7 @@ def ds12_epoch_allocation(
     arithmetic in the projection. The corpus never shuffles."""
     if mult <= 0 or cap < 1:
         raise ValueError("mult must be positive and cap >= 1")
-    wsum = sum(_MIX_WEIGHTS.values())
     docs = _t(spark, sf_dir, "documents")
-    wcase = F.coalesce(
-        *[
-            F.when(F.col("source") == k, F.lit(v))
-            for k, v in sorted(_MIX_WEIGHTS.items())
-        ]
-    )
     sup = (
         docs.filter(F.col("source").isin(*_MIX_WEIGHTS.keys()))
         .select(
@@ -9094,12 +9098,35 @@ def ds12_epoch_allocation(
         )
         .groupBy("source")
         .agg(F.sum("nt").alias("n_tok"))
-        .withColumn("w", wcase)
+        .withColumn("w", _mix_weight_col())
         .localCheckpoint(eager=False)
     )
+    return _ds12_alloc(sup, mult, cap)
+
+
+def _mix_weight_col() -> Column:
+    """ds05's mixture weight as a column over ``source`` (the Spark
+    twin of ``_mix_weight_case``)."""
+    return F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(v))
+            for k, v in sorted(_MIX_WEIGHTS.items())
+        ]
+    )
+
+
+def _ds12_alloc(
+    sup: DataFrame, mult: int, cap: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Allocation tail shared by ds12 and cp04 (the ``_ds12_alloc_sql``
+    twin): ``sup`` carries (source, n_tok, w[, carry columns]); the
+    one-row budget total joins back as a bounded broadcast (safe a
+    priori — the r09 hint rule allows only hard-capped sides)."""
+    wsum = sum(_MIX_WEIGHTS.values())
     tot = sup.agg(F.sum("n_tok").alias("n_all"))
     base = sup.crossJoin(F.broadcast(tot)).select(
         "source",
+        *carry,
         "n_tok",
         F.expr(f"({mult} * n_all * w) DIV {wsum}").alias("target_tok"),
     )
@@ -9121,6 +9148,7 @@ def ds12_epoch_allocation(
     )
     return f.select(
         "source",
+        *carry,
         "n_tok",
         "target_tok",
         "epochs",
@@ -9257,10 +9285,12 @@ def mm03_alignment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dd15_sql() -> str:
-    return f"""
-    WITH {_dd14_ctes()},
-    rm AS (SELECT DISTINCT doc_id, CAST(rp AS BIGINT) AS pos FROM (
+def _dd15_ctes() -> str:
+    """The scrub-side CTEs shared by dd15 and cp04, appended after
+    ``_dd14_ctes()``: rm (de-duplicated removal positions), tk
+    (positional tokens), tot (per-doc token totals) and kept (the
+    surviving positions)."""
+    return f"""rm AS (SELECT DISTINCT doc_id, CAST(rp AS BIGINT) AS pos FROM (
                SELECT doc_id,
                       unnest(range(span_start,
                                    span_start + n_grams + {_SP_K} - 1))
@@ -9276,7 +9306,13 @@ def _dd15_sql() -> str:
     kept AS (SELECT tk.doc_id, tk.pos, tk.tkn FROM tk
              WHERE NOT EXISTS (SELECT 1 FROM rm
                                WHERE rm.doc_id = tk.doc_id
-                                 AND rm.pos = tk.pos)),
+                                 AND rm.pos = tk.pos))"""
+
+
+def _dd15_sql() -> str:
+    return f"""
+    WITH {_dd14_ctes()},
+    {_dd15_ctes()},
     ka AS (SELECT doc_id, count(*) AS n_kept,
                   md5(string_agg(tkn, ' ' ORDER BY pos)) AS fp
            FROM kept GROUP BY doc_id)
@@ -10004,3 +10040,72 @@ def tk04_bpe_encode(
             ).alias("tok_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cp04: span-scrub pipeline — dd14 spans → dd15 scrub → ds12 epochs
+# ---------------------------------------------------------------------------
+
+
+def _cp04_sql() -> str:
+    return f"""
+    WITH {_dd14_ctes()},
+    {_dd15_ctes()},
+    keptc AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id),
+    perdoc AS (SELECT t.doc_id, t.n_tok,
+                      COALESCE(k.n_kept, 0) AS n_kept
+               FROM tot t LEFT JOIN keptc k USING (doc_id)),
+    sup AS (SELECT d.source,
+                   CAST(sum(p.n_tok) AS BIGINT) AS n_raw_tok,
+                   CAST(sum(p.n_kept) AS BIGINT) AS n_tok,
+                   {_mix_weight_case("d.source")} AS w
+            FROM perdoc p JOIN documents d USING (doc_id)
+            WHERE d.source IN ({_mix_sources_sql()})
+            GROUP BY d.source),
+    {_ds12_alloc_sql(carry="n_raw_tok, ")}
+    """
+
+
+@query("cp04_span_scrub_pipeline", oracle=_cp04_sql, ops=("PIPELINE-SCRUB",))
+def cp04_span_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed span-scrub pretraining pipeline (VERDICT r09 item 4):
+    dd14 finds the cross-document duplicated spans, dd15 scrubs them
+    from the token stream, and ds12's data-constrained epoch
+    allocation re-plans the training mixture on the POST-SCRUB token
+    supply — per source: raw and scrubbed supply, the mixture target,
+    the epoch count and the repetition-discounted effective yield.
+    This is the order a real curation run chains them (scrub first,
+    THEN decide how many epochs the deduplicated supply affords —
+    allocating epochs from pre-scrub counts overstates the unique
+    supply exactly where dedup bites hardest), composing the r09 span
+    family end-to-end the way cp01/cp02/cp03 compose theirs.
+
+    Exactness: composes dd15's per-doc BIGINT kept/total counts
+    (shared ``_dd15_ctes``) and ds12's integer allocation closed form
+    (shared ``_ds12_alloc`` / ``_ds12_alloc_sql``); utilization is the
+    one IEEE division. Every row hash-matches.
+
+    Scale shape (100 TB): dd14/dd15's plan verbatim (positional
+    hashes in the scan, unhinted df >= 2 semi-join, unhinted
+    (doc_id, pos) anti-join, per-doc windows) with the per-doc
+    fingerprint aggregate PRUNED away by Catalyst (cp04 consumes only
+    the counts, so no exchange carries tokens or text — plan-pinned);
+    the per-doc → per-source rollup is doc-count-sized and keyed on
+    doc_id (unhinted); the allocation tail adds only the one-row
+    bounded budget broadcast."""
+    scrub = dd15_span_scrub(spark, sf_dir).select(
+        "doc_id", "n_tok", "n_kept"
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sup = (
+        scrub.join(src, "doc_id")
+        .filter(F.col("source").isin(*_MIX_WEIGHTS.keys()))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("n_raw_tok"),
+            F.sum("n_kept").cast("bigint").alias("n_tok"),
+        )
+        .withColumn("w", _mix_weight_col())
+        .localCheckpoint(eager=False)
+    )
+    return _ds12_alloc(sup, _DS12_MULT, _DS12_CAP, carry=("n_raw_tok",))

@@ -1091,3 +1091,22 @@ def test_tk04_encode_consumes_checkpointed_tokens_unhinted(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cp04_pipeline_prunes_tokens_from_every_exchange(spark, sf_dir):
+    """The composed scrub pipeline's scale contract: cp04 consumes only
+    dd15's per-doc COUNTS, so Catalyst must prune the fingerprint
+    reassembly away — no exchange may carry the token column (tkn) or
+    raw text; everything that shuffles is integer ids/counts plus the
+    source dimension. The analyzed plan carries exactly ONE hint: the
+    allocation tail's one-row budget broadcast (bounded a priori) —
+    the dd14/dd15 joins and the per-source rollup stay unhinted."""
+    df = REGISTRY["cp04_span_scrub_pipeline"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    payloads = _exchange_payloads(
+        _formatted_plan(spark, sf_dir, "cp04_span_scrub_pipeline")
+    )
+    assert payloads, "no exchanges found — plan parse failed?"
+    for p in payloads:
+        assert "text#" not in p and "tkn#" not in p, p

@@ -26,6 +26,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "nn09_twin_contracts",
     "dd16_url_dedup",
     "tk04_bpe_encode",
+    "cp04_span_scrub_pipeline",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
