@@ -1398,6 +1398,9 @@ _ROTATION_TAIL = [
     # parked round-10 (five-green) to fund the window slot for the new
     # cp04_span_scrub_pipeline entry:
     "cp02_tokenizer_prep_pipeline",
+    # parked round-10 (five-green) to fund the window slot for the new
+    # rk03_ndcg entry:
+    "nn07_opq_pq",
 ]
 
 

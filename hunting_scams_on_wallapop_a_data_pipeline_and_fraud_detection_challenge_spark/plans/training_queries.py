@@ -9622,9 +9622,11 @@ def a17_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_REL = 5
 
 
-def _rk02_sql() -> str:
-    return f"""
-    WITH v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+def _eval_truth_ctes() -> str:
+    """Exact brute-force cosine-truth CTE chain shared by the rk02 and
+    rk03 oracles: qe (query block), tranked (per-query exact ranking
+    with pinned tiebreaks)."""
+    return f"""v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
     nb AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
     eb AS (SELECT * FROM nb WHERE nrm > 0),
     qe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM eb
@@ -9638,7 +9640,54 @@ def _rk02_sql() -> str:
         SELECT q_id, id, row_number() OVER (
                    PARTITION BY q_id ORDER BY cos DESC, id ASC) AS rk
         FROM tscored
-    ),
+    )"""
+
+
+def _eval_truth_ranked(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The Spark twin of ``_eval_truth_ctes``: returns (truth, qids) —
+    the exact brute-force cosine top-``_EVAL_REL`` per query as
+    (q_id, id, rk), and the distinct query-id frame (derived from the
+    query BLOCK, not the truth, so a pathological no-candidate query
+    can never drop out of the metric output)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    eb = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    tscored = (
+        eb.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("id"),
+            (
+                _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+            ).alias("cos"),
+        )
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    truth = (
+        tscored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= _EVAL_REL)
+        .select("q_id", "id", "rk")
+    )
+    return truth, qe.select("q_id").distinct()
+
+
+def _rk02_sql() -> str:
+    return f"""
+    WITH {_eval_truth_ctes()},
     truth AS (SELECT q_id, id FROM tranked WHERE rk <= {_EVAL_REL}),
     sysr AS (SELECT q_id, doc_id, fused_rk FROM ({_rk01_sql()})),
     hits AS (
@@ -9690,37 +9739,8 @@ def rk02_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sysr = rk01_rank_fusion(spark, sf_dir).select(
         "q_id", "doc_id", "fused_rk"
     )
-    emb = _t(spark, sf_dir, "embeddings")
-    eb = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn(
-            "nrm",
-            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
-        )
-        .filter(F.col("nrm") > 0)
-    )
-    qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    tscored = (
-        eb.crossJoin(F.broadcast(qe))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("id"),
-            (
-                _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
-            ).alias("cos"),
-        )
-    )
-    wt = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
-    truth = (
-        tscored.withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= _EVAL_REL)
-        .select("q_id", F.col("id").alias("doc_id"))
-    )
+    truth_r, qids = _eval_truth_ranked(spark, sf_dir)
+    truth = truth_r.select("q_id", F.col("id").alias("doc_id"))
     hits = (
         sysr.join(truth, ["q_id", "doc_id"])
         .groupBy("q_id")
@@ -9729,7 +9749,6 @@ def rk02_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hits"),
         )
     )
-    qids = qe.select("q_id").distinct()
     return qids.join(hits, "q_id", "left").select(
         "q_id",
         F.coalesce(F.col("frr"), F.lit(0)).cast("bigint").alias(
@@ -10109,3 +10128,112 @@ def cp04_span_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return _ds12_alloc(sup, _DS12_MULT, _DS12_CAP, carry=("n_raw_tok",))
+
+
+# ---------------------------------------------------------------------------
+# rk03: NDCG@k — graded-relevance ranking quality beside rk02's binary MRR
+# ---------------------------------------------------------------------------
+import math as _math
+
+#: system-list depth scored (rk01's fused list depth)
+_NDCG_DEPTH = 10
+#: 1/log2(position + 1) discounts as PYTHON-COMPUTED double literals
+#: embedded verbatim in BOTH engines — libm log never runs inside
+#: oracle-verified math (the standing rule); repr() round-trips each
+#: double exactly and both SQL parsers read decimal literals to the
+#: nearest double, so the constants are bit-identical cross-engine
+_NDCG_DISC = [1.0 / _math.log2(p + 1) for p in range(1, _NDCG_DEPTH + 1)]
+#: ideal DCG: the truth list always carries exactly _EVAL_REL graded
+#: docs (grades _EVAL_REL..1), so the normalizer is one shared constant
+_NDCG_IDCG = 0.0
+for _i in range(1, _EVAL_REL + 1):
+    _NDCG_IDCG += (_EVAL_REL + 1 - _i) * _NDCG_DISC[_i - 1]
+
+
+def _rk03_sql() -> str:
+    disc = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]"
+    return f"""
+    WITH {_eval_truth_ctes()},
+    truth AS (SELECT q_id, id,
+                     CAST({_EVAL_REL} + 1 - rk AS BIGINT) AS rel
+              FROM tranked WHERE rk <= {_EVAL_REL}),
+    sysr AS (SELECT q_id, doc_id, fused_rk FROM ({_rk01_sql()})
+             WHERE fused_rk <= {_NDCG_DEPTH}),
+    j AS (SELECT s.q_id, s.fused_rk, COALESCE(t.rel, 0) AS rel,
+                 CAST(COALESCE(t.rel, 0) AS DOUBLE)
+                     * ({disc}[CAST(s.fused_rk AS INT)]) AS contrib
+          FROM sysr s LEFT JOIN truth t
+               ON s.q_id = t.q_id AND s.doc_id = t.id),
+    g AS (SELECT q_id,
+                 CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rel_found,
+                 list(contrib ORDER BY fused_rk) AS cs
+          FROM j GROUP BY q_id)
+    SELECT q_id, n_rel_found,
+           round({_sql_fold_sum("cs")} + 1e-9, 6) + 0.0 AS dcg,
+           round(({_sql_fold_sum("cs")} / {_NDCG_IDCG!r}) + 1e-9, 6) + 0.0
+               AS ndcg
+    FROM g
+    """
+
+
+@query("rk03_ndcg", oracle=_rk03_sql, ops=("EVAL-RANK",))
+def rk03_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k with graded relevance (Järvelin & Kekäläinen) — the
+    EVAL-RANK completion beside rk02's binary MRR/recall (VERDICT r09
+    item 6): the exact brute-force cosine rank grades the truth
+    (rank 1 → relevance {_EVAL_REL} … rank {_EVAL_REL} → 1), rk01's
+    fused list is the system under test, and each query reports its
+    graded-hit count, DCG and NDCG. Per-QUERY rows only (the rk02
+    rule: a corpus-level mean would be a shuffled float sum).
+
+    Exactness without libm: the 1/log2(p+1) discounts are Python-
+    computed double literals shared verbatim by both engines, the
+    per-query DCG is a POSITION-PINNED left fold over the system
+    ranks (Spark array_sort + F.aggregate ≡ DuckDB list(... ORDER BY
+    fused_rk) + list_reduce — the lm01 idiom), and the ideal DCG is
+    one shared constant (the truth always carries exactly
+    {_EVAL_REL} graded docs), so NDCG is one IEEE division of two
+    pinned doubles. Every row hash-matches.
+
+    Scale shape (100 TB): the truth leg broadcasts the bounded query
+    block over one corpus scan (rk01's own shape — the composed plan
+    adds exactly one nested-loop leg, plan-pinned relative to rk01's
+    count); the metric join touches |queries| × depth rows, and the
+    per-query fold state is depth-bounded."""
+    sysr = rk01_rank_fusion(spark, sf_dir).select(
+        "q_id", "doc_id", "fused_rk"
+    ).filter(F.col("fused_rk") <= _NDCG_DEPTH)
+    truth_r, _ = _eval_truth_ranked(spark, sf_dir)
+    truth = truth_r.select(
+        "q_id",
+        F.col("id").alias("doc_id"),
+        (F.lit(_EVAL_REL + 1) - F.col("rk")).cast("bigint").alias("rel"),
+    )
+    disc = F.expr(
+        "array(" + ", ".join(repr(d) + "D" for d in _NDCG_DISC) + ")"
+    )
+    j = sysr.join(truth, ["q_id", "doc_id"], "left").select(
+        "q_id",
+        "fused_rk",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        (
+            F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+            * F.element_at(disc, F.col("fused_rk").cast("int"))
+        ).alias("contrib"),
+    )
+    g = j.groupBy("q_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_found"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("fused_rk"), F.col("contrib")))
+        ).alias("cs"),
+    )
+    dcg = _fold_sum(F.transform(F.col("cs"), lambda st: st["contrib"]))
+    return g.select(
+        "q_id",
+        "n_rel_found",
+        (_r(dcg, 6) + F.lit(0.0)).alias("dcg"),
+        (_r(dcg / F.lit(_NDCG_IDCG), 6) + F.lit(0.0)).alias("ndcg"),
+    )

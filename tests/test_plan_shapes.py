@@ -1110,3 +1110,18 @@ def test_cp04_pipeline_prunes_tokens_from_every_exchange(spark, sf_dir):
     assert payloads, "no exchanges found — plan parse failed?"
     for p in payloads:
         assert "text#" not in p and "tkn#" not in p, p
+
+
+def test_rk03_ndcg_joins_stay_depth_bounded(spark, sf_dir):
+    """NDCG's scale contract mirrors rk02's: the graded-truth leg
+    broadcasts the bounded query block over one corpus scan, so the
+    composed plan adds exactly ONE nested-loop leg to rk01's own count
+    (anchored relative, never a literal — the ADVICE r09 rule); the
+    metric join and per-query fold touch only depth-bounded rows, and
+    no CartesianProduct appears."""
+    rk01_plan = _plan(spark, sf_dir, "rk01_rank_fusion")
+    df = REGISTRY["rk03_ndcg"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_base = rk01_plan.count("BroadcastNestedLoopJoin")
+    assert plan.count("BroadcastNestedLoopJoin") == n_base + 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -27,6 +27,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "dd16_url_dedup",
     "tk04_bpe_encode",
     "cp04_span_scrub_pipeline",
+    "rk03_ndcg",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
