@@ -1401,6 +1401,10 @@ _ROTATION_TAIL = [
     # parked round-10 (five-green) to fund the window slot for the new
     # rk03_ndcg entry:
     "nn07_opq_pq",
+    # parked round-10 (five-green; nn09's twin contract still re-runs
+    # both its forms every round) to fund the window slot for the new
+    # mm05_pair_dedup entry:
+    "dd10_semantic_dedup",
 ]
 
 

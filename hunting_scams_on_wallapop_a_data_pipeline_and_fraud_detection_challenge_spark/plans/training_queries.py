@@ -9168,30 +9168,40 @@ def _ds12_alloc(
 _MM_ALIGN_T = 0.1
 
 
-def _mm03_sql() -> str:
+def _mm_align_ctes() -> str:
+    """The per-pair alignment-cosine CTE chain shared by the mm03 and
+    mm05 oracles: mf (md5-derived fake image features, centered at
+    128), mv (embedding heads), mal (media_id, source, cos) — the cos
+    expression is a fixed-association 4-term dot written identically
+    in both engines."""
     g2s = "g0*g0 + g1*g1 + g2*g2 + g3*g3"
     e2s = "e0*e0 + e1*e1 + e2*e2 + e3*e3"
     dot = "g0*e0 + g1*e1 + g2*e2 + g3*e3"
-    return f"""
-    WITH f AS (
+    return f"""mf AS (
         SELECT doc_id AS media_id, source,
                CAST(('0x' || substring(md5(text), 1, 2)) AS INT) - 128 AS g0,
                CAST(('0x' || substring(md5(text), 3, 2)) AS INT) - 128 AS g1,
                CAST(('0x' || substring(md5(text), 5, 2)) AS INT) - 128 AS g2,
                CAST(('0x' || substring(md5(text), 7, 2)) AS INT) - 128 AS g3
         FROM documents),
-    v AS (SELECT vec_id,
+    mv AS (SELECT vec_id,
                  CAST(embedding[1] AS DOUBLE) AS e0,
                  CAST(embedding[2] AS DOUBLE) AS e1,
                  CAST(embedding[3] AS DOUBLE) AS e2,
                  CAST(embedding[4] AS DOUBLE) AS e3
           FROM embeddings WHERE len(embedding) >= 4),
-    s AS (SELECT source,
+    mal AS (SELECT mf.media_id, mf.source,
                  CASE WHEN ({g2s}) > 0 AND ({e2s}) > 0.0
                       THEN ({dot}) / (sqrt(CAST({g2s} AS DOUBLE))
                                       * sqrt({e2s}))
                       ELSE 0.0 END AS cos
-          FROM f JOIN v ON f.media_id = v.vec_id)
+          FROM mf JOIN mv ON mf.media_id = mv.vec_id)"""
+
+
+def _mm03_sql() -> str:
+    return f"""
+    WITH {_mm_align_ctes()},
+    s AS (SELECT source, cos FROM mal)
     SELECT source,
            count(*) AS n_pairs,
            CAST(sum(CASE WHEN cos >= {_MM_ALIGN_T} THEN 1 ELSE 0 END)
@@ -9203,6 +9213,45 @@ def _mm03_sql() -> str:
            round(max(cos) + 1e-9, 6) + 0.0 AS max_cos
     FROM s GROUP BY source
     """
+
+
+def _mm_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of ``_mm_align_ctes``: (media_id, source, cos)
+    for every media with an embedding partner — mm03's feature/cosine
+    leg, shared with mm05. Payload bytes never cross a shuffle (the
+    mm01 mapInPandas contract); only 4-int feature rows meet the
+    embeddings in one unhinted keyed equi-join."""
+    from ..functions.multimodal import documents_as_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(
+        documents_as_media(docs)
+    ).select("media_id", "f0", "f1", "f2", "f3")
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") >= 4)
+        .select(
+            F.col("vec_id").alias("media_id"),
+            *[
+                F.element_at("embedding", i + 1)
+                .cast("double")
+                .alias(f"e{i}")
+                for i in range(4)
+            ],
+        )
+    )
+    j = feats.join(src, "media_id").join(emb, "media_id")
+    for i in range(4):
+        j = j.withColumn(f"g{i}", F.col(f"f{i}") - F.lit(128))
+    g2s = F.expr("g0*g0 + g1*g1 + g2*g2 + g3*g3")
+    e2s = F.expr("e0*e0 + e1*e1 + e2*e2 + e3*e3")
+    dot = F.expr("g0*e0 + g1*e1 + g2*e2 + g3*e3")
+    cos = F.when(
+        (g2s > 0) & (e2s > 0.0),
+        dot / (F.sqrt(g2s.cast("double")) * F.sqrt(e2s)),
+    ).otherwise(F.lit(0.0))
+    return j.select("media_id", "source", cos.alias("cos"))
 
 
 @query("mm03_alignment_score", oracle=_mm03_sql, ops=("MM-PAIR",))
@@ -9234,37 +9283,7 @@ def mm03_alignment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the int64 id (corpus-sized both sides: UNHINTED, AQE
     decides — the r09 rule), and the per-source rollup is a map-side-
     combinable aggregate over dimension-sized groups."""
-    from ..functions.multimodal import documents_as_media, extract_features
-
-    docs = _t(spark, sf_dir, "documents")
-    feats = extract_features(
-        documents_as_media(docs)
-    ).select("media_id", "f0", "f1", "f2", "f3")
-    src = docs.select(F.col("doc_id").alias("media_id"), "source")
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") >= 4)
-        .select(
-            F.col("vec_id").alias("media_id"),
-            *[
-                F.element_at("embedding", i + 1)
-                .cast("double")
-                .alias(f"e{i}")
-                for i in range(4)
-            ],
-        )
-    )
-    j = feats.join(src, "media_id").join(emb, "media_id")
-    for i in range(4):
-        j = j.withColumn(f"g{i}", F.col(f"f{i}") - F.lit(128))
-    g2s = F.expr("g0*g0 + g1*g1 + g2*g2 + g3*g3")
-    e2s = F.expr("e0*e0 + e1*e1 + e2*e2 + e3*e3")
-    dot = F.expr("g0*e0 + g1*e1 + g2*e2 + g3*e3")
-    cos = F.when(
-        (g2s > 0) & (e2s > 0.0),
-        dot / (F.sqrt(g2s.cast("double")) * F.sqrt(e2s)),
-    ).otherwise(F.lit(0.0))
-    s = j.select("source", cos.alias("cos"))
+    s = _mm_align_pairs(spark, sf_dir).select("source", "cos")
     aligned = F.when(F.col("cos") >= _MM_ALIGN_T, 1).otherwise(0)
     return s.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -10236,4 +10255,103 @@ def rk03_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rel_found",
         (_r(dcg, 6) + F.lit(0.0)).alias("dcg"),
         (_r(dcg / F.lit(_NDCG_IDCG), 6) + F.lit(0.0)).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm05: joint image-text pair dedup — compose mm03 + mm04 + dd02
+# ---------------------------------------------------------------------------
+
+
+def _mm05_sql() -> str:
+    big = (1 << 63) - 1
+    img_dup = "(mm.n_dup_frames * 2 >= mm.n_frames)"
+    aligned = f"COALESCE(mal.cos >= {_MM_ALIGN_T}, FALSE)"
+    return f"""
+    WITH {_mm_align_ctes()},
+    mm AS (SELECT media_id, n_frames, n_dup_frames FROM ({_mm04_sql()})),
+    prs AS (SELECT a_id, b_id FROM ({_minhash_sql()})),
+    pb AS (SELECT a_id AS media_id, b_id AS partner FROM prs
+           UNION ALL SELECT b_id, a_id FROM prs),
+    tp AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_text_partners,
+                  min(partner) AS min_partner
+           FROM pb GROUP BY media_id)
+    SELECT mm.media_id,
+           COALESCE(tp.n_text_partners, 0) AS n_text_partners,
+           {img_dup} AS img_dup,
+           ({img_dup} AND COALESCE(tp.n_text_partners, 0) >= 1)
+               AS joint_dup,
+           {aligned} AS aligned,
+           ({aligned} AND NOT ({img_dup}
+                AND COALESCE(tp.min_partner, {big}) < mm.media_id))
+               AS keep
+    FROM mm LEFT JOIN tp USING (media_id) LEFT JOIN mal USING (media_id)
+    """
+
+
+@query("mm05_pair_dedup", oracle=_mm05_sql, ops=("MM-JOINT-DEDUP",))
+def mm05_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image-text PAIR dedup — the LAION-style curation verdict
+    (VERDICT r09 item 8) composing the three multimodal legs verbatim:
+    mm04's frame-digest clusters say whether the IMAGE side repeats
+    (at least half the media's sampled frames appear in other media —
+    an integer compare, no threshold double), dd02's MinHash-LSH pair
+    set says whether the TEXT side near-dups, and mm03's alignment
+    cosine gates pair quality. A pair is a JOINT duplicate when both
+    sides repeat; it is DROPPED only when its image side repeats and a
+    lower-id text near-dup partner exists (greedy min-id survivor, so
+    every duplicate cluster keeps its canonical copy), and KEPT when
+    it is aligned and not dropped — the exact keep/drop ledger a
+    multimodal curation run ships.
+
+    Exactness: composes three already-hash-pinned legs (mm04 counts
+    are BIGINT, dd02's pair set is the verified ≥0.5-Jaccard set,
+    mm03's cosine is the fixed-association dot) and adds only BIGINT
+    counts, integer compares and boolean algebra. Every row
+    hash-matches.
+
+    Scale shape (100 TB): each leg keeps its own documented shape
+    (payload bytes never shuffle — digests and 4-int features only;
+    the LSH pair set is band-bucketed, never all-pairs); the
+    composition adds two LEFT joins keyed on the int64 media_id with
+    doc-count-sized sides — deliberately UNHINTED (the r09 rule), AQE
+    elects strategies from measured sizes — and one partner rollup
+    with map-side partials."""
+    mm = mm04_frame_dedup(spark, sf_dir).select(
+        "media_id", "n_frames", "n_dup_frames"
+    )
+    prs = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    pb = prs.select(
+        F.col("a_id").alias("media_id"), F.col("b_id").alias("partner")
+    ).unionByName(
+        prs.select(
+            F.col("b_id").alias("media_id"), F.col("a_id").alias("partner")
+        )
+    )
+    tp = pb.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_text_partners"),
+        F.min("partner").alias("min_partner"),
+    )
+    al = _mm_align_pairs(spark, sf_dir).select("media_id", "cos")
+    out = mm.join(tp, "media_id", "left").join(al, "media_id", "left")
+    img_dup = F.col("n_dup_frames") * 2 >= F.col("n_frames")
+    aligned = F.coalesce(
+        F.col("cos") >= F.lit(_MM_ALIGN_T), F.lit(False)
+    )
+    has_smaller = (
+        F.coalesce(F.col("min_partner"), F.lit((1 << 63) - 1))
+        < F.col("media_id")
+    )
+    return out.select(
+        "media_id",
+        F.coalesce(F.col("n_text_partners"), F.lit(0))
+        .cast("bigint")
+        .alias("n_text_partners"),
+        img_dup.alias("img_dup"),
+        (
+            img_dup
+            & (F.coalesce(F.col("n_text_partners"), F.lit(0)) >= 1)
+        ).alias("joint_dup"),
+        aligned.alias("aligned"),
+        (aligned & ~(img_dup & has_smaller)).alias("keep"),
     )

@@ -1125,3 +1125,33 @@ def test_rk03_ndcg_joins_stay_depth_bounded(spark, sf_dir):
     n_base = rk01_plan.count("BroadcastNestedLoopJoin")
     assert plan.count("BroadcastNestedLoopJoin") == n_base + 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mm05_payload_never_shuffles_and_adds_no_hints(spark, sf_dir):
+    """Joint pair dedup's scale contract: the composition adds only
+    LEFT joins keyed on the int64 media_id and a partner rollup — no
+    exchange anywhere in the composed plan may carry media payload
+    bytes or raw text (digests, 4-int features and ids only), and the
+    composition introduces ZERO broadcast hints of its own: the
+    analyzed hint count equals the sum over its three composed legs
+    (anchored relative, never a literal — the ADVICE r09 rule)."""
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    df = REGISTRY["mm05_pair_dedup"].fn(spark, sf_dir)
+    component_hints = sum(
+        hints(REGISTRY[n].fn(spark, sf_dir))
+        for n in (
+            "mm04_frame_dedup",
+            "dd02_minhash_lsh_pairs",
+            "mm03_alignment_score",
+        )
+    )
+    assert hints(df) == component_hints
+    fmt = _formatted_plan(spark, sf_dir, "mm05_pair_dedup")
+    payloads = _exchange_payloads(fmt)
+    assert payloads, "no exchanges found — plan parse failed?"
+    for p in payloads:
+        assert "payload#" not in p and "text#" not in p, p

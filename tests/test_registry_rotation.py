@@ -28,6 +28,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "tk04_bpe_encode",
     "cp04_span_scrub_pipeline",
     "rk03_ndcg",
+    "mm05_pair_dedup",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
