@@ -152,7 +152,101 @@ HEADLINE = [
     "rk02_retrieval_eval",
     # round-9 late addition: cross-media duplicated-frame detection
     "mm04_frame_dedup",
+    # round-10 additions: normalized-URL dedup (pure projection + one
+    # keyed aggregate), the BPE ENCODE pass (corpus-token join against
+    # the trained dictionary — the heaviest new path), the composed
+    # span-scrub pipeline (dd14 → dd15 → ds12 on post-scrub supply),
+    # graded-relevance NDCG, and the joint image-text pair dedup
+    "dd16_url_dedup",
+    "tk04_bpe_encode",
+    "cp04_span_scrub_pipeline",
+    "rk03_ndcg",
+    "mm05_pair_dedup",
 ]
+
+#: Deliberately NOT benched (VERDICT r09 watch item: bench coverage
+#: must be an auditable choice, not drift): every registry entry is
+#: either in HEADLINE or named here with its reason, and the assertion
+#: below turns an unclassified entry into a bench ERROR instead of a
+#: silent omission.
+EXCLUDED = {
+    # audit gates: each one re-times composed components HEADLINE
+    # already times (the ANN paths, the dedup twins, the IVF legs, the
+    # percentile sketch), and the driver window re-verifies their
+    # contracts every round
+    "nn08_recall_gate": "audit gate over already-benched ANN paths",
+    "nn09_twin_contracts": "audit gate over already-benched twin/leg paths",
+    "a01c_approx_median_rank_gate": "audit gate over a01/a01b's sketch",
+    # verify/bucketed variants of benched heavy paths: the interesting
+    # cost lives in the benched representative (dd02's LSH bands, dd03's
+    # simhash votes, dd06's kernels, nn02's embedding LSH, cp01/cp03's
+    # composed pipelines) and scale_smoke gates their growth laws
+    "dd04_ngram_jaccard_pairs": "dd02's candidate-verify stage alone",
+    "dd05_embedding_neardup": "embedding-LSH path benched via nn02; smoke-gated",
+    "dd07_cluster_survivors": "one keyed agg over dd06's benched kernel",
+    "dd08_simhash_neardup": "banding tail of the benched dd03 votes",
+    "ct01_benchmark_contamination": "dd02-shape band probe, bounded bench side",
+    "ct02_decontaminated_train": "ct01 + one anti-join",
+    "ct03_semantic_contamination": "dd10-shape cell probe, bounded bench side",
+    "ds01_stratified_sample": "scan projection + one sampled filter",
+    "ds02_sequence_packing": "benched inside cp01/cp02 compositions",
+    # light scan projections / single keyed aggregates: sub-second and
+    # scan-dominated at sf0.1, so timing them measures box noise; their
+    # scale contracts are plan-pinned in tests/test_plan_shapes.py
+    "f01_freshness_filter": "light projection",
+    "f05_market_segmentation": "light projection",
+    "f06_condition_normalize": "light projection",
+    "f07_keyword_filter": "light projection",
+    "f08_gated_enrichment": "light pushdown join",
+    "f09_nested_json_projection": "light projection",
+    "j01_fallback_stats_join": "light dim join",
+    "a02_component_stats": "light keyed agg",
+    "a03_secondary_segment_stats": "light keyed agg",
+    "a04_stats_export": "light keyed agg",
+    "a05_review_stats_per_user": "light keyed agg",
+    "a08_price_histogram": "light keyed agg",
+    "a09_risk_buckets": "light keyed agg",
+    "a11_top_users": "light top-k agg",
+    "a13_minmax_metrics": "light global agg",
+    "w02_topk_by_last_value": "light window + top-k",
+    "w03_global_share": "light window",
+    "k01_newest_first_cap": "light ordered cap",
+    "k45_best_component": "light ordered pick",
+    "u12_token_set_ops": "light set algebra projection",
+    "x02_hidden_price_structured": "light regex projection",
+    "x18_badge_scan": "light projection",
+    "x19_geo_struct": "light projection",
+    "x21_runtime_fields": "light projection",
+    "x22_factor_normalize": "light multi-emit projection",
+    "x22_painless_normalizer": "light multi-emit projection",
+    "txt01_language_id": "light projection",
+    "txt03_fingerprint": "light projection",
+    "txt05_gopher_filters": "light projection",
+    "txt06_token_rarity": "light dictionary join",
+    "txt07_vocab_oov": "light dictionary join",
+    "ud1_spam_truncate": "light regex projection",
+    "mm02_frame_sample": "mm01's mapInPandas stage benched; mm04/mm05 compose it",
+    "pii01_redact_props": "light regex projection",
+    "pii02_detection_stats": "pii01 + one rollup",
+    "rep01_repetition_scores": "light projection",
+    "rep02_ngram_repetition": "light projection",
+    "ds03_leakage_safe_split": "light projection",
+    "ds04_training_order": "light bucketed rank",
+    "ds05_source_mixture": "light keyed agg",
+    "ds07_weighted_interleave": "light bucketed rank",
+    "ds08_curriculum_order": "light bucketed rank",
+    "ds09_weighted_sample": "light sampled filter",
+    "ds10_temperature_resample": "light sampled filter",
+}
+
+# coverage gate: HEADLINE ∪ EXCLUDED must partition the registry
+_overlap = set(HEADLINE) & set(EXCLUDED)
+assert not _overlap, f"entries both benched and excluded: {sorted(_overlap)}"
+_unclassified = set(REGISTRY) - set(HEADLINE) - set(EXCLUDED)
+assert not _unclassified, (
+    f"registry entries neither benched nor excluded-with-reason: "
+    f"{sorted(_unclassified)} — add them to HEADLINE or EXCLUDED"
+)
 
 #: landing-corpus recipe version — part of the cache path, so editing
 #: the slice/dup recipe below rebuilds the corpus instead of silently

@@ -105,6 +105,19 @@ OPS = [
     # projection over tk02's final dictionary — both linear
     "dd15_span_scrub",
     "tk03_bpe_compression",
+    # round-10 additions. URL dedup: a regex-chain scan projection +
+    # one canonical-URL keyed aggregate. BPE encode: the corpus
+    # collapses to the dictionary once (tk02's argument) and the
+    # encode pass is one vocab-keyed equi-join + a doc_id rollup —
+    # both scan-dominated. span-scrub pipeline: dd14/dd15's gated
+    # plans + a dimension-sized allocation tail. joint pair dedup:
+    # composes dd02's banded-LSH (gated above), mm04's digest-only
+    # frame pass and two media_id-keyed LEFT joins — linear while
+    # dd02 stays linear.
+    "dd16_url_dedup",
+    "tk04_bpe_encode",
+    "cp04_span_scrub_pipeline",
+    "mm05_pair_dedup",
 ]
 
 
