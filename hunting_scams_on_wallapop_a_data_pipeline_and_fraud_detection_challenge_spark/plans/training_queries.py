@@ -10099,7 +10099,8 @@ def _cp04_sql() -> str:
                    {_mix_weight_case("d.source")} AS w
             FROM perdoc p JOIN documents d USING (doc_id)
             WHERE d.source IN ({_mix_sources_sql()})
-            GROUP BY d.source),
+            GROUP BY d.source
+            HAVING sum(p.n_kept) > 0),
     {_ds12_alloc_sql(carry="n_raw_tok, ")}
     """
 
@@ -10143,6 +10144,11 @@ def cp04_span_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_raw_tok"),
             F.sum("n_kept").cast("bigint").alias("n_tok"),
         )
+        # a FULLY-scrubbed source has no unique supply to allocate —
+        # and its zero n_tok would hit the allocation's integer
+        # division (Spark DIV → NULL, DuckDB // → error): guard on
+        # BOTH engines (the a17 0/0 lesson, r09 checklist item 2)
+        .filter(F.col("n_tok") > 0)
         .withColumn("w", _mix_weight_col())
         .localCheckpoint(eager=False)
     )

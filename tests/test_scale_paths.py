@@ -1120,3 +1120,80 @@ def test_a17_dead_funnel_rates_are_defined(spark, tmp_path):
         assert not math.isnan(got[k].conv_prev), got[k]
     assert got[1].conv_prev == 0.0  # 0 of 2
     assert got[2].conv_prev == 0.0 and got[3].conv_prev == 0.0  # dead stages
+
+
+def test_tk04_encode_applies_merges_and_fallback(spark, tmp_path):
+    """Sennrich-apply semantics on a hand corpus: with rounds=1 only
+    the global argmax pair ('ab', weighted count 4) has merged, so
+    'ab' encodes to 1 token, 'ba' and 'qz' stay at 2 symbols, and
+    out-of-dictionary words (non-^[a-z]+$) count as ONE fallback token
+    each; with the default 8-round budget — far past this corpus's
+    3-round pair supply — every alpha word is fully merged and the
+    exhaustion guard keeps the dictionary intact (tk02's annihilation
+    lesson applied to the encode leg)."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        tk04_bpe_encode,
+    )
+
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="ab ba ab"),
+            Row(doc_id=2, text="ba ab"),
+            Row(doc_id=3, text="ab x9 qz"),
+        ]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    partial = {
+        r.doc_id: (r.n_words, r.n_tok_bpe)
+        for r in tk04_bpe_encode(spark, str(tmp_path), rounds=1).collect()
+    }
+    # doc1: ab(1) + ba(2) + ab(1); doc2: ba(2) + ab(1);
+    # doc3: ab(1) + x9(fallback 1) + qz(2)
+    assert partial == {1: (3, 4), 2: (2, 3), 3: (3, 4)}, partial
+
+    full = {
+        r.doc_id: (r.n_words, r.n_tok_bpe)
+        for r in tk04_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    assert full == {1: (3, 3), 2: (2, 2), 3: (3, 3)}, full
+
+
+def test_cp04_survives_fully_scrubbed_source(spark, tmp_path):
+    """The zero-supply guard (the a17 0/0 lesson): a mixture source
+    whose every token sits inside a duplicated span scrubs to ZERO
+    unique supply — it must drop out of the allocation instead of
+    feeding n_tok = 0 into the integer division (Spark DIV -> NULL
+    row, DuckDB // -> error), while the surviving sources allocate
+    normally."""
+    from pyspark.sql import Row
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        cp04_span_scrub_pipeline,
+    )
+
+    dup = "a b c d e f g h i j k l"  # 12 tokens, fully covered (>= 8)
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text=dup, lang="en", source="src1", n_chars=1),
+            Row(doc_id=2, text=dup, lang="en", source="src1", n_chars=1),
+            Row(doc_id=3, text="m n o p q r s t u v", lang="en",
+                source="src3", n_chars=1),
+            Row(doc_id=4, text="w x y z aa bb cc dd ee ff", lang="en",
+                source="src5", n_chars=1),
+        ]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    rows = {
+        r.source: (r.n_raw_tok, r.n_tok, r.target_tok, r.epochs,
+                   r.eff_tok, r.utilization)
+        for r in cp04_span_scrub_pipeline(spark, str(tmp_path)).collect()
+    }
+    # src1 scrubbed to nothing -> absent; n_all = 20 unique tokens,
+    # wsum = 10, mult = 3: src3 (w=4) targets 24 -> 3 epochs,
+    # eff 2*10 - 10//4 = 18; src5 (w=3) targets 18 -> 2 epochs, eff 15
+    assert rows == {
+        "src3": (10, 10, 24, 3, 18, 0.75),
+        "src5": (10, 10, 18, 2, 15, 0.833333),
+    }, rows
