@@ -9912,6 +9912,20 @@ _DD16_RAW_SQL = (
 )
 
 
+def _dd16_canon(url: Column) -> Column:
+    """The canonicalization chain (the operator under test): lowercase,
+    then strip fragment, query string, scheme, leading www. and
+    trailing slashes — anchored single-match regexes, so Spark's
+    replace-all and DuckDB's replace-first agree. Shared with the
+    streaming twin (ST10, streaming/corpus_ingest.py) so the stream
+    and a batch backfill can never canonicalize the same URL
+    differently."""
+    canon = F.lower(url)
+    for pat in (r"#.*$", r"\?.*$", r"^https?://", r"^www\.", r"/+$"):
+        canon = F.regexp_replace(canon, pat, "")
+    return canon
+
+
 def _dd16_sql() -> str:
     raw = _DD16_RAW_SQL.format(str="VARCHAR", div="//")
     return f"""
@@ -9962,9 +9976,7 @@ def dd16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_shapes.py (single exchange, no raw text in it)."""
     docs = _t(spark, sf_dir, "documents")
     raw = F.expr(_DD16_RAW_SQL.format(str="STRING", div="DIV"))
-    canon = F.lower(raw)
-    for pat in (r"#.*$", r"\?.*$", r"^https?://", r"^www\.", r"/+$"):
-        canon = F.regexp_replace(canon, pat, "")
+    canon = _dd16_canon(raw)
     return (
         docs.select(
             F.col("doc_id"),

@@ -666,3 +666,53 @@ def seed_bloom_state(spark: SparkSession, docs: DataFrame, state_dir: str) -> No
     _write_bloom_state(
         spark, _bloom_word_rows(_shingle_hash_stream(docs)), state_dir
     )
+
+
+def start_url_dedup_ingest_query(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    available_now: bool = True,
+    horizon: str = DEDUPE_HORIZON,
+):
+    """Continuous canonical-URL dedup — dd16's streaming twin (ST10):
+    the first pass a web-crawl ingest runs, executed on the stream so
+    re-crawls of the same page never reach content hashing at all.
+    The canonical URL is computed in the scan projection with the SAME
+    expression dd16 uses (``plans.training_queries._dd16_canon`` — one
+    source of truth, so the stream and a batch backfill can never
+    canonicalize the same URL differently), and
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per
+    canonical URL inside the watermark horizon.
+
+    Scale shape: the only state is the canonical-URL dedupe map,
+    bounded by the watermark horizon and partitioned by URL — no
+    global state, no payload in state (the text column is dropped
+    before the stateful operator, the cp01 discipline: only the
+    fixed-width key and the passthrough ids enter it). Batch/stream
+    parity (kept canonical-URL SET == dd16's groups over the same
+    documents) is pinned in tests/test_streaming_url_dedup.py."""
+    from ..plans.training_queries import _DD16_RAW_SQL, _dd16_canon
+
+    stream = read_document_stream(spark, landing_dir)
+    raw = F.expr(_DD16_RAW_SQL.format(str="STRING", div="DIV"))
+    cur = (
+        stream.filter(F.col("ingest_ts").isNotNull())
+        .withWatermark("ingest_ts", horizon)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "ingest_ts",
+            raw.alias("url"),
+            _dd16_canon(raw).alias("canonical_url"),
+        )
+    )
+    deduped = cur.dropDuplicatesWithinWatermark(["canonical_url"])
+    writer = deduped.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
