@@ -162,6 +162,9 @@ HEADLINE = [
     "cp04_span_scrub_pipeline",
     "rk03_ndcg",
     "mm05_pair_dedup",
+    # late round-10: the per-event sliding time-RANGE window — the one
+    # window shape (bounded running frame state) w01/w04/w05 don't time
+    "w06_sliding_window",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage
@@ -237,6 +240,7 @@ EXCLUDED = {
     "ds08_curriculum_order": "light bucketed rank",
     "ds09_weighted_sample": "light sampled filter",
     "ds10_temperature_resample": "light sampled filter",
+    "a18_rollup_cube": "lattice-sized Expand agg; the Expand shape is benched via a15/pr01",
 }
 
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry

@@ -1269,7 +1269,10 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            nn07_opq_pq (five-green) funds rk03_ndcg, and
 #            dd10_semantic_dedup (five-green; nn09's twin contract
 #            still re-runs both its forms every round) funds
-#            mm05_pair_dedup.
+#            mm05_pair_dedup. Late round-10: dd09_boilerplate_spans
+#            and ds08_curriculum_order (both five-green) park to fund
+#            w06_sliding_window (time-RANGE frame) and
+#            a18_rollup_cube (grouping-sets lattice).
 #   round 11+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1405,6 +1408,10 @@ _ROTATION_TAIL = [
     # both its forms every round) to fund the window slot for the new
     # mm05_pair_dedup entry:
     "dd10_semantic_dedup",
+    # parked late-round-10 (both five-green) to fund the window slots
+    # for the new w06_sliding_window and a18_rollup_cube entries:
+    "dd09_boilerplate_spans",
+    "ds08_curriculum_order",
 ]
 
 

@@ -10373,3 +10373,136 @@ def mm05_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         aligned.alias("aligned"),
         (aligned & ~(img_dup & has_smaller)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w06: sliding time-RANGE window — per-user 24h trailing aggregates
+# ---------------------------------------------------------------------------
+#: trailing-window width in epoch microseconds (24 h)
+_W06_US = 24 * 3600 * 1_000_000
+
+
+def _w06_sql() -> str:
+    return f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER win AS BIGINT) AS n_24h,
+           max(value) OVER win AS max_value_24h,
+           CAST(epoch_us(ts) - min(epoch_us(ts)) OVER win AS BIGINT)
+               AS span_us
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_W06_US} PRECEDING AND CURRENT ROW)
+    """
+
+
+@query("w06_sliding_window", oracle=_w06_sql, ops=("WINDOW-SLIDING",))
+def w06_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 24-hour sliding window — the time-RANGE frame
+    (`RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW`) none of the
+    w01-w05 windows exercise: for every event, how many events the
+    same user produced in the preceding day, the largest value among
+    them, and the time span the window actually covers. This is the
+    rate/velocity feature a fraud or abuse model computes per event
+    (the reference's frequency alert, ST1, is the thresholded
+    streaming special case of exactly this window).
+
+    Exactness: the frame is keyed on integer epoch MICROSECONDS (the
+    a17/w04 tz rule — the driver session timezone can never shift a
+    boundary, and RANGE over equal keys is tie-symmetric so no
+    ordering ambiguity exists); count/span are BIGINT and max picks an
+    existing parquet double — no float arithmetic at all, every row
+    hash-matches.
+
+    Scale shape (100 TB): ONE hash exchange on user_id, then the
+    sliding frame evaluates inside each partition with a bounded
+    running state (Spark's WindowExec keeps only the frame's rows) —
+    parallel across users, no self-join (the naive rewrite is an
+    inequality self-join that explodes quadratically in events per
+    user). The events scan is pruned to the four columns the window
+    needs (plan-pinned)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(_EPOCH_US).alias("us"),
+        "value",
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_W06_US, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n_24h"),
+        F.max("value").over(win).alias("max_value_24h"),
+        (F.col("us") - F.min("us").over(win)).cast("bigint").alias("span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a18: rollup / grouping-sets aggregate — the OLAP subtotal lattice
+# ---------------------------------------------------------------------------
+
+
+def _a18_sql() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+@query("a18_rollup_cube", oracle=_a18_sql, ops=("AGG-ROLLUP",))
+def a18_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping-sets) aggregate — the OLAP subtotal lattice
+    none of a01-a17 exercises: one pass over lineitem produces the
+    (returnflag, linestatus) cells, the per-returnflag subtotals and
+    the grand total, each row tagged with its grouping-id bitmask.
+    This is the dashboard/report shape (drill-down with subtotals)
+    that would otherwise take three separate scans + a union — Spark
+    plans it as a single Expand over one shuffle.
+
+    Exactness: quantities collapse to BIGINT before summation (floor,
+    the standing truncate-don't-round rule; TPC-H quantities are
+    integral so no information is lost), counts are BIGINT, and the
+    NULL group keys rollup synthesizes coalesce to 'ALL' on both
+    engines; Spark's grouping_id() bit order equals DuckDB's
+    GROUPING(a, b). Every row hash-matches.
+
+    Scale shape (100 TB): ONE scan → Expand (3 replicas of each input
+    row, one per grouping set) → a single keyed aggregate with
+    map-side partials — no join, no second scan, and the output is
+    lattice-sized. The scan reads only the two group columns +
+    quantity (plan-pinned)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor("l_quantity").cast("bigint").alias("q"),
+    )
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias(
+                "returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias(
+                "linestatus"
+            ),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )

@@ -1155,3 +1155,39 @@ def test_mm05_payload_never_shuffles_and_adds_no_hints(spark, sf_dir):
     assert payloads, "no exchanges found — plan parse failed?"
     for p in payloads:
         assert "payload#" not in p and "text#" not in p, p
+
+
+def test_w06_sliding_frame_is_partitioned_and_pruned(spark, sf_dir):
+    """The sliding window's scale contract: ONE hash exchange on
+    user_id (never a single global partition), the Window node
+    partitions on user_id and orders by the integer epoch key, no
+    self-join exists (the naive inequality-join rewrite explodes
+    quadratically per user), and the events scan reads only the four
+    columns the window needs."""
+    plan = _plan(spark, sf_dir, "w06_sliding_window")
+    assert "Join" not in plan, plan
+    windows = _parse_windows(plan)
+    assert windows, "no Window node found"
+    for part, order in windows:
+        assert "user_id#" in part, f"window must partition on user_id: {part}"
+        assert "us#" in order, f"window must order by epoch micros: {order}"
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("event_id", "user_id", "ts", "value"):
+        assert col in read, read
+    assert "props" not in read and "event_type" not in read, read
+
+
+def test_a18_rollup_is_one_expand_aggregate(spark, sf_dir):
+    """The rollup's scale contract: the whole subtotal lattice comes
+    from ONE scan → one Expand (3 replicas, one per grouping set) →
+    one keyed aggregate with map-side partials — no join, no union of
+    re-scans; and the lineitem scan reads only the group columns +
+    quantity."""
+    plan = _plan(spark, sf_dir, "a18_rollup_cube")
+    assert plan.count("Expand") >= 1, plan
+    assert "Join" not in plan and "Union" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial" in plan.lower(), plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_quantity" in read and "l_returnflag" in read, read
+    assert "l_extendedprice" not in read, read

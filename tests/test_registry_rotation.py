@@ -29,6 +29,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "cp04_span_scrub_pipeline",
     "rk03_ndcg",
     "mm05_pair_dedup",
+    "w06_sliding_window",
+    "a18_rollup_cube",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -100,9 +102,8 @@ BACK_IN_WINDOW = {
     "st01_windowed_frequency",
     "nn08_recall_gate",
     "ds09_weighted_sample",
-    # cheap five-greens staying for sixths:
-    "dd09_boilerplate_spans",
-    "ds08_curriculum_order",
+    # cheap five-green staying for a sixth (dd09/ds08 parked late-r10
+    # to fund the w06/a18 slots):
     "txt07_vocab_oov",
 }
 
