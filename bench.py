@@ -241,6 +241,7 @@ EXCLUDED = {
     "ds09_weighted_sample": "light sampled filter",
     "ds10_temperature_resample": "light sampled filter",
     "a18_rollup_cube": "lattice-sized Expand agg; the Expand shape is benched via a15/pr01",
+    "u13_unpivot_long": "one Expand + profile agg; the Expand shape is benched via a15/pr01",
 }
 
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry

@@ -1412,6 +1412,9 @@ _ROTATION_TAIL = [
     # for the new w06_sliding_window and a18_rollup_cube entries:
     "dd09_boilerplate_spans",
     "ds08_curriculum_order",
+    # parked late-round-10 (five-green) to fund the window slot for
+    # the new u13_unpivot_long entry:
+    "txt07_vocab_oov",
 ]
 
 

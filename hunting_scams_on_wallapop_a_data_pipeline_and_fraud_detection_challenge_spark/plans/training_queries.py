@@ -10506,3 +10506,65 @@ def a18_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# u13: unpivot / melt — wide metric columns to long form, then profile
+# ---------------------------------------------------------------------------
+#: the wide lineitem measure columns melted into long form
+_U13_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _u13_sql() -> str:
+    legs = "\n        UNION ALL ".join(
+        f"SELECT '{m}' AS measure, {m} AS val FROM lineitem"
+        for m in _U13_MEASURES
+    )
+    return f"""
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM ({legs})
+    GROUP BY measure
+    """
+
+
+@query("u13_unpivot_long", oracle=_u13_sql, ops=("RESHAPE-UNPIVOT",))
+def u13_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the wide→long reshape every feature/metrics
+    pipeline runs before per-metric processing (training-data prep
+    melts wide feature tables into (example, feature, value) triples;
+    the reference's Kibana visualizations consume exactly this long
+    form): lineitem's four measure columns become (measure, val) rows
+    in ONE pass via Spark's native ``unpivot`` operator, then a
+    per-measure profile (count, distinct count, min, max) bounds the
+    output at measure-count rows. The oracle spells the same reshape
+    as a UNION ALL of per-column selects — semantically identical, so
+    the operator under test is Spark's Expand-based unpivot itself.
+
+    Exactness: counts are BIGINT and min/max pick existing parquet
+    doubles — no float arithmetic anywhere; every row hash-matches.
+
+    Scale shape (100 TB): ``unpivot`` plans as ONE scan + one Expand
+    (a row replica per measure column — no self-union of re-scans,
+    which is what the naive UNION ALL form would execute), and the
+    profile is one keyed aggregate with map-side partials; the
+    exact-distinct leg adds the standard second keyed hop (the dd16
+    shape). Plan-pinned: one parquet scan, an Expand node, no Union,
+    no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[], values=_U13_MEASURES, variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("val").cast("bigint").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )

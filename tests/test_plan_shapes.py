@@ -1191,3 +1191,19 @@ def test_a18_rollup_is_one_expand_aggregate(spark, sf_dir):
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "l_quantity" in read and "l_returnflag" in read, read
     assert "l_extendedprice" not in read, read
+
+
+def test_u13_unpivot_is_one_expand_not_a_union_of_scans(spark, sf_dir):
+    """Unpivot's scale contract: the wide→long reshape is ONE parquet
+    scan through one Expand node (a row replica per measure column) —
+    never the naive UNION ALL of per-column re-scans the oracle spells
+    — followed by the two keyed aggregate hops of the exact distinct
+    count; no join anywhere, and the scan reads exactly the four
+    measure columns."""
+    plan = _plan(spark, sf_dir, "u13_unpivot_long")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert "Union" not in plan and "Join" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_quantity" in read and "l_tax" in read, read
+    assert "l_orderkey" not in read, read

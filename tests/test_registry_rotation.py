@@ -31,6 +31,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "mm05_pair_dedup",
     "w06_sliding_window",
     "a18_rollup_cube",
+    "u13_unpivot_long",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -102,9 +103,6 @@ BACK_IN_WINDOW = {
     "st01_windowed_frequency",
     "nn08_recall_gate",
     "ds09_weighted_sample",
-    # cheap five-green staying for a sixth (dd09/ds08 parked late-r10
-    # to fund the w06/a18 slots):
-    "txt07_vocab_oov",
 }
 
 
