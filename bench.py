@@ -164,7 +164,10 @@ HEADLINE = [
     "mm05_pair_dedup",
     # late round-10: the per-event sliding time-RANGE window — the one
     # window shape (bounded running frame state) w01/w04/w05 don't time
+    # — and the 4-round integer-fixed-point PageRank (iterative
+    # join+aggregate rounds over the co-purchase graph)
     "w06_sliding_window",
+    "gr01_integer_pagerank",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

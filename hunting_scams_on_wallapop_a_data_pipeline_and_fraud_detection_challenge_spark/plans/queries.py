@@ -1415,6 +1415,9 @@ _ROTATION_TAIL = [
     # parked late-round-10 (five-green) to fund the window slot for
     # the new u13_unpivot_long entry:
     "txt07_vocab_oov",
+    # parked late-round-10 (six-green) to fund the window slot for
+    # the new gr01_integer_pagerank entry:
+    "x22_factor_normalize",
 ]
 
 

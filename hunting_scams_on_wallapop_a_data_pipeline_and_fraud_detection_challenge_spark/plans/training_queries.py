@@ -10568,3 +10568,130 @@ def u13_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("val").alias("max_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gr01: integer-fixed-point PageRank over the supplier co-purchase graph
+# ---------------------------------------------------------------------------
+#: fixed-point scale (1.0 == 1,000,000 micro-units)
+_GR_SCALE = 1_000_000
+#: damping factor as a percent (0.85), applied in integer arithmetic
+_GR_DAMP_PCT = 85
+#: power-iteration rounds (fixed — determinism over convergence tests)
+_GR_ROUNDS = 4
+#: emitted leaderboard depth
+_GR_TOPK = 20
+
+
+def _gr01_sql(rounds: int = _GR_ROUNDS) -> str:
+    teleport = (100 - _GR_DAMP_PCT) * _GR_SCALE // 100
+    parts = [
+        """t AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+           FROM lineitem),
+    ed AS (SELECT DISTINCT a.s AS src, b.s AS dst
+           FROM t a JOIN t b ON a.o = b.o WHERE a.s <> b.s),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM ed GROUP BY src),
+    s0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS score
+           FROM deg)""".format(scale=_GR_SCALE)
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""s{r} AS (
+        SELECT ed.dst AS node,
+               ({_GR_DAMP_PCT} * sum(s.score // d.deg)) // 100
+                   + {teleport} AS score
+        FROM ed JOIN s{r - 1} s ON s.node = ed.src
+                JOIN deg d ON d.src = ed.src
+        GROUP BY ed.dst)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(score AS BIGINT) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, node ASC)
+                AS BIGINT) AS rk
+    FROM s{rounds}
+    ORDER BY rk LIMIT {_GR_TOPK}
+    """
+    )
+
+
+@query("gr01_integer_pagerank", oracle=_gr01_sql, ops=("GRAPH-RANK",))
+def gr01_integer_pagerank(
+    spark: SparkSession, sf_dir: str, *, rounds: int = _GR_ROUNDS
+) -> DataFrame:
+    """PageRank over the supplier co-purchase graph (suppliers are
+    adjacent when they co-supply an order — co01's basket projection
+    as an undirected graph), in INTEGER fixed-point arithmetic so an
+    iterative float algorithm becomes driver-hash-verifiable: scores
+    live in BIGINT micro-units, each round sends ``score DIV deg``
+    along every edge, and the damping update is integer percent math
+    (``(85·Σ) DIV 100 + teleport``). Truncating division loses mass
+    DETERMINISTICALLY — both engines run the identical integer
+    recurrence, so after the fixed {_GR_ROUNDS} rounds every score is
+    bit-equal (a float PageRank would be a shuffled float sum per
+    round — the standing integer-first rule is what makes an
+    ITERATIVE rank oracle-checkable at all). Emits the top-{_GR_TOPK}
+    leaderboard with pinned (score DESC, node ASC) tiebreaks.
+
+    Beyond-reference scope: influence/centrality ranking over an
+    entity graph — the link-graph quality prior (Common Crawl's
+    harmonic-centrality seed ranking) a web-corpus pipeline computes
+    beside its URL dedup (dd16).
+
+    Scale shape (100 TB): edges come from one basket-confined
+    self-join (quadratic per order, bounded by basket size — co01's
+    documented argument), then every round is ONE keyed equi-join of
+    the node-sized score table against the edge table plus one
+    map-side-combinable BIGINT aggregate — the textbook distributed
+    PageRank shape (no driver-side loop state; the per-round tables
+    are lineage-cut like tk02's dictionary chain). Joins are
+    deliberately UNHINTED: the score side is node-sized, a priori
+    unbounded (the r09 rule), so AQE elects the strategy. The final
+    leaderboard is a TakeOrdered top-k, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    ed = (
+        li.alias("a")
+        .join(li.alias("b"), "o")
+        .filter(F.col("a.s") != F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = ed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).localCheckpoint(eager=False)
+    teleport = (100 - _GR_DAMP_PCT) * _GR_SCALE // 100
+    s = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_GR_SCALE).cast("bigint").alias("score"),
+    )
+    for r in range(1, rounds + 1):
+        s = (
+            ed.join(s, ed["src"] == s["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("score DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({_GR_DAMP_PCT} * inc) DIV 100 + {teleport}"
+                ).cast("bigint").alias("score"),
+            )
+        )
+        # one consumer per round, but the join-agg lineage still
+        # compounds — cut every second round (the tk02 cadence)
+        if r % 2 == 0 or r == rounds:
+            s = s.localCheckpoint(eager=False)
+    # TakeOrderedAndProject first (top-k pushdown — never a global
+    # sort), THEN rank the 20 surviving rows in a trivial window
+    top = s.orderBy(F.desc("score"), F.asc("node")).limit(_GR_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("node"))
+    return top.select(
+        "node",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

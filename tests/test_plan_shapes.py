@@ -1207,3 +1207,17 @@ def test_u13_unpivot_is_one_expand_not_a_union_of_scans(spark, sf_dir):
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "l_quantity" in read and "l_tax" in read, read
     assert "l_orderkey" not in read, read
+
+
+def test_gr01_pagerank_is_unhinted_with_topk_pushdown(spark, sf_dir):
+    """Integer PageRank's scale contract: every per-round score join is
+    UNHINTED (the score side is node-sized, a priori unbounded — zero
+    ResolvedHints in the analyzed plan; AQE elects strategies), the
+    leaderboard is a TakeOrderedAndProject (top-k pushdown, never a
+    global sort feeding a single-partition rank over all nodes), and
+    the lineitem scan reads only (l_orderkey, l_suppkey)."""
+    df = REGISTRY["gr01_integer_pagerank"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 0
+    plan = qe.executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -32,6 +32,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "w06_sliding_window",
     "a18_rollup_cube",
     "u13_unpivot_long",
+    "gr01_integer_pagerank",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -98,7 +99,6 @@ TRIPLE_GREEN = {
 #: driver window per VERDICT r09 item 7) — asserted here so a tail
 #: regression can't silently drop them.
 BACK_IN_WINDOW = {
-    "x22_factor_normalize",
     # four-greens needing fifths (nn08 re-earning post-split):
     "st01_windowed_frequency",
     "nn08_recall_gate",
