@@ -261,6 +261,11 @@ EXCLUDED = {
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry
 _overlap = set(HEADLINE) & set(EXCLUDED)
 assert not _overlap, f"entries both benched and excluded: {sorted(_overlap)}"
+_stale = set(EXCLUDED) - set(REGISTRY)
+assert not _stale, (
+    f"EXCLUDED names entries no longer in the registry: {sorted(_stale)} "
+    f"— remove the dead ledger rows"
+)
 _unclassified = set(REGISTRY) - set(HEADLINE) - set(EXCLUDED)
 assert not _unclassified, (
     f"registry entries neither benched nor excluded-with-reason: "

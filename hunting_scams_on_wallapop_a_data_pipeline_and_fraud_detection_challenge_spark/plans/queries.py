@@ -1258,9 +1258,7 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            arrivals (triple-green) stay for fourths; st01/ds09
 #            (four-green) and nn08 (four-green but RESHAPED — the
 #            twin/leg contract rows split out into nn09, so it must
-#            re-earn a green at its new 6-row shape) stay in;
-#            x22_factor and the cheap five-greens (dd09, ds08, txt07)
-#            stay because parking them buys no meaningful window time.
+#            re-earn a green at its new 6-row shape) stay in.
 #            Parks: dd05_embedding_neardup (six-green, ~28 s) funds
 #            nn09_twin_contracts, ud2_spec_extraction (five-green,
 #            ~12 s) funds tk04_bpe_encode, cp02_tokenizer_prep_pipeline
@@ -1269,10 +1267,17 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            nn07_opq_pq (five-green) funds rk03_ndcg, and
 #            dd10_semantic_dedup (five-green; nn09's twin contract
 #            still re-runs both its forms every round) funds
-#            mm05_pair_dedup. Late round-10: dd09_boilerplate_spans
-#            and ds08_curriculum_order (both five-green) park to fund
-#            w06_sliding_window (time-RANGE frame) and
-#            a18_rollup_cube (grouping-sets lattice).
+#            mm05_pair_dedup. Late round-10 the remaining five/six-
+#            green stock parked one-for-one as the registry grew
+#            126 → 130: dd09_boilerplate_spans funds
+#            w06_sliding_window (time-RANGE frame),
+#            ds08_curriculum_order funds a18_rollup_cube
+#            (grouping-sets lattice), txt07_vocab_oov funds
+#            u13_unpivot_long (native melt), and
+#            x22_factor_normalize (six-green) funds
+#            gr01_integer_pagerank (fixed-point iterative rank) —
+#            leaving st01/ds09 (four-green) and the reshaped nn08 as
+#            the only deliberate multi-green window residents.
 #   round 11+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.

@@ -10206,11 +10206,13 @@ def _rk03_sql() -> str:
                      AS n_rel_found,
                  list(contrib ORDER BY fused_rk) AS cs
           FROM j GROUP BY q_id)
-    SELECT q_id, n_rel_found,
-           round({_sql_fold_sum("cs")} + 1e-9, 6) + 0.0 AS dcg,
-           round(({_sql_fold_sum("cs")} / {_NDCG_IDCG!r}) + 1e-9, 6) + 0.0
-               AS ndcg
-    FROM g
+    SELECT q.q_id,
+           CAST(COALESCE(g.n_rel_found, 0) AS BIGINT) AS n_rel_found,
+           round(COALESCE({_sql_fold_sum("cs")}, 0.0) + 1e-9, 6) + 0.0
+               AS dcg,
+           round((COALESCE({_sql_fold_sum("cs")}, 0.0) / {_NDCG_IDCG!r})
+                 + 1e-9, 6) + 0.0 AS ndcg
+    FROM (SELECT DISTINCT q_id FROM qe) q LEFT JOIN g USING (q_id)
     """
 
 
@@ -10241,7 +10243,7 @@ def rk03_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sysr = rk01_rank_fusion(spark, sf_dir).select(
         "q_id", "doc_id", "fused_rk"
     ).filter(F.col("fused_rk") <= _NDCG_DEPTH)
-    truth_r, _ = _eval_truth_ranked(spark, sf_dir)
+    truth_r, qids = _eval_truth_ranked(spark, sf_dir)
     truth = truth_r.select(
         "q_id",
         F.col("id").alias("doc_id"),
@@ -10267,10 +10269,18 @@ def rk03_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("fused_rk"), F.col("contrib")))
         ).alias("cs"),
     )
-    dcg = _fold_sum(F.transform(F.col("cs"), lambda st: st["contrib"]))
-    return g.select(
+    # left-join from the query BLOCK (the rk02 rule, per the
+    # _eval_truth_ranked contract): a query whose system list is empty
+    # must report 0-metrics, never silently drop out of the eval
+    dcg = F.coalesce(
+        _fold_sum(F.transform(F.col("cs"), lambda st: st["contrib"])),
+        F.lit(0.0),
+    )
+    return qids.join(g, "q_id", "left").select(
         "q_id",
-        "n_rel_found",
+        F.coalesce(F.col("n_rel_found"), F.lit(0))
+        .cast("bigint")
+        .alias("n_rel_found"),
         (_r(dcg, 6) + F.lit(0.0)).alias("dcg"),
         (_r(dcg / F.lit(_NDCG_IDCG), 6) + F.lit(0.0)).alias("ndcg"),
     )

@@ -525,9 +525,18 @@ def _bloom_state_versions(spark: SparkSession, state_dir: str) -> list[int]:
     if not fs.exists(path):
         return []
     out = []
+    legacy = False
     for st in fs.listStatus(path):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("v=")):
+            # pre-versioned layouts wrote part-*.parquet + _SUCCESS
+            # directly under state_dir; treating that as "no state"
+            # would be exactly the silent dedup-history reset the
+            # versioned layout exists to prevent
+            if not st.isDirectory() and (
+                name == "_SUCCESS" or name.endswith(".parquet")
+            ):
+                legacy = True
             continue
         try:
             n = int(name[2:])
@@ -536,6 +545,13 @@ def _bloom_state_versions(spark: SparkSession, state_dir: str) -> list[int]:
         marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
         if fs.exists(marker):
             out.append(n)
+    if legacy and not out:
+        raise ValueError(
+            f"bloom state at {state_dir!r} uses the pre-versioned flat "
+            "layout; migrate it (move the parquet files into "
+            f"{state_dir}/v=0/) instead of silently restarting with "
+            "empty dedup history"
+        )
     return sorted(out)
 
 

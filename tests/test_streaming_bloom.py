@@ -141,6 +141,21 @@ def test_bloom_state_survives_partial_writes(spark, tmp_path):
     assert again == committed
 
 
+def test_bloom_state_rejects_legacy_flat_layout(spark, tmp_path):
+    """A state dir written by the pre-versioned flat layout (parquet
+    files directly under state_dir) must ERROR with a migration hint —
+    treating it as 'no state yet' would silently reset the dedup
+    history, the exact failure mode the versioned layout fixes."""
+    import pytest
+
+    state = tmp_path / "bloom_state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"x")
+    (state / "_SUCCESS").write_bytes(b"")
+    with pytest.raises(ValueError, match="pre-versioned"):
+        read_bloom_state(spark, str(state))
+
+
 def test_bloom_stream_reads_batch_side_seed(spark, tmp_path):
     """The batch→stream handoff: seed the state from a batch DataFrame
     (the historical corpus), then the FIRST streamed batch already

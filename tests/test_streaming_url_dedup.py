@@ -48,6 +48,10 @@ def test_url_stream_drops_recrawls_and_resumes(spark, tmp_path):
     got: list[dict] = []
     _drain(spark, landing, ckpt, got)
     assert {r["doc_id"] for r in got} == {0, 1}
+    # the text column must be dropped BEFORE the stateful operator
+    # (cp01 discipline: only the fixed-width key + passthrough ids
+    # enter state) — the emitted rows prove the projection
+    assert "text" not in got[0], sorted(got[0])
     assert all(r["canonical_url"].startswith("m") for r in got)
     assert all("://" not in r["canonical_url"] for r in got)
     assert all("?" not in r["canonical_url"] for r in got)
