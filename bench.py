@@ -179,6 +179,12 @@ HEADLINE = [
     # join+aggregate rounds over the co-purchase graph)
     "w06_sliding_window",
     "gr01_integer_pagerank",
+    # end of round-10: the grid-bucketed spatial radius self-join (the
+    # O(n^2)-to-equi-join rewrite — candidate volume is the cost) and
+    # the held-out-LM CCNet bucketing (corpus bigram stream joining
+    # the vocabulary-bounded model dictionaries)
+    "j07_grid_spatial_join",
+    "lm02_crossentropy_buckets",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage
@@ -256,6 +262,8 @@ EXCLUDED = {
     "ds10_temperature_resample": "light sampled filter",
     "a18_rollup_cube": "lattice-sized Expand agg; the Expand shape is benched via a15/pr01",
     "u13_unpivot_long": "one Expand + profile agg; the Expand shape is benched via a15/pr01",
+    "qf01_linear_quality_classifier": "light projection (zero-shuffle classifier apply)",
+    "u14_table_set_ops": "light keyed set algebra (three single-shuffle legs)",
 }
 
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry

@@ -1277,7 +1277,18 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            x22_factor_normalize (six-green) funds
 #            gr01_integer_pagerank (fixed-point iterative rank) —
 #            leaving st01/ds09 (four-green) and the reshaped nn08 as
-#            the only deliberate multi-green window residents.
+#            the only deliberate multi-green window residents. End of
+#            round 10 the registry grew 130 → 134 and the last
+#            four-green stock parked one-for-one: st01/ds09 fund
+#            j07_grid_spatial_join (grid-bucketed radius self-join)
+#            and lm02_crossentropy_buckets (held-out-LM CCNet
+#            filter), and the two most expensive triple-greens
+#            (dd11/ct03, the cell-confined semantic pair) fund
+#            qf01_linear_quality_classifier (fixed-weight
+#            classifier apply) and u14_table_set_ops (native
+#            INTERSECT/EXCEPT ALL) — nn08 stays as the only
+#            deliberate multi-green resident (re-earning its
+#            post-split shape).
 #   round 11+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1423,6 +1434,18 @@ _ROTATION_TAIL = [
     # parked late-round-10 (six-green) to fund the window slot for
     # the new gr01_integer_pagerank entry:
     "x22_factor_normalize",
+    # parked end-of-round-10 (both four-green) to fund the window
+    # slots for the new j07_grid_spatial_join and
+    # lm02_crossentropy_buckets entries:
+    "st01_windowed_frequency",
+    "ds09_weighted_sample",
+    # parked end-of-round-10 (both triple-green, and the two most
+    # expensive remaining TRIPLE_GREEN window residents — the
+    # cell-confined semantic dedup/contamination pair) to fund the
+    # window slots for the new qf01_linear_quality_classifier and
+    # u14_table_set_ops entries:
+    "dd11_hierarchical_semdedup",
+    "ct03_semantic_contamination",
 ]
 
 

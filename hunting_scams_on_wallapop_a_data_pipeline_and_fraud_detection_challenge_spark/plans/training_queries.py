@@ -10705,3 +10705,439 @@ def gr01_integer_pagerank(
         "score",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j07: grid-bucketed spatial radius self-join (neighbor counts)
+# ---------------------------------------------------------------------------
+#: match radius in degrees; the grid cell edge equals the radius, so a
+#: 3x3 neighborhood of cells is guaranteed to cover every match
+_J07_RADIUS = 1.0
+#: squared radius — the filter compares squared planar distance (no sqrt)
+_J07_R2 = _J07_RADIUS * _J07_RADIUS
+
+#: point derivation shared verbatim with the oracle: lat folds the event
+#: value into [0, 90) (the x19 rule), lon spreads event_id over
+#: [-180, 180) at 0.01-degree resolution so points are dense enough for
+#: non-trivial neighborhoods at every SF
+_J07_LAT_SQL = "round((value % 90) + 1e-6, 2)"
+_J07_LON_SQL = (
+    "round((CAST(event_id % 36000 AS DOUBLE) / 100.0 - 180) + 1e-6, 2)"
+)
+
+_J07_SQL = f"""
+WITH p AS (SELECT event_id,
+                  {_J07_LAT_SQL} AS lat,
+                  {_J07_LON_SQL} AS lon
+           FROM events),
+ c AS (SELECT event_id, lat, lon,
+              CAST(floor(lat / {_J07_RADIUS}) AS INTEGER) AS cx,
+              CAST(floor(lon / {_J07_RADIUS}) AS INTEGER) AS cy
+       FROM p),
+ a9 AS (SELECT c.event_id, c.lat, c.lon,
+               c.cx + o.dx AS jx, c.cy + o.dy AS jy
+        FROM c, (SELECT x.d AS dx, y.d AS dy
+                 FROM (VALUES (-1),(0),(1)) x(d),
+                      (VALUES (-1),(0),(1)) y(d)) o),
+ n AS (SELECT a.event_id, CAST(count(*) AS BIGINT) AS nn
+       FROM a9 a JOIN c b ON b.cx = a.jx AND b.cy = a.jy
+       WHERE b.event_id <> a.event_id
+         AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+             <= {_J07_R2}
+       GROUP BY a.event_id)
+SELECT CAST(coalesce(n.nn, 0) AS BIGINT) AS n_neighbors,
+       count(*) AS n_points,
+       min(c.event_id) AS min_event_id,
+       max(c.event_id) AS max_event_id
+FROM c LEFT JOIN n USING (event_id)
+GROUP BY 1
+"""
+
+
+@query("j07_grid_spatial_join", oracle=_J07_SQL, ops=("JOIN-SPATIAL",))
+def j07_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid bucketing — the geo operator
+    the reference's geo-point surface implies but never joins on
+    (X19 geo_point construction, poller/poller.py:712-714; Kibana's
+    map visualization consumes it): count, per point, the neighbors
+    within radius R in planar degree space, reported as a neighbor-
+    count histogram with min/max event_id witnesses per bucket.
+
+    The candidate generator is the standard spatial-grid trick: every
+    point lands in ONE cell of edge R, one side replicates into its
+    3x3 cell neighborhood (a 9-element literal-array explode — no
+    join), and candidates meet in an INT-keyed equi-join; the exact
+    squared-distance predicate then prunes the corners. Distance is
+    planar equirectangular ((dlat)^2 + (dlon)^2 — pure IEEE multiply/
+    add, bit-identical across engines; haversine's libm trig is not
+    correctly rounded, the standing oracle-math rule), which is the
+    right small-radius approximation anyway.
+
+    Exactness: coordinates are 2-dp-rounded doubles (the x19 rule)
+    BEFORE cell assignment and distance math, so both engines bucket
+    and filter identical doubles; counts are BIGINT; zero-neighbor
+    points re-enter via a left join + coalesce, so the histogram
+    partitions the whole point set.
+
+    Scale shape (100 TB): the naive form is an O(n^2)
+    BroadcastNestedLoopJoin — here candidates are confined to the 9
+    neighbor cells, so the join is a shuffle on (cx, cy) INT pairs
+    with bounded 9x replication of one side, partial-agg'd counts,
+    and a second tiny keyed hop for the histogram. Plan-pinned: no
+    CartesianProduct, no BroadcastNestedLoopJoin, the offsets come
+    from an explode (not a join), and the distance filter runs inside
+    whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        _r(F.col("value") % 90, 2).alias("lat"),
+        _r((F.col("event_id") % 36000).cast("double") / 100.0 - 180, 2).alias(
+            "lon"
+        ),
+    ).select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _J07_RADIUS).cast("int").alias("cx"),
+        F.floor(F.col("lon") / _J07_RADIUS).cast("int").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a9 = pts.select(
+        F.col("event_id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        "cx",
+        "cy",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "a_id",
+        "a_lat",
+        "a_lon",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    dla = F.col("a_lat") - F.col("lat")
+    dlo = F.col("a_lon") - F.col("lon")
+    n = (
+        a9.join(
+            pts,
+            (F.col("jx") == F.col("cx")) & (F.col("jy") == F.col("cy")),
+        )
+        .filter(
+            (F.col("event_id") != F.col("a_id"))
+            & (dla * dla + dlo * dlo <= F.lit(_J07_R2))
+        )
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    )
+    return (
+        pts.select("event_id")
+        .join(n, pts["event_id"] == n["a_id"], "left")
+        .select(
+            F.coalesce(F.col("nn"), F.lit(0)).cast("bigint").alias(
+                "n_neighbors"
+            ),
+            "event_id",
+        )
+        .groupBy("n_neighbors")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm02: held-out-LM cross-entropy bucketing (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+#: fixed bucket thresholds on the UNROUNDED mean conditional probability
+#: (the CCNet production shape: cutoffs are calibrated once, offline —
+#: these were read off the sf0.01 score distribution and are part of the
+#: operator contract, like the classifier weights in qf01)
+_LM02_HEAD = 0.0345
+_LM02_MIDDLE = 0.0330
+#: the training domain — the reference-language subset plays the role
+#: CCNet gives Wikipedia (train the LM on trusted in-domain text, score
+#: everything else against it)
+_LM02_TRAIN_LANG = "en"
+
+
+def _lm02_sql() -> str:
+    fold = _sql_fold_sum("ps")
+    return f"""
+    WITH b0 AS (SELECT doc_id, lang, {sql_ngrams(sql_tokens("text"), 2)} AS bg
+                FROM documents),
+    e0 AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, len(bg)+1),
+                         i -> {{'pos': i, 'b': bg[i]}}), recursive := true)
+           FROM b0 WHERE len(bg) > 0),
+    e AS (SELECT doc_id, lang, pos, b, split_part(b, ' ', 1) AS t FROM e0),
+    tb AS (SELECT b, CAST(count(*) AS BIGINT) AS c2
+           FROM e WHERE lang = '{_LM02_TRAIN_LANG}' GROUP BY b),
+    th AS (SELECT split_part(b, ' ', 1) AS t, CAST(sum(c2) AS BIGINT) AS c1
+           FROM tb GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+          FROM (SELECT unnest({sql_tokens("text")}) AS tok
+                FROM documents WHERE lang = '{_LM02_TRAIN_LANG}')),
+    s AS (SELECT e.doc_id, e.lang, e.pos,
+                 CAST(coalesce(tb.c2, 0) + 1 AS DOUBLE)
+                     / (coalesce(th.c1, 0) + v.vsz) AS p
+          FROM e LEFT JOIN tb USING (b) LEFT JOIN th USING (t), v),
+    g AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+                 list(p ORDER BY pos) AS ps
+          FROM s GROUP BY doc_id, lang),
+    f AS (SELECT doc_id, lang, n_bigrams, {fold} / n_bigrams AS raw
+          FROM g)
+    SELECT doc_id, lang, n_bigrams,
+           round(raw + 1e-9, 6) + 0.0 AS avg_p,
+           CASE WHEN raw >= {_LM02_HEAD} THEN 'head'
+                WHEN raw >= {_LM02_MIDDLE} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM f
+    """
+
+
+@query("lm02_crossentropy_buckets", oracle=_lm02_sql, ops=("TXT-LM-FILTER",))
+def lm02_crossentropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering with a HELD-OUT language model
+    — the production quality-filter shape lm01's self-trained scorer
+    only approximates: the bigram LM trains on the trusted in-domain
+    subset (lang = 'en', playing CCNet's Wikipedia role), every
+    document scores against THAT model with Laplace smoothing
+    p = (c2+1)/(c1+V) so out-of-vocabulary transitions get a floor
+    probability instead of a join miss, and fixed offline-calibrated
+    thresholds split the corpus into head/middle/tail buckets (the
+    CCNet keep/maybe/drop decision). In-domain docs score visibly
+    higher (sf0.01: en median 0.0355 vs ~0.0333 elsewhere) — the
+    cross-lingual separation IS the filter signal.
+
+    Exactness: log/exp never appear (mean conditional probability
+    ranks identically to cross-entropy for fixed-length docs and is
+    hash-verifiable); every p is one IEEE division of BIGINT counts,
+    the per-doc mean is the lm01 POSITION-PINNED left fold, and
+    buckets cut on the UNROUNDED mean (both engines fold identical
+    doubles, so the cut can't divide across engines). Laplace's V is
+    the distinct-token count of the training subset.
+
+    Scale shape (100 TB): the model is two vocabulary-bounded
+    dictionaries (bigram + head, the head table DERIVED from the
+    bigram dictionary — never a second corpus pass) and one 1-row
+    broadcast scalar (V); the corpus-sized bigram stream LEFT-joins
+    them by key (AQE broadcasts a dictionary that fits; real LM
+    vocabularies do), and the per-doc reassembly is the one
+    unavoidable doc_id shuffle. Training touches only the in-domain
+    slice — filter pushdown prunes the rest at the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.select(
+        "doc_id", "lang", ngrams(tokens(F.col("text")), 2).alias("bg")
+    ).filter(F.size("bg") > 0)
+    e = b0.select(
+        "doc_id", "lang", F.posexplode("bg").alias("pos", "b")
+    ).withColumn("t", F.substring_index("b", " ", 1))
+    tb = (
+        e.filter(F.col("lang") == _LM02_TRAIN_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    th = (
+        tb.select(F.substring_index("b", " ", 1).alias("t"), "c2")
+        .groupBy("t")
+        .agg(F.sum("c2").cast("bigint").alias("c1"))
+    )
+    v = (
+        docs.filter(F.col("lang") == _LM02_TRAIN_LANG)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").cast("bigint").alias("vsz"))
+    )
+    s = (
+        e.join(tb, "b", "left")
+        .join(th, "t", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            (
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))
+            ).alias("p"),
+        )
+    )
+    g = s.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("p")))
+        ).alias("ps"),
+    )
+    raw = _fold_sum(F.transform(F.col("ps"), lambda st: st["p"])) / F.col(
+        "n_bigrams"
+    )
+    return g.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        (_r(raw, 6) + F.lit(0.0)).alias("avg_p"),
+        F.when(raw >= _LM02_HEAD, "head")
+        .when(raw >= _LM02_MIDDLE, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qf01: fixed-weight linear quality classifier (CLASSIFIER-APPLY)
+# ---------------------------------------------------------------------------
+#: published model weights — a trained quality classifier applied at
+#: scale IS a fixed linear form over cheap features (fastText /
+#: DCLM-style filtering); training happens offline, inference is a
+#: projection. Order matters: the score accumulates LEFT TO RIGHT in
+#: this exact term order in both engines so the doubles are
+#: bit-identical and the keep cut can't divide across engines.
+_QF01_BIAS = -0.45
+_QF01_W_LEN = 1.2       # saturating length signal: least(n_tokens/100, 1)
+_QF01_W_STOP = 2.0      # stopword ratio (fluency proxy)
+_QF01_W_PUNCT = -3.0    # punctuation density (boilerplate/spam proxy)
+_QF01_W_WLEN = 0.8      # saturating mean word length: least(mean/8, 1)
+_QF01_W_DUP = -1.5      # duplicate-token fraction (repetition penalty)
+
+
+def _qf01_sql() -> str:
+    c = sql_quality_ratios("text")
+    dup = sql_dup_ratio("text")
+    score = (
+        f"({_QF01_BIAS} + {_QF01_W_LEN} * least({c['n_tokens']} / 100.0, 1.0)"
+        f" + {_QF01_W_STOP} * {c['stop_ratio']}"
+        f" - {-_QF01_W_PUNCT} * {c['punct_ratio']}"
+        f" + {_QF01_W_WLEN} * least({c['mean_wlen']} / 8.0, 1.0)"
+        f" - {-_QF01_W_DUP} * {dup})"
+    )
+    return f"""
+    SELECT doc_id, source,
+           round(({score}) + 1e-6, 4) AS score,
+           ({score}) >= 0.0 AS keep
+    FROM documents
+    """
+
+
+@query(
+    "qf01_linear_quality_classifier",
+    oracle=_qf01_sql,
+    ops=("CLASSIFIER-APPLY",),
+)
+def qf01_linear_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained-classifier quality filtering applied at corpus scale —
+    the fastText/DCLM-style keep/drop pass every modern pretraining
+    pipeline runs after rule filters (txt05's Gopher battery) and
+    before dedup: a FIXED-WEIGHT linear model over cheap text features
+    (saturating length, stopword ratio, punctuation density,
+    saturating mean word length, duplicate-token fraction — the txt02
+    signal set plus rep-family dup_ratio), emitting the raw margin and
+    the keep decision per document. Weights are offline-trained
+    constants published in the operator contract — inference is a
+    projection, which is exactly how a linear text classifier deploys
+    at 100 TB (the model ships in the closure; no join, no state).
+
+    Exactness: every feature ratio derives from integer counts (one
+    IEEE division each, the txt02 guards for empty text), the margin
+    accumulates in a pinned left-to-right term order so both engines
+    produce bit-identical doubles, and the keep cut compares the
+    UNROUNDED margin (the lm02 rule); only the reported score is
+    rounded.
+
+    Scale shape (100 TB): embarrassingly parallel — ONE scan, zero
+    shuffles, zero joins, whole-stage codegen end to end (plan-pinned:
+    no Exchange anywhere in the plan). The scan reads only (doc_id,
+    source, text)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = quality_components(F.col("text"))
+    score = (
+        F.lit(_QF01_BIAS)
+        + _QF01_W_LEN * F.least(c["n_tokens"] / 100.0, F.lit(1.0))
+        + _QF01_W_STOP * c["stop_ratio"]
+        - (-_QF01_W_PUNCT) * c["punct_ratio"]
+        + _QF01_W_WLEN * F.least(c["mean_wlen"] / 8.0, F.lit(1.0))
+        - (-_QF01_W_DUP) * dup_ratio(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        _r(score, 4).alias("score"),
+        (score >= 0.0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# u14: native table-level set operators (INTERSECT / INTERSECT ALL /
+#      EXCEPT ALL)
+# ---------------------------------------------------------------------------
+_U14_SQL = """
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+     b AS (SELECT user_id FROM events WHERE event_type = 'error'),
+     legs AS (
+       SELECT 'intersect' AS leg, user_id
+       FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+       UNION ALL
+       SELECT 'intersect_all' AS leg, user_id
+       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+       UNION ALL
+       SELECT 'except_all' AS leg, user_id
+       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+     )
+SELECT leg, user_id, CAST(count(*) AS BIGINT) AS n
+FROM legs GROUP BY leg, user_id
+"""
+
+
+@query("u14_table_set_ops", oracle=_U14_SQL, ops=("SET-TABLE",))
+def u14_table_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native table-level set operators with BOTH bag and set
+    semantics — the relational complement of u12's array-level set
+    ops: the purchasing-user and erroring-user event streams meet as
+    INTERSECT (set: users in both), INTERSECT ALL (bag: min
+    multiplicity — the SQL-standard min(c_a, c_b) copies survive) and
+    EXCEPT ALL (bag: max(c_a - c_b, 0) copies — purchases not
+    annihilated by an error), then a per-(leg, user) count makes the
+    multiplicities hash-visible. These are the operators behind
+    train/eval overlap audits (ct-family) when the sets are TABLES
+    rather than token arrays.
+
+    Exactness: pure integer-keyed set algebra — no floats anywhere;
+    Spark's intersect/intersectAll/exceptAll implement the identical
+    SQL-standard multiset semantics DuckDB executes.
+
+    Scale shape (100 TB): each leg is ONE shuffle on the key — Spark
+    compiles INTERSECT to a distinct + left-semi join, and the ALL
+    variants to a replicated-count generate + join (never a
+    CartesianProduct); the two inputs are disjoint pushed-down
+    partition slices of the same scan, and the final per-key count
+    rides the same key partitioning. Plan-pinned: no
+    BroadcastNestedLoopJoin, filters reach the scans."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    legs = (
+        a.intersect(b).select(F.lit("intersect").alias("leg"), "user_id")
+        .unionByName(
+            a.intersectAll(b).select(
+                F.lit("intersect_all").alias("leg"), "user_id"
+            )
+        )
+        .unionByName(
+            a.exceptAll(b).select(
+                F.lit("except_all").alias("leg"), "user_id"
+            )
+        )
+    )
+    return legs.groupBy("leg", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

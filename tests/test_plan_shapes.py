@@ -1221,3 +1221,66 @@ def test_gr01_pagerank_is_unhinted_with_topk_pushdown(spark, sf_dir):
     assert qe.analyzed().toString().count("ResolvedHint") == 0
     plan = qe.executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_j07_spatial_join_is_grid_bucketed_not_quadratic(spark, sf_dir):
+    """The spatial radius self-join's scale contract: candidates are
+    grid-confined — the physical plan contains NO CartesianProduct and
+    NO BroadcastNestedLoopJoin (the naive all-pairs shape); the 3x3
+    cell replication comes from a Generate (literal-array explode),
+    never a join against an offsets table; and the events scan reads
+    only (event_id, value)."""
+    plan = _plan(spark, sf_dir, "j07_grid_spatial_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+    reads = [c.split("\n")[0] for c in plan.split("ReadSchema:")[1:]]
+    # pair sides read (event_id, value); the zero-neighbor re-entry
+    # base prunes all the way down to event_id alone
+    assert any("event_id" in r and "value" in r for r in reads), reads
+    assert all("user_id" not in r and "props" not in r for r in reads), reads
+
+
+def test_lm02_model_training_prunes_to_the_train_slice(spark, sf_dir):
+    """The held-out-LM filter's scale contract: the model-training legs
+    (bigram dictionary + Laplace vocabulary) push the lang = 'en'
+    predicate into their parquet scans (training never reads the
+    out-of-domain corpus), the head-count table derives from the
+    bigram dictionary (no extra corpus scan for it), and the model
+    joins are UNHINTED — AQE elects broadcast from measured dictionary
+    sizes (the dd10/dd12 rule: no a-priori-unbounded broadcast)."""
+    df = REGISTRY["lm02_crossentropy_buckets"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") <= 1  # the 1-row V scalar only
+    plan = qe.executedPlan().toString()
+    assert "EqualTo(lang,en)" in plan, plan
+    # corpus scans: the all-docs bigram stream + the two pruned train
+    # legs — never more (the head table must reuse the bigram dict)
+    assert plan.count("Scan parquet") <= 3, plan
+
+
+def test_qf01_classifier_apply_is_a_zero_shuffle_projection(spark, sf_dir):
+    """Classifier inference at scale is a projection: ONE parquet scan
+    reading exactly (doc_id, source, text), NO Exchange, no join, no
+    aggregate — the model weights live in the expression tree and the
+    whole score evaluates inside whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "qf01_linear_quality_classifier")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read and "source" in read and "text" in read, read
+    assert "lang" not in read and "n_chars" not in read, read
+
+
+def test_u14_set_ops_push_filters_and_stay_equi_joined(spark, sf_dir):
+    """The table set-ops' scale contract: each leg's event_type
+    predicate reaches the parquet scan (the two inputs are pushed-down
+    slices, not post-scan filters of a full read), and the set
+    operators compile to hash-keyed joins/aggregates — no
+    BroadcastNestedLoopJoin, no CartesianProduct."""
+    plan = _plan(spark, sf_dir, "u14_table_set_ops")
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    assert "EqualTo(event_type,error)" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

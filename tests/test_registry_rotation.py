@@ -33,6 +33,10 @@ NEEDS_FIRST_ROW: set[str] = {
     "a18_rollup_cube",
     "u13_unpivot_long",
     "gr01_integer_pagerank",
+    "j07_grid_spatial_join",
+    "lm02_crossentropy_buckets",
+    "qf01_linear_quality_classifier",
+    "u14_table_set_ops",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -67,8 +71,10 @@ DOUBLE_GREEN = {
 #: kept in-window for fourth rows; they are now eligible parking stock
 #: but stay in until the tail needs their slots.
 TRIPLE_GREEN = {
-    "dd11_hierarchical_semdedup",
-    "ct03_semantic_contamination",
+    # dd11_hierarchical_semdedup / ct03_semantic_contamination were
+    # parked end-of-round-10 (the two most expensive triple-green
+    # residents) to fund the qf01/u14 window slots — see
+    # _ROTATION_TAIL.
     "ds10_temperature_resample",
     "ch01_context_chunks",
     "ds11_length_quantile_trim",
@@ -99,10 +105,10 @@ TRIPLE_GREEN = {
 #: driver window per VERDICT r09 item 7) — asserted here so a tail
 #: regression can't silently drop them.
 BACK_IN_WINDOW = {
-    # four-greens needing fifths (nn08 re-earning post-split):
-    "st01_windowed_frequency",
+    # nn08 re-earning a green at its post-split 6-row shape; st01 and
+    # ds09 (four-green) were parked end-of-round-10 to fund the
+    # j07/lm02 window slots — see _ROTATION_TAIL.
     "nn08_recall_gate",
-    "ds09_weighted_sample",
 }
 
 
