@@ -185,6 +185,12 @@ HEADLINE = [
     # the vocabulary-bounded model dictionaries)
     "j07_grid_spatial_join",
     "lm02_crossentropy_buckets",
+    # end of round-10: the triangle census over dd02's pair graph (two
+    # self-equi-joins on the pair-sized edge set — times the wedge
+    # fanout) and the SCD2 interval build (the two-window single-
+    # shuffle change-capture shape)
+    "gr02_dup_graph_cohesion",
+    "cdc02_scd2_intervals",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

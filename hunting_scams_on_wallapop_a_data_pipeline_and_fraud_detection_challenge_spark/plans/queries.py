@@ -1446,6 +1446,12 @@ _ROTATION_TAIL = [
     # u14_table_set_ops entries:
     "dd11_hierarchical_semdedup",
     "ct03_semantic_contamination",
+    # parked end-of-round-10 (both triple-green, the two most
+    # expensive remaining residents after dd11/ct03) to fund the
+    # window slots for the new gr02_dup_graph_cohesion and
+    # cdc02_scd2_intervals entries:
+    "tp01_contrastive_pairs",
+    "cs01_source_overlap",
 ]
 
 

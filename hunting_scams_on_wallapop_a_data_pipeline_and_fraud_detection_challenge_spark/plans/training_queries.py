@@ -11141,3 +11141,168 @@ def u14_table_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legs.groupBy("leg", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# gr02: triangle census + clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _gr02_sql() -> str:
+    return f"""
+    WITH prs AS (SELECT a_id, b_id FROM ({_minhash_sql()})),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a_id AS id FROM prs
+                  UNION ALL SELECT b_id FROM prs)
+            GROUP BY id),
+    tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+            FROM prs e1
+            JOIN prs e2 ON e1.a_id = e2.a_id AND e1.b_id < e2.b_id
+            JOIN prs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id),
+    tn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT x AS id FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+           GROUP BY id)
+    SELECT d.id AS doc_id, d.degree,
+           CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round((CASE WHEN d.degree >= 2
+                  THEN (2.0 * coalesce(tn.n_triangles, 0))
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END) + 1e-6, 4) AS clustering
+    FROM deg d LEFT JOIN tn ON tn.id = d.id
+    """
+
+
+@query("gr02_dup_graph_cohesion", oracle=_gr02_sql, ops=("GRAPH-TRIANGLES",))
+def gr02_dup_graph_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + local clustering coefficient over the
+    MinHash-LSH near-dup pair graph — the cluster-cohesion audit that
+    separates TRUE duplicate communities (triangle-rich: every copy
+    pairs with every copy) from LSH false-positive chains (triangle-
+    free paths that transitive-closure dedup would wrongly merge):
+    per document, its dup-graph degree, the number of triangles it
+    closes, and clustering = 2·triangles / (deg·(deg-1)).
+
+    Triangles are counted by the canonical oriented wedge join: dd02's
+    pair set arrives id-oriented (a_id < b_id), two edges sharing
+    their lower endpoint form a wedge (y < z), and the wedge closes
+    iff (y, z) is itself an edge — each triangle (x<y<z) is found
+    exactly ONCE, no dedup pass needed.
+
+    Exactness: composes dd02's already-hash-pinned pair set and adds
+    only BIGINT counts and one IEEE division (pinned term order
+    (2.0·t)/(d·(d-1)); isolated-in-graph nodes take the defined-0
+    branch). Every row hash-matches.
+
+    Scale shape (100 TB): the edge set is the LSH-verified pair list
+    — already bucket-confined, orders of magnitude smaller than the
+    corpus — and the wedge join's fanout is bounded by dup-cluster
+    size (per-node out-edges under id orientation), so the census is
+    two self-equi-joins plus keyed counts on a pair-sized table; the
+    corpus-sized work happens once inside dd02 and its shingle table
+    persists across consumers. Plan-pinned: no nested-loop join, the
+    closure probe is an equi-join on both endpoints."""
+    prs = (
+        dd02_minhash_lsh_pairs(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        prs.select(F.col("a_id").alias("id"))
+        .unionByName(prs.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e1 = prs.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+    e2 = prs.select(F.col("a_id").alias("x2"), F.col("b_id").alias("z"))
+    e3 = prs.select(F.col("a_id").alias("y3"), F.col("b_id").alias("z3"))
+    tri = (
+        e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z")))
+        .join(e3, (F.col("y3") == F.col("y")) & (F.col("z3") == F.col("z")))
+        .select("x", "y", "z")
+    )
+    tn = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .unionByName(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    cc = F.when(
+        F.col("degree") >= 2,
+        (2.0 * t) / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return deg.join(tn, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "degree",
+        t.cast("bigint").alias("n_triangles"),
+        _r(cc, 4).alias("clustering"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc02: SCD Type-2 interval history (change capture -> validity ranges)
+# ---------------------------------------------------------------------------
+_CDC02_SQL = """
+WITH o AS (SELECT user_id, event_id, ts, event_type,
+                  lag(event_type) OVER w AS prev
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ chg AS (SELECT user_id, event_id, ts, event_type
+         FROM o WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("cdc02_scd2_intervals", oracle=_CDC02_SQL, ops=("CDC-SCD2",))
+def cdc02_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history build — the warehouse
+    pattern cdc01's keyed snapshot delta feeds: collapse each user's
+    event stream into attribute VALIDITY INTERVALS (a row per change
+    point carrying valid_from, the next change's ts as valid_to, a
+    per-key version number, and the open-interval is_current flag).
+    Consecutive repeats of the same value collapse into one interval —
+    the dedup that separates SCD2 from raw event history.
+
+    Exactness: no floats anywhere — timestamps pass through untouched
+    (no arithmetic, so driver-session timezone can't shift them),
+    version is a BIGINT row_number, and (ts, event_id) is the
+    deterministic total order within a key (event_id breaks ts ties).
+
+    Scale shape (100 TB): both window passes partition by user_id —
+    ONE key shuffle, then the change-point filter and the
+    valid_to/version windows ride the same partitioning (Spark plans
+    them in a single Window stage pair with no second Exchange); no
+    join, no global sort, state per task is one row. Plan-pinned:
+    every Window node carries a non-empty partition spec and the
+    events scan reads only the four columns."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -1284,3 +1284,32 @@ def test_u14_set_ops_push_filters_and_stay_equi_joined(spark, sf_dir):
     assert "EqualTo(event_type,error)" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gr02_triangle_census_stays_equi_joined(spark, sf_dir):
+    """The triangle census's scale contract: the wedge join and the
+    closure probe are hash-keyed equi-joins on the pair-sized edge set
+    — no CartesianProduct and no BroadcastNestedLoopJoin anywhere (the
+    y < z wedge ordering rides the equi-join as a post-condition, it
+    must never become the join itself)."""
+    plan = _plan(spark, sf_dir, "gr02_dup_graph_cohesion")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cdc02_scd2_is_one_key_shuffle(spark, sf_dir):
+    """SCD2's scale contract: both window passes partition by user_id
+    (never an unpartitioned single-task window), they share ONE key
+    shuffle (a single Exchange in the plan — the change-point filter
+    and the valid_to/version windows ride the same partitioning), no
+    join, and the events scan reads only the four needed columns."""
+    plan = _plan(spark, sf_dir, "cdc02_scd2_intervals")
+    wins = _parse_windows(plan)
+    assert wins, plan
+    assert all("user_id" in part for part, _ in wins), wins
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("event_id", "ts", "user_id", "event_type"):
+        assert col in read, read
+    assert "value" not in read and "props" not in read, read

@@ -37,6 +37,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "lm02_crossentropy_buckets",
     "qf01_linear_quality_classifier",
     "u14_table_set_ops",
+    "gr02_dup_graph_cohesion",
+    "cdc02_scd2_intervals",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -80,12 +82,14 @@ TRIPLE_GREEN = {
     "ds11_length_quantile_trim",
     "a14_approx_distinct_gate",
     "w04_sessionize",
-    "cs01_source_overlap",
+    # tp01_contrastive_pairs / cs01_source_overlap were parked
+    # end-of-round-10 (next-most-expensive triple-greens after
+    # dd11/ct03) to fund the gr02/cdc02 window slots — see
+    # _ROTATION_TAIL.
     "j05_asof_enrich",
     "j06_range_count",
     "dd12_bloom_incremental",
     "sk01_cms_heavy_hitters",
-    "tp01_contrastive_pairs",
     "pr01_table_profile",
     "cdc01_snapshot_delta",
     "rk01_rank_fusion",
