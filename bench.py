@@ -191,6 +191,12 @@ HEADLINE = [
     # shuffle change-capture shape)
     "gr02_dup_graph_cohesion",
     "cdc02_scd2_intervals",
+    # end of round-10: the day-binned interval-overlap join (two-sided
+    # explode + distinct — the fanout is the cost) and the composed
+    # three-stage quality gate (rules+classifier projection joined to
+    # lm02's LM leg)
+    "j08_interval_overlap_join",
+    "cp05_quality_gate_pipeline",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage
@@ -270,6 +276,7 @@ EXCLUDED = {
     "u13_unpivot_long": "one Expand + profile agg; the Expand shape is benched via a15/pr01",
     "qf01_linear_quality_classifier": "light projection (zero-shuffle classifier apply)",
     "u14_table_set_ops": "light keyed set algebra (three single-shuffle legs)",
+    "pii03_k_anonymity": "two keyed aggregates on a 3-column scan",
 }
 
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry

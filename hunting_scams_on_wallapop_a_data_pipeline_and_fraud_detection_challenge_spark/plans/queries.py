@@ -1452,6 +1452,12 @@ _ROTATION_TAIL = [
     # cdc02_scd2_intervals entries:
     "tp01_contrastive_pairs",
     "cs01_source_overlap",
+    # parked end-of-round-10 (all triple-green, next in expense order)
+    # to fund the window slots for the new j08_interval_overlap_join,
+    # pii03_k_anonymity and cp05_quality_gate_pipeline entries:
+    "tp02_hard_negatives",
+    "rk01_rank_fusion",
+    "pr01_table_profile",
 ]
 
 

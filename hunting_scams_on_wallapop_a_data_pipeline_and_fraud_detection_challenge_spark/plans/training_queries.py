@@ -11009,16 +11009,36 @@ _QF01_W_WLEN = 0.8      # saturating mean word length: least(mean/8, 1)
 _QF01_W_DUP = -1.5      # duplicate-token fraction (repetition penalty)
 
 
-def _qf01_sql() -> str:
-    c = sql_quality_ratios("text")
-    dup = sql_dup_ratio("text")
-    score = (
+def _qf01_score_sql(expr: str = "text") -> str:
+    """The classifier margin as one DuckDB expression — shared by
+    qf01's oracle and the composed quality-gate pipeline's (cp05)."""
+    c = sql_quality_ratios(expr)
+    dup = sql_dup_ratio(expr)
+    return (
         f"({_QF01_BIAS} + {_QF01_W_LEN} * least({c['n_tokens']} / 100.0, 1.0)"
         f" + {_QF01_W_STOP} * {c['stop_ratio']}"
         f" - {-_QF01_W_PUNCT} * {c['punct_ratio']}"
         f" + {_QF01_W_WLEN} * least({c['mean_wlen']} / 8.0, 1.0)"
         f" - {-_QF01_W_DUP} * {dup})"
     )
+
+
+def _qf01_score_col(text) -> Column:
+    """The classifier margin as a Spark column — the cross-engine twin
+    of :func:`_qf01_score_sql` (identical term order)."""
+    c = quality_components(text)
+    return (
+        F.lit(_QF01_BIAS)
+        + _QF01_W_LEN * F.least(c["n_tokens"] / 100.0, F.lit(1.0))
+        + _QF01_W_STOP * c["stop_ratio"]
+        - (-_QF01_W_PUNCT) * c["punct_ratio"]
+        + _QF01_W_WLEN * F.least(c["mean_wlen"] / 8.0, F.lit(1.0))
+        - (-_QF01_W_DUP) * dup_ratio(text)
+    )
+
+
+def _qf01_sql() -> str:
+    score = _qf01_score_sql("text")
     return f"""
     SELECT doc_id, source,
            round(({score}) + 1e-6, 4) AS score,
@@ -11059,15 +11079,7 @@ def qf01_linear_quality_classifier(
     no Exchange anywhere in the plan). The scan reads only (doc_id,
     source, text)."""
     docs = _t(spark, sf_dir, "documents")
-    c = quality_components(F.col("text"))
-    score = (
-        F.lit(_QF01_BIAS)
-        + _QF01_W_LEN * F.least(c["n_tokens"] / 100.0, F.lit(1.0))
-        + _QF01_W_STOP * c["stop_ratio"]
-        - (-_QF01_W_PUNCT) * c["punct_ratio"]
-        + _QF01_W_WLEN * F.least(c["mean_wlen"] / 8.0, F.lit(1.0))
-        - (-_QF01_W_DUP) * dup_ratio(F.col("text"))
-    )
+    score = _qf01_score_col(F.col("text"))
     return docs.select(
         "doc_id",
         "source",
@@ -11305,4 +11317,309 @@ def cdc02_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.row_number().over(w2).cast("bigint").alias("version"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j08: interval-overlap join via day binning (sessions x error episodes)
+# ---------------------------------------------------------------------------
+#: one day in epoch microseconds — the bin edge for the overlap join
+_J08_DAY_US = 86_400_000_000
+
+
+def _j08_sql() -> str:
+    return f"""
+    WITH sess AS (SELECT user_id, session_idx, start_us, end_us
+                  FROM ({_w04_sql()})),
+    ed AS (SELECT CAST(epoch_us(ts) // {_J08_DAY_US} AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS n_err
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_err) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM ed),
+    hot AS (SELECT d FROM ed, tot WHERE n_err * n_days > n_total),
+    isl AS (SELECT d, d - row_number() OVER (ORDER BY d) AS grp FROM hot),
+    ep AS (SELECT min(d) AS ep_start, max(d) AS ep_end,
+                  CAST(count(*) AS BIGINT) AS ep_days
+           FROM isl GROUP BY grp),
+    epd AS (SELECT ep_start, unnest(range(ep_start, ep_end + 1)) AS d
+            FROM ep),
+    sd AS (SELECT user_id, session_idx,
+                  unnest(range(start_us // {_J08_DAY_US},
+                               end_us // {_J08_DAY_US} + 1)) AS d
+           FROM sess),
+    hits AS (SELECT DISTINCT user_id, session_idx, ep_start
+             FROM sd JOIN epd USING (d)),
+    n AS (SELECT user_id, session_idx,
+                 CAST(count(*) AS BIGINT) AS n_episodes
+          FROM hits GROUP BY user_id, session_idx)
+    SELECT s.user_id, s.session_idx,
+           CAST(s.end_us // {_J08_DAY_US} - s.start_us // {_J08_DAY_US}
+                + 1 AS BIGINT) AS n_days,
+           CAST(coalesce(n.n_episodes, 0) AS BIGINT) AS n_episodes
+    FROM sess s LEFT JOIN n USING (user_id, session_idx)
+    """
+
+
+@query("j08_interval_overlap_join", oracle=_j08_sql, ops=("JOIN-INTERVAL",))
+def j08_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via day binning — the two-sided interval
+    shape j06's point-in-range rewrite doesn't cover: w04's user
+    sessions (variable-length [start, end] intervals) overlap-join the
+    corpus-wide ERROR EPISODES (above-average error days coalesced
+    into multi-day islands by the gaps-and-islands trick), reporting
+    per session how many distinct episodes it intersected. The hot-day
+    cut is scale-free (a day is hot when n_err · n_days > n_total —
+    above the observed mean), so the operator degrades gracefully at
+    every SF instead of pinning a count threshold that only fits one.
+
+    Both interval sets EXPLODE into their covered day bins, candidates
+    meet in a day-keyed INT equi-join, and a DISTINCT collapses the
+    multi-day double-hits one (session, episode) pair can produce —
+    the part that makes interval×interval genuinely different from
+    point lookups. Sharing a day bin IS overlap (both sides cover it),
+    so no residual predicate remains after the join.
+
+    Exactness: pure integer arithmetic throughout — epoch-microsecond
+    floor-division day ids (the w04 NTZ rule: tz can't shift a bin),
+    BIGINT counts, and the zero-episode sessions re-enter via a LEFT
+    join + coalesce.
+
+    Scale shape (100 TB): session-side replication is bounded by
+    session span in days; the episode dictionary is CALENDAR-BOUNDED
+    (≤ one row per day of corpus history — the islands window sorts
+    days, not events, so its single partition holds a bounded
+    dictionary); the join is a shuffle on day ints with the episode
+    side days-sized (AQE elects broadcast), and the distinct + count
+    ride the session key. Plan-pinned: no nested-loop join, explodes
+    are Generates."""
+    sess = w04_sessionize(spark, sf_dir).select(
+        "user_id", "session_idx", "start_us", "end_us"
+    ).localCheckpoint(eager=False)
+    ev = _t(spark, sf_dir, "events")
+    ed = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_J08_DAY_US}"
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_err"))
+    )
+    tot = ed.agg(
+        F.sum("n_err").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    hot = ed.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_err") * F.col("n_days") > F.col("n_total")
+    )
+    # gaps-and-islands over the day DICTIONARY (calendar-bounded): the
+    # unpartitioned window sorts at most one row per corpus day
+    isl = hot.select(
+        "d",
+        (F.col("d") - F.row_number().over(Window.orderBy("d"))).alias("grp"),
+    )
+    ep = isl.groupBy("grp").agg(
+        F.min("d").alias("ep_start"),
+        F.max("d").alias("ep_end"),
+        F.count(F.lit(1)).cast("bigint").alias("ep_days"),
+    )
+    epd = ep.select(
+        "ep_start",
+        F.explode(F.sequence(F.col("ep_start"), F.col("ep_end"))).alias("d"),
+    )
+    sd = sess.select(
+        "user_id",
+        "session_idx",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us DIV {_J08_DAY_US}"),
+                F.expr(f"end_us DIV {_J08_DAY_US}"),
+            )
+        ).alias("d"),
+    )
+    hits = sd.join(epd, "d").select(
+        "user_id", "session_idx", "ep_start"
+    ).distinct()
+    n = hits.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes")
+    )
+    return sess.join(n, ["user_id", "session_idx"], "left").select(
+        "user_id",
+        "session_idx",
+        (
+            F.expr(f"end_us DIV {_J08_DAY_US}")
+            - F.expr(f"start_us DIV {_J08_DAY_US}")
+            + 1
+        ).cast("bigint").alias("n_days"),
+        F.coalesce(F.col("n_episodes"), F.lit(0)).cast("bigint").alias(
+            "n_episodes"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii03: k-anonymity audit with a generalization-ladder decision
+# ---------------------------------------------------------------------------
+#: the anonymity floor — a quasi-identifier group smaller than K is
+#: re-identifiable and must generalize (drop its finest attribute) or
+#: suppress. k and the band width are calibrated to the synthetic
+#: population density (sf0.01: ~12 rows per prefix over ~5 bands) so
+#: the ladder actually has both outcomes at the correctness SF;
+#: production values (k = 5..25) are a constant swap.
+_PII03_K = 2
+#: account-balance band width (the finest quasi-identifier attribute)
+_PII03_BAND = 3000
+
+_PII03_SQL = f"""
+WITH g0 AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                   CAST(floor(c_acctbal / {_PII03_BAND}.0) AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3),
+ g1 AS (SELECT seg, nat,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN n < {_PII03_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unsafe_buckets
+        FROM g0 GROUP BY 1, 2)
+SELECT seg, nat, n_total, n_buckets, n_unsafe_buckets,
+       CAST(CASE WHEN n_unsafe_buckets = 0 THEN 0
+                 WHEN n_total >= {_PII03_K} THEN 1
+                 ELSE 2 END AS BIGINT) AS level
+FROM g1
+"""
+
+
+@query("pii03_k_anonymity", oracle=_PII03_SQL, ops=("PII-KANON",))
+def pii03_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit with the generalization-ladder decision — the
+    privacy gate a training-data release runs AFTER pii01/pii02's
+    pattern scrubbing (regexes remove direct identifiers;
+    quasi-identifier COMBINATIONS re-identify anyway): group the
+    population by the QI tuple (segment, nation, account-balance
+    band), count occupancy, and per (segment, nation) prefix decide
+    the minimal safe generalization level — 0 when every band meets
+    the k floor (publish as-is), 1 when only the band must generalize
+    away (the prefix total is safe), 2 when even the prefix is below
+    k (suppress). This is the Samarati/Sweeney ladder walk expressed
+    as two keyed aggregates.
+
+    Exactness: pure integer counting (floor of one division for the
+    band id — both engines floor identical doubles); every column is
+    BIGINT or a group key. Every row hash-matches.
+
+    Scale shape (100 TB): aggregate one — ONE shuffle on the full QI
+    key with map-side partials; aggregate two rides a PREFIX of that
+    key (re-partitioning a strictly coarser key — Spark reuses the
+    partitioning, no second wide exchange of the raw table, only of
+    the group-sized intermediate). No join, no window, output is
+    QI-lattice-sized. Plan-pinned: exactly the two keyed aggregates
+    and one scan reading three columns."""
+    cust = _t(spark, sf_dir, "customer")
+    g0 = (
+        cust.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") / float(_PII03_BAND))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("seg", "nat", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    g1 = g0.groupBy("seg", "nat").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("n") < _PII03_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unsafe_buckets"),
+    )
+    level = (
+        F.when(F.col("n_unsafe_buckets") == 0, 0)
+        .when(F.col("n_total") >= _PII03_K, 1)
+        .otherwise(2)
+    )
+    return g1.select(
+        "seg",
+        "nat",
+        "n_total",
+        "n_buckets",
+        "n_unsafe_buckets",
+        level.cast("bigint").alias("level"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cp05: composed quality-gate pipeline (rules -> classifier -> LM filter)
+# ---------------------------------------------------------------------------
+
+
+def _cp05_sql() -> str:
+    rules_keep = " AND ".join(_gopher_rule_sqls("text").values())
+    score = _qf01_score_sql("text")
+    return f"""
+    WITH lm AS (SELECT doc_id, bucket FROM ({_lm02_sql()})),
+    base AS (SELECT doc_id, source,
+                    ({rules_keep}) AS rules_ok,
+                    ({score}) AS score
+             FROM documents)
+    SELECT b.doc_id, b.source,
+           CASE WHEN NOT b.rules_ok THEN 'rules'
+                WHEN b.score < 0.0 THEN 'classifier'
+                WHEN coalesce(lm.bucket, 'tail') = 'tail' THEN 'lm_tail'
+                ELSE 'kept' END AS stage
+    FROM base b LEFT JOIN lm USING (doc_id)
+    """
+
+
+@query(
+    "cp05_quality_gate_pipeline", oracle=_cp05_sql, ops=("PIPELINE-QUALITY",)
+)
+def cp05_quality_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed QUALITY GATE a pretraining curation run executes
+    between ingestion and dedup — three filter families in their
+    production order with FIRST-FAIL attribution per document (the
+    a17 funnel discipline applied to filtering): Gopher rule battery
+    (txt05's bounds — cheap, runs first), then the fixed-weight linear
+    classifier (qf01's margin — unrounded, the lm02 cut rule), then
+    the held-out-LM perplexity bucket (lm02's tail = drop). Each
+    document lands on exactly one stage ('rules' / 'classifier' /
+    'lm_tail' / 'kept'), so per-stage rejection rates — the numbers a
+    curation report publishes — are one count away.
+
+    Exactness: composes three already-hash-pinned legs; the stage
+    CASE compares the identical unrounded doubles both engines fold
+    (rule ratios, classifier margin) and lm02's bucket string; docs
+    the LM never scored (no bigrams) default to 'tail' via the same
+    coalesce in both engines. Every row hash-matches.
+
+    Scale shape (100 TB): rules + classifier are ONE codegen
+    projection over the scan (zero shuffles — they annotate, never
+    materialize intermediate corpora); the LM leg keeps lm02's
+    documented shape (vocabulary-bounded dictionaries + one doc_id
+    shuffle); the composition adds a single LEFT join on the int64
+    doc_id, deliberately UNHINTED (the r09 rule — both sides are
+    corpus-sized, AQE decides). Stage attribution is a CASE chain,
+    not three filter+union passes over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    rules_ok = reduce(
+        lambda a, b: a & b, _gopher_rule_cols(F.col("text")).values()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        rules_ok.alias("rules_ok"),
+        _qf01_score_col(F.col("text")).alias("score"),
+    )
+    lm = lm02_crossentropy_buckets(spark, sf_dir).select("doc_id", "bucket")
+    stage = (
+        F.when(~F.col("rules_ok"), "rules")
+        .when(F.col("score") < 0.0, "classifier")
+        .when(F.coalesce(F.col("bucket"), F.lit("tail")) == "tail", "lm_tail")
+        .otherwise("kept")
+    )
+    return base.join(lm, "doc_id", "left").select(
+        "doc_id", "source", stage.alias("stage")
     )

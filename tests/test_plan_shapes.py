@@ -1313,3 +1313,44 @@ def test_cdc02_scd2_is_one_key_shuffle(spark, sf_dir):
     for col in ("event_id", "ts", "user_id", "event_type"):
         assert col in read, read
     assert "value" not in read and "props" not in read, read
+
+
+def test_j08_interval_overlap_is_day_binned(spark, sf_dir):
+    """The interval-overlap join's scale contract: both interval sets
+    explode into day bins via Generates (never a join against a
+    calendar table), candidates meet in a day-keyed equi-join — no
+    CartesianProduct, no BroadcastNestedLoopJoin — and the islands
+    window runs over the day DICTIONARY, not the event stream (its
+    input is the aggregated hot-day table)."""
+    plan = _plan(spark, sf_dir, "j08_interval_overlap_join")
+    assert "CartesianProduct" not in plan, plan
+    # the single-row totals broadcast (hot-day cut) is the only
+    # nested-loop shape allowed; the overlap join itself must be keyed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Generate explode") >= 2, plan
+
+
+def test_pii03_is_two_aggregates_one_scan(spark, sf_dir):
+    """The k-anonymity audit's scale contract: one 3-column customer
+    scan feeding exactly two keyed HashAggregate pairs (full QI key,
+    then its prefix) — no join, no window, no extra scan."""
+    plan = _plan(spark, sf_dir, "pii03_k_anonymity")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("c_mktsegment", "c_nationkey", "c_acctbal"):
+        assert col in read, read
+    assert "c_name" not in read, read
+
+
+def test_cp05_stage_attribution_is_one_case_not_three_passes(spark, sf_dir):
+    """The quality gate's scale contract: rules + classifier annotate
+    the corpus in ONE projection (no Union of per-stage filter legs —
+    the naive three-passes-over-the-corpus shape), the LM leg joins
+    once on doc_id, and that join is UNHINTED (both sides corpus-
+    sized; zero ResolvedHints besides lm02's own 1-row V scalar)."""
+    df = REGISTRY["cp05_quality_gate_pipeline"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") <= 1
+    plan = qe.executedPlan().toString()
+    assert "Union" not in plan, plan

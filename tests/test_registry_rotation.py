@@ -39,6 +39,9 @@ NEEDS_FIRST_ROW: set[str] = {
     "u14_table_set_ops",
     "gr02_dup_graph_cohesion",
     "cdc02_scd2_intervals",
+    "j08_interval_overlap_join",
+    "pii03_k_anonymity",
+    "cp05_quality_gate_pipeline",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -90,12 +93,12 @@ TRIPLE_GREEN = {
     "j06_range_count",
     "dd12_bloom_incremental",
     "sk01_cms_heavy_hitters",
-    "pr01_table_profile",
+    # tp02_hard_negatives / rk01_rank_fusion / pr01_table_profile were
+    # parked end-of-round-10 (next in expense order) to fund the
+    # j08/pii03/cp05 window slots — see _ROTATION_TAIL.
     "cdc01_snapshot_delta",
-    "rk01_rank_fusion",
     "vc01_vocab_coverage",
     "pd01_padding_efficiency",
-    "tp02_hard_negatives",
     "co01_supplier_cooccurrence",
 }
 
