@@ -197,6 +197,10 @@ HEADLINE = [
     # lm02's LM leg)
     "j08_interval_overlap_join",
     "cp05_quality_gate_pipeline",
+    # end of round-10: the median/MAD robust-stats profile (two exact
+    # median shuffles over the fact projection — the honest cost of
+    # exactness; a01b/a01c sketch is the documented swap)
+    "a19_robust_zscore",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

@@ -1458,6 +1458,9 @@ _ROTATION_TAIL = [
     "tp02_hard_negatives",
     "rk01_rank_fusion",
     "pr01_table_profile",
+    # parked end-of-round-10 (triple-green) to fund the window slot for
+    # the new a19_robust_zscore entry:
+    "sk01_cms_heavy_hitters",
 ]
 
 

@@ -11623,3 +11623,94 @@ def cp05_quality_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(lm, "doc_id", "left").select(
         "doc_id", "source", stage.alias("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# a19: robust z-scores (median / MAD) — the outlier-resistant a06
+# ---------------------------------------------------------------------------
+#: the standard consistency constant: MAD·1/Φ⁻¹(0.75) estimates σ under
+#: normality, so 0.6745·(x−med)/MAD is comparable to a classical z
+_A19_C = 0.6745
+#: review-band cut on |robust z| — calibrated to the synthetic uniform
+#: price spread (max observed |rz| ≈ 1.37 at sf0.01; the textbook
+#: Iglewicz–Hoaglin 3.5 never fires on uniform data). Production swaps
+#: the constant; the operator contract is the flag mechanics.
+_A19_CUT = 1.25
+
+_A19_SQL = f"""
+WITH f AS (SELECT p.p_brand AS brand, l.l_extendedprice / 100.0 AS px
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+ m AS (SELECT brand, round(median(px) + 1e-6, 2) AS med
+       FROM f GROUP BY brand),
+ d AS (SELECT f.brand, f.px, m.med FROM f JOIN m USING (brand)),
+ md AS (SELECT brand, round(median(abs(px - med)) + 1e-6, 2) AS mad
+        FROM d GROUP BY brand),
+ z AS (SELECT d.brand, d.med, md.mad,
+              CASE WHEN md.mad > 0
+                   THEN {_A19_C} * (d.px - d.med) / md.mad
+                   ELSE 0.0 END AS rz
+       FROM d JOIN md USING (brand))
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n,
+       min(med) AS med,
+       min(mad) AS mad,
+       CAST(sum(CASE WHEN abs(rz) > {_A19_CUT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       round(max(abs(rz)) + 1e-9, 6) + 0.0 AS max_abs_rz
+FROM z GROUP BY brand
+"""
+
+
+@query("a19_robust_zscore", oracle=_A19_SQL, ops=("ROBUST-STATS",))
+def a19_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-scores (median/MAD) — the outlier-resistant upgrade of
+    the reference's mean/stdev risk signal (poller.py:412-456, the a06
+    weighted Z): classical z-scores let the outliers they hunt inflate
+    σ and mask themselves; the median and the Median Absolute
+    Deviation have a 50% breakdown point, so 0.6745·(x−med)/MAD stays
+    calibrated under contamination. Per brand: the robust location and
+    scale, the count of review-band items (|rz| > cut) and the extreme
+    |rz| — the profile a fraud queue consumes.
+
+    Exactness: med and MAD are exact interpolated medians rounded to
+    2 dp BEFORE any fact-level math (the standing stats-dim rule);
+    each rz is (constant · IEEE-subtract) / positive double with a
+    defined-0 branch for MAD = 0; the flag compares the UNROUNDED rz;
+    only the reported max is rounded. Every row hash-matches.
+
+    Scale shape (100 TB): exact medians need the group's values — two
+    brand-keyed shuffles (location, then deviations) — but the
+    brand→stat DIMS come back to the fact stream as broadcast joins
+    (the a06 rule: facts never shuffle for dim math; the enrichment
+    join is a broadcast of part's key→brand projection), and the
+    final profile is one map-side-combinable aggregate. At a scale
+    where exact medians are uneconomic, a01b/a01c's approx-percentile
+    sketch is the documented swap — this entry is the exactness
+    anchor."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.join(
+        F.broadcast(part.select("p_partkey", F.col("p_brand").alias("brand"))),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select("brand", (F.col("l_extendedprice") / 100.0).alias("px"))
+    m = f.groupBy("brand").agg(_r(F.median("px"), 2).alias("med"))
+    d = f.join(F.broadcast(m), "brand")
+    md = d.groupBy("brand").agg(
+        _r(F.median(F.abs(F.col("px") - F.col("med"))), 2).alias("mad")
+    )
+    rz = F.when(
+        F.col("mad") > 0,
+        _A19_C * (F.col("px") - F.col("med")) / F.col("mad"),
+    ).otherwise(0.0)
+    z = d.join(F.broadcast(md), "brand").select(
+        "brand", "med", "mad", rz.alias("rz")
+    )
+    return z.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(F.when(F.abs(F.col("rz")) > _A19_CUT, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        (_r(F.max(F.abs(F.col("rz"))), 6) + F.lit(0.0)).alias("max_abs_rz"),
+    )

@@ -1354,3 +1354,22 @@ def test_cp05_stage_attribution_is_one_case_not_three_passes(spark, sf_dir):
     assert qe.analyzed().toString().count("ResolvedHint") <= 1
     plan = qe.executedPlan().toString()
     assert "Union" not in plan, plan
+
+
+def test_a19_robust_stats_broadcasts_dims_facts_never_sortmerge(
+    spark, sf_dir
+):
+    """The robust-stats profile's scale contract: the brand enrichment
+    and both stat-dim joins are BROADCAST (the a06 rule — the fact
+    stream never sort-merge-shuffles for dim math; the only fact
+    shuffles are the two exact-median aggregates, which genuinely need
+    the group's values), and the lineitem scan reads only the join key
+    + price."""
+    plan = _plan(spark, sf_dir, "a19_robust_zscore")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    reads = [c.split("\n")[0] for c in plan.split("ReadSchema:")[1:]]
+    li = [r for r in reads if "l_partkey" in r]
+    assert li and all(
+        "l_extendedprice" in r and "l_quantity" not in r for r in li
+    ), reads

@@ -42,6 +42,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "j08_interval_overlap_join",
     "pii03_k_anonymity",
     "cp05_quality_gate_pipeline",
+    "a19_robust_zscore",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -92,7 +93,8 @@ TRIPLE_GREEN = {
     "j05_asof_enrich",
     "j06_range_count",
     "dd12_bloom_incremental",
-    "sk01_cms_heavy_hitters",
+    # sk01_cms_heavy_hitters was parked end-of-round-10 (triple-green)
+    # to fund the a19 window slot — see _ROTATION_TAIL.
     # tp02_hard_negatives / rk01_rank_fusion / pr01_table_profile were
     # parked end-of-round-10 (next in expense order) to fund the
     # j08/pii03/cp05 window slots — see _ROTATION_TAIL.
