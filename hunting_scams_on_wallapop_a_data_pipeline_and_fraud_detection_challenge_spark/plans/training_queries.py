@@ -11407,6 +11407,10 @@ def j08_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_err"))
+        # two consumers (the totals scalar and the hot-day filter) —
+        # materialize the CALENDAR-SIZED day table once (the w05
+        # pattern) so the events scan + day shuffle never run twice
+        .localCheckpoint(eager=False)
     )
     tot = ed.agg(
         F.sum("n_err").cast("bigint").alias("n_total"),

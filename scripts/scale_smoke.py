@@ -118,6 +118,19 @@ OPS = [
     "tk04_bpe_encode",
     "cp04_span_scrub_pipeline",
     "mm05_pair_dedup",
+    # end-of-round-10 additions. LM filter: lm01's argument — two
+    # vocabulary-bounded dictionary joins (trained on the lang slice)
+    # + the one doc_id reassembly shuffle. classifier apply: a
+    # zero-shuffle projection, the most linear thing in the registry.
+    # quality gate: the projection legs + lm02's gated plan + one
+    # doc_id LEFT join. dup-graph cohesion: dd02's banded-LSH (gated
+    # above) + two self-joins on the PAIR-sized edge set — linear
+    # while dd02 stays linear and dup clusters stay copy-sized (the
+    # same perturbation argument as dd13's buckets).
+    "lm02_crossentropy_buckets",
+    "qf01_linear_quality_classifier",
+    "cp05_quality_gate_pipeline",
+    "gr02_dup_graph_cohesion",
 ]
 
 
