@@ -1,0 +1,94 @@
+"""Watermarked stream-stream interval join — the one Structured
+Streaming operator class the rest of the streaming surface doesn't
+exercise (SURVEY §2.9: the reference has no stream-stream joins;
+ST8-ST11 cover stateful aggregation, dedup and change capture).
+
+The shape is attribution: for every click, find the same user's
+purchases landing within the attribution window after it — the
+streaming form of a batch interval join (j06/j08's family), with BOTH
+sides watermarked and a time-range join condition so the state store
+can discard rows the watermark proves can no longer match. Without the
+range condition Spark would have to keep every click forever; with it,
+click state older than ``watermark − window`` and purchase state older
+than ``watermark`` are provably dead and evicted — the textbook
+bounded-state stream-stream inner join.
+
+Scale note (100 TB/day ingest): state is partitioned by the join key
+(user_id) and bounded by the attribution window times the per-key event
+rate, independent of history; the shuffle is the same single user_id
+exchange as the batch twin. Inner joins emit exactly when both sides
+have arrived — append mode, no watermark-close latency on the output
+row itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: attribution window: a purchase matches a click at most this many
+#: minutes after it
+ATTRIBUTION_MIN = 60
+#: how late either side may arrive before its state is fair game
+LATE_BUFFER = "30 minutes"
+
+EVENT_SCHEMA = "user_id long, event_id long, event_type string, ts timestamp"
+
+
+def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """NDJSON event landing files as an unbounded file-source stream
+    (the sessions/scd landing pattern)."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(landing_dir)
+
+
+def attributed_purchases(
+    events: DataFrame,
+    window_minutes: int = ATTRIBUTION_MIN,
+    buffer: str = LATE_BUFFER,
+) -> DataFrame:
+    """Click→purchase attribution as a watermarked stream-stream inner
+    join: purchases join the same user's clicks with
+    ``click_ts < purchase_ts AND purchase_ts <= click_ts + window``.
+
+    Both sides carry their own watermark and the join condition bounds
+    event time on both sides, so Spark derives state-eviction
+    thresholds for each input (clicks survive ``window`` past the
+    purchase watermark; purchases need only out-of-order slack). A
+    purchase inside two clicks' windows attributes to BOTH — the
+    multi-touch ledger; last-touch would be a downstream max_by over
+    this output."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", buffer)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", buffer)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+    )
