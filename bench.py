@@ -201,6 +201,11 @@ HEADLINE = [
     # median shuffles over the fact projection — the honest cost of
     # exactness; a01b/a01c sketch is the documented swap)
     "a19_robust_zscore",
+    # end of round-10: blocked edit-distance entity resolution (the
+    # candidate volume the blocking admits is the cost) and calendar
+    # densification + LOCF (grid build + one partitioned window)
+    "er01_fuzzy_match",
+    "ts01_gap_fill_locf",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

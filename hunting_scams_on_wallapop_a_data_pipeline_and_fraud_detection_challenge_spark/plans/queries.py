@@ -1461,6 +1461,11 @@ _ROTATION_TAIL = [
     # parked end-of-round-10 (triple-green) to fund the window slot for
     # the new a19_robust_zscore entry:
     "sk01_cms_heavy_hitters",
+    # parked end-of-round-10 (both triple-green) to fund the window
+    # slots for the new er01_fuzzy_match and ts01_gap_fill_locf
+    # entries:
+    "ds10_temperature_resample",
+    "ch01_context_chunks",
 ]
 
 

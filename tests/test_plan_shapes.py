@@ -1373,3 +1373,28 @@ def test_a19_robust_stats_broadcasts_dims_facts_never_sortmerge(
     assert li and all(
         "l_extendedprice" in r and "l_quantity" not in r for r in li
     ), reads
+
+
+def test_er01_edit_distance_runs_only_on_blocked_pairs(spark, sf_dir):
+    """Entity resolution's scale contract: the Levenshtein DP never
+    sees unblocked pairs — the candidate join is a hash equi-join on
+    the blocking key (second character) with the length band and the
+    distance cut as post-conditions; no CartesianProduct, no
+    BroadcastNestedLoopJoin."""
+    plan = _plan(spark, sf_dir, "er01_fuzzy_match")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_ts01_locf_window_is_partitioned_calendar_broadcast(spark, sf_dir):
+    """Gap fill's scale contract: the LOCF window partitions by
+    user_id (never a single-task global sort over the grid), and the
+    calendar dictionary reaches the densification cross join as a
+    broadcast (the grid build must not shuffle the user dictionary
+    against a days table)."""
+    plan = _plan(spark, sf_dir, "ts01_gap_fill_locf")
+    wins = _parse_windows(plan)
+    assert wins and all("user_id" in part for part, _ in wins), wins
+    assert "BroadcastNestedLoopJoin" in plan, plan  # dims x calendar
+    assert "CartesianProduct" not in plan, plan

@@ -43,6 +43,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "pii03_k_anonymity",
     "cp05_quality_gate_pipeline",
     "a19_robust_zscore",
+    "er01_fuzzy_match",
+    "ts01_gap_fill_locf",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -81,8 +83,9 @@ TRIPLE_GREEN = {
     # parked end-of-round-10 (the two most expensive triple-green
     # residents) to fund the qf01/u14 window slots — see
     # _ROTATION_TAIL.
-    "ds10_temperature_resample",
-    "ch01_context_chunks",
+    # ds10_temperature_resample / ch01_context_chunks were parked
+    # end-of-round-10 (triple-green) to fund the er01/ts01 window
+    # slots — see _ROTATION_TAIL.
     "ds11_length_quantile_trim",
     "a14_approx_distinct_gate",
     "w04_sessionize",
