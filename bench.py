@@ -286,6 +286,7 @@ EXCLUDED = {
     "qf01_linear_quality_classifier": "light projection (zero-shuffle classifier apply)",
     "u14_table_set_ops": "light keyed set algebra (three single-shuffle legs)",
     "pii03_k_anonymity": "two keyed aggregates on a 3-column scan",
+    "dq01_segment_drift": "one keyed contingency agg; everything after is grid-sized",
 }
 
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry

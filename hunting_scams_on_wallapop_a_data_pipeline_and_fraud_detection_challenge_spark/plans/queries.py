@@ -1466,6 +1466,9 @@ _ROTATION_TAIL = [
     # entries:
     "ds10_temperature_resample",
     "ch01_context_chunks",
+    # parked end-of-round-10 (triple-green) to fund the window slot
+    # for the new dq01_segment_drift entry:
+    "a14_approx_distinct_gate",
 ]
 
 

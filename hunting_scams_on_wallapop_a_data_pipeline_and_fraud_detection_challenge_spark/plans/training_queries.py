@@ -11929,3 +11929,96 @@ def ts01_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w), F.lit(0.0)
         ).alias("v_locf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq01: per-segment distribution drift (chi-square vs the global mix)
+# ---------------------------------------------------------------------------
+_DQ01_SQL = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+ s AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM c GROUP BY 1),
+ l AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nl FROM c GROUP BY 1),
+ g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+ grid AS (SELECT s.source, l.lang, s.ns, l.nl FROM s, l),
+ cell AS (SELECT grid.source, grid.lang,
+                 CAST(coalesce(c.o, 0) AS BIGINT) AS o,
+                 CAST(grid.ns * grid.nl AS DOUBLE) / g.n AS e
+          FROM grid LEFT JOIN c USING (source, lang), g),
+ f AS (SELECT source,
+              list((o - e) * (o - e) / e ORDER BY lang) AS contribs,
+              CAST(sum(o) AS BIGINT) AS n_docs
+       FROM cell GROUP BY source)
+SELECT source, n_docs,
+       round(list_reduce(list_prepend(0.0, contribs), (a, b) -> a + b)
+             + 1e-9, 6) + 0.0 AS chi2
+FROM f
+"""
+
+
+@query("dq01_segment_drift", oracle=_DQ01_SQL, ops=("DQ-DRIFT",))
+def dq01_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distribution drift — the data-quality monitor a
+    continuously-ingesting training pipeline runs per source: a
+    chi-square goodness-of-fit of each source's language mix against
+    the corpus-global mix (expected cell = row-total · column-total /
+    grand-total — the independence model), flagging sources whose
+    composition drifts from the corpus they feed. PSI — the other
+    standard drift score — needs log(), which the oracle-math rule
+    bans; chi-square carries the same signal log-free.
+
+    The contingency grid DENSIFIES to every (source, lang) cell
+    including zero-observation cells (their (0−e)²/e terms are real
+    drift mass a sparse groupBy would silently drop — the ts01
+    densification discipline applied to a statistic).
+
+    Exactness: observed counts and both marginals are BIGINT; each
+    expected value is ONE IEEE division of a BIGINT product; each
+    cell's contribution is pinned arithmetic; and the per-source sum
+    is the lm01 POSITION-PINNED fold (cells sorted by lang) — never a
+    shuffled float SUM(). Every row hash-matches.
+
+    Scale shape (100 TB): ONE corpus shuffle (the contingency
+    aggregate, map-side combinable) — everything after operates on
+    the contingency table, which is (segments × categories)-sized:
+    marginals derive from it (never a second corpus pass), the dense
+    grid is a broadcast cross join of the two marginal dictionaries,
+    and the fold runs per segment row. Plan-pinned: one documents
+    scan, marginal joins broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        # four consumers (both marginals, the grand total, the grid
+        # join) — materialize the contingency table once
+        .localCheckpoint(eager=False)
+    )
+    s = c.groupBy("source").agg(F.sum("o").cast("bigint").alias("ns"))
+    l = c.groupBy("lang").agg(F.sum("o").cast("bigint").alias("nl"))
+    g = c.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = s.crossJoin(F.broadcast(l))
+    cell = (
+        grid.join(c, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "lang",
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+            (
+                (F.col("ns") * F.col("nl")).cast("double") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    contrib = (
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    f = cell.select(
+        "source", "o", F.struct(F.col("lang"), contrib.alias("x")).alias("cx")
+    ).groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("n_docs"),
+        F.array_sort(F.collect_list("cx")).alias("cxs"),
+    )
+    fold = _fold_sum(F.transform(F.col("cxs"), lambda st: st["x"]))
+    return f.select(
+        "source", "n_docs", (_r(fold, 6) + F.lit(0.0)).alias("chi2")
+    )

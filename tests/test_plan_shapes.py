@@ -1398,3 +1398,21 @@ def test_ts01_locf_window_is_partitioned_calendar_broadcast(spark, sf_dir):
     assert wins and all("user_id" in part for part, _ in wins), wins
     assert "BroadcastNestedLoopJoin" in plan, plan  # dims x calendar
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dq01_drift_is_one_corpus_shuffle_then_grid_sized(spark, sf_dir):
+    """The drift monitor's scale contract: ONE documents scan feeds the
+    contingency aggregate; marginals derive from the contingency table
+    (never a second corpus pass — the single parquet scan proves it),
+    the dense grid joins are broadcasts, and no nested-loop shape
+    beyond the two tiny broadcast cross joins (marginal dictionary and
+    the 1-row grand total)."""
+    plan = _plan(spark, sf_dir, "dq01_segment_drift")
+    # the contingency table is localCheckpoint-materialized, so the
+    # ONE corpus scan lives inside the (plan-invisible) checkpointed
+    # segment and all four consumers read the materialized table —
+    # exactly 4 ExistingRDD scans and ZERO parquet re-scans visible
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan

@@ -45,6 +45,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "a19_robust_zscore",
     "er01_fuzzy_match",
     "ts01_gap_fill_locf",
+    "dq01_segment_drift",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -87,7 +88,8 @@ TRIPLE_GREEN = {
     # end-of-round-10 (triple-green) to fund the er01/ts01 window
     # slots — see _ROTATION_TAIL.
     "ds11_length_quantile_trim",
-    "a14_approx_distinct_gate",
+    # a14_approx_distinct_gate was parked end-of-round-10
+    # (triple-green) to fund the dq01 window slot — see _ROTATION_TAIL.
     "w04_sessionize",
     # tp01_contrastive_pairs / cs01_source_overlap were parked
     # end-of-round-10 (next-most-expensive triple-greens after
