@@ -287,6 +287,7 @@ EXCLUDED = {
     "u14_table_set_ops": "light keyed set algebra (three single-shuffle legs)",
     "pii03_k_anonymity": "two keyed aggregates on a 3-column scan",
     "dq01_segment_drift": "one keyed contingency agg; everything after is grid-sized",
+    "dq02_expectation_suite": "two scan-aggs + one keyed join, all one-row outputs",
 }
 
 # coverage gate: HEADLINE ∪ EXCLUDED must partition the registry

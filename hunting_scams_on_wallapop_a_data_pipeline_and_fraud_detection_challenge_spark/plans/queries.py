@@ -1469,6 +1469,9 @@ _ROTATION_TAIL = [
     # parked end-of-round-10 (triple-green) to fund the window slot
     # for the new dq01_segment_drift entry:
     "a14_approx_distinct_gate",
+    # parked end-of-round-10 (triple-green) to fund the window slot
+    # for the new dq02_expectation_suite entry:
+    "ds11_length_quantile_trim",
 ]
 
 

@@ -12022,3 +12022,142 @@ def dq01_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "source", "n_docs", (_r(fold, 6) + F.lit(0.0)).alias("chi2")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq02: expectation-suite ledger (batched rule evaluation per pass)
+# ---------------------------------------------------------------------------
+#: totalprice plausibility ceiling — set where the synthetic generator
+#: actually violates it (6,033 rows at sf0.01), so the ledger
+#: demonstrably CATCHES, instead of vacuously passing every rule
+_DQ02_MAX_PRICE = 300_000
+
+_DQ02_SQL = f"""
+WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_totalprice <= 0
+                                  OR o_totalprice > {_DQ02_MAX_PRICE}
+                                THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+                  CAST(sum(CASE WHEN o_custkey IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                      AS v_uniq
+           FROM orders),
+ l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+       FROM lineitem),
+ j AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN od.o_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_fk,
+              CAST(sum(CASE WHEN od.o_orderkey IS NOT NULL
+                              AND li.l_shipdate < od.o_orderdate
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_temporal
+       FROM lineitem li LEFT JOIN orders od
+         ON li.l_orderkey = od.o_orderkey)
+SELECT 'orders_totalprice_range' AS rule, n AS n_checked,
+       v_range AS n_violations, v_range = 0 AS pass FROM o
+UNION ALL SELECT 'orders_status_in_set', n, v_set, v_set = 0 FROM o
+UNION ALL SELECT 'orders_custkey_not_null', n, v_null, v_null = 0 FROM o
+UNION ALL SELECT 'orders_orderkey_unique', n, v_uniq, v_uniq = 0 FROM o
+UNION ALL SELECT 'lineitem_discount_range', n, v_disc, v_disc = 0 FROM l
+UNION ALL SELECT 'lineitem_orderkey_fk', n, v_fk, v_fk = 0 FROM j
+UNION ALL SELECT 'lineitem_ship_after_order', n, v_temporal,
+                 v_temporal = 0 FROM j
+"""
+
+
+@query("dq02_expectation_suite", oracle=_DQ02_SQL, ops=("DQ-EXPECT",))
+def dq02_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite evaluation — the Great-Expectations-shaped
+    assertion ledger a pipeline gates releases on (dq01 monitors
+    drift; this asserts CONTRACTS): seven rules across range,
+    set-membership, completeness, uniqueness, referential-integrity
+    and cross-table temporal-consistency classes, each reported as
+    (rule, n_checked, n_violations, pass). The synthetic generator
+    REALLY violates two of them (29,157 lineitems ship before their
+    order's date; 6,033 orders exceed the price ceiling at sf0.01) —
+    the ledger demonstrably catches, instead of vacuously passing.
+
+    The at-scale discipline is RULE BATCHING: all four orders rules
+    evaluate in ONE aggregate pass over the scan, the lineitem rule in
+    one, and both cross-table rules (FK existence + temporal order)
+    ride ONE left join — a naive suite runs one pass per rule and
+    re-scans the lake seven times. The per-rule rows then derive from
+    the three one-row aggregates.
+
+    Exactness: pure integer counting and date comparisons — every
+    column BIGINT, boolean, or a literal rule id.
+
+    Scale shape (100 TB): two scan-aggregates with map-side partials
+    + one key shuffle for the FK/temporal join (AQE may broadcast the
+    orders key-date projection); the uniqueness rule's exact distinct
+    is the standard two-hop count-distinct inside the same aggregate.
+    Plan-pinned: no nested-loop join; the union legs are one-row."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > _DQ02_MAX_PRICE),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("v_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).cast("bigint").alias("v_set"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_uniq"),
+        # four union legs read this one-row aggregate — materialize it
+        # (Spark does not share subplans across union branches; without
+        # the cut each leg re-scans the lake)
+    ).localCheckpoint(eager=False)
+    l = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("v_disc"),
+    ).localCheckpoint(eager=False)
+    od = orders.select("o_orderkey", "o_orderdate")
+    j = li.select("l_orderkey", "l_shipdate").join(
+        od, li["l_orderkey"] == od["o_orderkey"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("v_fk"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNotNull()
+                & (F.col("l_shipdate") < F.col("o_orderdate")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("v_temporal"),
+    ).localCheckpoint(eager=False)
+
+    def _rule(src, name, vcol):
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col(vcol).alias("n_violations"),
+            (F.col(vcol) == 0).alias("pass"),
+        )
+
+    return (
+        _rule(o, "orders_totalprice_range", "v_range")
+        .unionByName(_rule(o, "orders_status_in_set", "v_set"))
+        .unionByName(_rule(o, "orders_custkey_not_null", "v_null"))
+        .unionByName(_rule(o, "orders_orderkey_unique", "v_uniq"))
+        .unionByName(_rule(l, "lineitem_discount_range", "v_disc"))
+        .unionByName(_rule(j, "lineitem_orderkey_fk", "v_fk"))
+        .unionByName(_rule(j, "lineitem_ship_after_order", "v_temporal"))
+    )

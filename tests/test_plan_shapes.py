@@ -1416,3 +1416,20 @@ def test_dq01_drift_is_one_corpus_shuffle_then_grid_sized(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") == 4, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_dq02_rules_are_batched_not_one_pass_per_rule(spark, sf_dir):
+    """The expectation suite's scale contract: rule evaluation is
+    BATCHED — the four orders rules share one aggregate pass, the
+    lineitem rule one, and both cross-table rules one left join — and
+    the three one-row aggregates are localCheckpoint-materialized so
+    the seven union legs read materialized rows instead of each
+    re-scanning the lake (Spark does not share subplans across union
+    branches). Pinned: ZERO parquet scans in the visible plan (they
+    all live inside the three checkpointed passes), exactly 7
+    ExistingRDD leg reads, no nested-loop join."""
+    plan = _plan(spark, sf_dir, "dq02_expectation_suite")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 7, plan

@@ -46,6 +46,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "er01_fuzzy_match",
     "ts01_gap_fill_locf",
     "dq01_segment_drift",
+    "dq02_expectation_suite",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -87,7 +88,8 @@ TRIPLE_GREEN = {
     # ds10_temperature_resample / ch01_context_chunks were parked
     # end-of-round-10 (triple-green) to fund the er01/ts01 window
     # slots — see _ROTATION_TAIL.
-    "ds11_length_quantile_trim",
+    # ds11_length_quantile_trim was parked end-of-round-10
+    # (triple-green) to fund the dq02 window slot — see _ROTATION_TAIL.
     # a14_approx_distinct_gate was parked end-of-round-10
     # (triple-green) to fund the dq01 window slot — see _ROTATION_TAIL.
     "w04_sessionize",
