@@ -206,6 +206,11 @@ HEADLINE = [
     # densification + LOCF (grid build + one partitioned window)
     "er01_fuzzy_match",
     "ts01_gap_fill_locf",
+    # end of round-10: the partial-aggregate merge (union of partials
+    # + one keyed sum — the IVM maintenance path) and the Morton
+    # z-order audit (32-term codegen interleave + one keyed agg)
+    "ivm01_partial_merge",
+    "zo01_zorder_layout",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

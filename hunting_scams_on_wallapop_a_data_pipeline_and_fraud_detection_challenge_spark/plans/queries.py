@@ -1472,6 +1472,11 @@ _ROTATION_TAIL = [
     # parked end-of-round-10 (triple-green) to fund the window slot
     # for the new dq02_expectation_suite entry:
     "ds11_length_quantile_trim",
+    # parked end-of-round-10 (both triple-green) to fund the window
+    # slots for the new ivm01_partial_merge and zo01_zorder_layout
+    # entries:
+    "w04_sessionize",
+    "j05_asof_enrich",
 ]
 
 

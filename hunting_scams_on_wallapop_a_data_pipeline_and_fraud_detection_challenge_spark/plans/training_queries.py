@@ -12161,3 +12161,247 @@ def dq02_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_rule(j, "lineitem_orderkey_fk", "v_fk"))
         .unionByName(_rule(j, "lineitem_ship_after_order", "v_temporal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ivm01: incremental view maintenance — exact partial-aggregate merge
+# ---------------------------------------------------------------------------
+_IVM01_DAY_US = 86_400_000_000
+#: cents conversion pinned as floor(x*100 + 0.5): deterministic on the
+#: identical doubles both engines read (round() half-rule quirks never
+#: engage)
+_IVM01_CENTS = "floor(value * 100 + 0.5)"
+
+_IVM01_SQL = f"""
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) // {_IVM01_DAY_US} AS BIGINT) AS d,
+                  CAST({_IVM01_CENTS} AS BIGINT) AS c
+           FROM events),
+ mx AS (SELECT max(d) AS dmax FROM e),
+ hist AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS s2
+          FROM e, mx WHERE d < dmax GROUP BY user_id),
+ delta AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS s2
+           FROM e, mx WHERE d = dmax GROUP BY user_id),
+ merged AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(s) AS BIGINT) AS s,
+                   CAST(sum(s2) AS BIGINT) AS s2
+            FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+            GROUP BY user_id),
+ direct AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM e GROUP BY user_id)
+SELECT m.user_id, m.n, m.s, m.s2,
+       round((CAST(m.s AS DOUBLE) / m.n / 100.0) + 1e-6, 4) AS mean_value,
+       round(((m.s2 - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n / 10000.0)
+             + 1e-6, 4) AS var_value,
+       (m.n = d.n AND m.s = d.s AND m.s2 = d.s2) AS merge_exact
+FROM merged m JOIN direct d USING (user_id)
+"""
+
+
+@query("ivm01_partial_merge", oracle=_IVM01_SQL, ops=("IVM-MERGE",))
+def ivm01_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — the partial-aggregate MERGE that
+    lets a materialized per-key stats view absorb a delta batch
+    without recomputing history (the cdc01 snapshot diff feeds it; a
+    100 TB view is maintained, never rebuilt): yesterday's per-user
+    (n, Σc, Σc²) partials merge with the newest day's partials by
+    simple addition, and mean/variance derive from the merged moments
+    (the Chan et al. pairwise-merge identity, degenerate pairwise
+    case). The ledger also recomputes DIRECTLY over all history and
+    emits per-key merge_exact — the merge-equals-recompute proof is IN
+    the verified result, not just a docstring claim (every row flags
+    true because the partials are exact integers).
+
+    Exactness: values convert to cent BIGINTs via floor(x·100 + 0.5)
+    (deterministic on identical doubles — round()'s half-rule quirks
+    never engage), so Σ and Σ² are EXACT integer partials with no
+    float-order sensitivity anywhere; the derived mean/variance are
+    fixed-order double expressions from those exact integers.
+
+    Scale shape (100 TB): in production the history partials ARE the
+    stored view (read back key-partitioned, no history scan at all) —
+    here both sides derive from one events table to stay
+    oracle-checkable, and the merge itself is the thing under test:
+    a UNION of partial tables + one keyed sum, map-side combinable,
+    delta-sized state movement. The direct-recompute leg exists only
+    as the in-result proof. Plan-pinned: no nested-loop join, the
+    merge aggregate's input is a Union of two aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_IVM01_DAY_US}"
+        ).alias("d"),
+        F.expr(_IVM01_CENTS).cast("bigint").alias("c"),
+    ).localCheckpoint(eager=False)
+    mx = e.agg(F.max("d").alias("dmax"))
+
+    def _partials(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        )
+
+    ej = e.crossJoin(F.broadcast(mx))
+    hist = _partials(ej.filter(F.col("d") < F.col("dmax")))
+    delta = _partials(ej.filter(F.col("d") == F.col("dmax")))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("s2").cast("bigint").alias("s2"),
+        )
+    )
+    direct = _partials(e).select(
+        F.col("user_id"),
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("s2").alias("ds2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 100.0
+    var = (
+        (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.col("n")
+        / 10000.0
+    )
+    return merged.join(direct, "user_id").select(
+        "user_id",
+        "n",
+        "s",
+        "s2",
+        _r(mean, 4).alias("mean_value"),
+        _r(var, 4).alias("var_value"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s") == F.col("ds"))
+            & (F.col("s2") == F.col("ds2"))
+        ).alias("merge_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zo01: Z-order (Morton) layout — space-filling-curve clustering audit
+# ---------------------------------------------------------------------------
+#: bits per coordinate (gx < 9,000 and gy < 36,000 both fit 16 bits)
+_ZO01_BITS = 16
+#: block id = top 8+8 interleaved bits → inside one block each
+#: coordinate spans at most 2^8 = 256 grid cells — the locality bound
+_ZO01_BLOCK_SHIFT = 16
+_ZO01_SPAN = 256
+
+
+def _morton_terms(gx: str, gy: str) -> str:
+    """The 32 static interleave terms Σ bit_i(gx)·4^i + 2·bit_i(gy)·4^i
+    — plain integer arithmetic (DIV/%/·) shared verbatim by both
+    engines, unrolled in Python so everything stays codegen'd
+    (per-bit shifts as expressions would need column-valued shift
+    amounts, which neither engine's shift builtin takes)."""
+    terms = []
+    for i in range(_ZO01_BITS):
+        p2, p4 = 1 << i, 1 << (2 * i)
+        terms.append(f"(({gx} // {p2}) % 2) * {p4}")
+        terms.append(f"(({gy} // {p2}) % 2) * {2 * p4}")
+    return " + ".join(terms)
+
+
+def _zo01_sql() -> str:
+    lat = "round((value % 90) + 1e-6, 2)"
+    lon = "round((CAST(event_id % 36000 AS DOUBLE) / 100.0 - 180) + 1e-6, 2)"
+    return f"""
+    WITH p AS (SELECT CAST(floor({lat} * 100 + 0.5) AS BIGINT) AS gx,
+                      CAST(floor({lon} * 100 + 0.5) AS BIGINT) + 18000 AS gy
+               FROM events),
+    z AS (SELECT gx, gy,
+                 CAST({_morton_terms("gx", "gy")} AS BIGINT) AS zval
+          FROM p)
+    SELECT CAST(zval // {1 << _ZO01_BLOCK_SHIFT} AS BIGINT) AS z_block,
+           CAST(count(*) AS BIGINT) AS n,
+           min(gx) AS min_gx, max(gx) AS max_gx,
+           min(gy) AS min_gy, max(gy) AS max_gy,
+           (max(gx) - min(gx) < {_ZO01_SPAN}
+            AND max(gy) - min(gy) < {_ZO01_SPAN}) AS locality_ok
+    FROM z GROUP BY 1
+    """
+
+
+@query("zo01_zorder_layout", oracle=_zo01_sql, ops=("LAYOUT-ZORDER",))
+def zo01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout — the space-filling-curve
+    data-layout pass a lakehouse runs (Delta OPTIMIZE ZORDER BY) so
+    multi-dimensional range predicates prune files: each point's grid
+    coordinates interleave bit-by-bit into one BIGINT sort key, and
+    the per-block ledger PROVES the locality property in the verified
+    result — inside any block of the curve both coordinates span at
+    most 2^8 grid cells (locality_ok, true for every block), which is
+    exactly why a (lat, lon) range scan touches few z-ranges. The
+    j07/x19 coordinate derivation is reused, so this is the LAYOUT
+    counterpart of j07's grid JOIN.
+
+    Exactness: everything is integer arithmetic — 2-dp coordinates
+    scale to grid ints via floor(x·100 + 0.5) (the ivm01 cents rule),
+    and the interleave is 32 unrolled DIV/%/· terms shared verbatim
+    with the oracle; counts and extrema are BIGINT.
+
+    Scale shape (100 TB): the z computation is a pure codegen
+    projection on the scan (at 100 TB it feeds a repartitionByRange
+    write — the expensive step is the one range shuffle the layout
+    job exists to pay), and the audit here is ONE keyed aggregate
+    with map-side partials. Plan-pinned: one scan, no join, no
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        F.expr(
+            "CAST(floor(round((value % 90) + 1e-6, 2) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("gx"),
+        (
+            F.expr(
+                "CAST(floor(round((CAST(event_id % 36000 AS DOUBLE)"
+                " / 100.0 - 180) + 1e-6, 2) * 100 + 0.5) AS BIGINT)"
+            )
+            + 18000
+        ).alias("gy"),
+    )
+    z = p.select(
+        "gx",
+        "gy",
+        F.expr(
+            _morton_terms("gx", "gy").replace("//", " DIV ")
+        ).cast("bigint").alias("zval"),
+    )
+    return (
+        z.groupBy(
+            F.expr(f"zval DIV {1 << _ZO01_BLOCK_SHIFT}")
+            .cast("bigint")
+            .alias("z_block")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("gx").alias("min_gx"),
+            F.max("gx").alias("max_gx"),
+            F.min("gy").alias("min_gy"),
+            F.max("gy").alias("max_gy"),
+        )
+        .select(
+            "z_block",
+            "n",
+            "min_gx",
+            "max_gx",
+            "min_gy",
+            "max_gy",
+            (
+                (F.col("max_gx") - F.col("min_gx") < _ZO01_SPAN)
+                & (F.col("max_gy") - F.col("min_gy") < _ZO01_SPAN)
+            ).alias("locality_ok"),
+        )
+    )

@@ -1433,3 +1433,26 @@ def test_dq02_rules_are_batched_not_one_pass_per_rule(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") == 7, plan
+
+
+def test_ivm01_merge_is_a_union_of_partials(spark, sf_dir):
+    """IVM's scale contract: the merge aggregate consumes a Union of
+    the two partial tables (delta-sized state movement, map-side
+    combinable) — never a re-join of raw history — and no nested-loop
+    shape beyond the 1-row cutoff broadcast."""
+    plan = _plan(spark, sf_dir, "ivm01_partial_merge")
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan  # 1-row dmax
+
+
+def test_zo01_zorder_is_one_scan_one_aggregate(spark, sf_dir):
+    """The layout audit's scale contract: the 32-term Morton
+    interleave is a pure projection on ONE events scan (codegen — no
+    join, no window, no Python), followed by a single keyed
+    aggregate."""
+    plan = _plan(spark, sf_dir, "zo01_zorder_layout")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "event_id" in read and "value" in read and "props" not in read, read

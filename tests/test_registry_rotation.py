@@ -47,6 +47,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "ts01_gap_fill_locf",
     "dq01_segment_drift",
     "dq02_expectation_suite",
+    "ivm01_partial_merge",
+    "zo01_zorder_layout",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -92,12 +94,13 @@ TRIPLE_GREEN = {
     # (triple-green) to fund the dq02 window slot — see _ROTATION_TAIL.
     # a14_approx_distinct_gate was parked end-of-round-10
     # (triple-green) to fund the dq01 window slot — see _ROTATION_TAIL.
-    "w04_sessionize",
+    # w04_sessionize / j05_asof_enrich were parked end-of-round-10
+    # (triple-green) to fund the ivm01/zo01 window slots — see
+    # _ROTATION_TAIL.
     # tp01_contrastive_pairs / cs01_source_overlap were parked
     # end-of-round-10 (next-most-expensive triple-greens after
     # dd11/ct03) to fund the gr02/cdc02 window slots — see
     # _ROTATION_TAIL.
-    "j05_asof_enrich",
     "j06_range_count",
     "dd12_bloom_incremental",
     # sk01_cms_heavy_hitters was parked end-of-round-10 (triple-green)
