@@ -1289,9 +1289,24 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            INTERSECT/EXCEPT ALL) — nn08 stays as the only
 #            deliberate multi-green resident (re-earning its
 #            post-split shape).
+#            Late round-10 the registry grew 134 → 146 with twelve more
+#            families (gr02 triangles, cdc02 SCD2, j08 interval
+#            overlap, pii03 k-anonymity, cp05 quality gate, a19
+#            robust stats, er01 entity resolution, ts01 gap fill,
+#            dq01 drift, dq02 expectations, ivm01 IVM merge, zo01
+#            z-order) — funded one-for-one by the remaining
+#            triple-green stock (tp01, cs01, tp02, rk01, pr01, sk01,
+#            ds10, ch01, a14, ds11, w04, j05). Net window cost
+#            DROPPED: 80 s idle-box at sf0.01 vs the r09 window's
+#            ~135 s (VERDICT r09 watch item closed — the parks were
+#            the expensive entries; the arrivals are mostly
+#            single-shuffle aggregates).
 #   round 11+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
+#            The r10 heavies (nn08 13 s, nn09 7 s, tk02/tk03/tk04 ~5 s
+#            each) earn their r10 greens this round and become the
+#            natural r11 parking stock.
 #
 # Union after round 3: every oracle-backed entry has ≥1 green row in
 # r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
