@@ -211,6 +211,10 @@ HEADLINE = [
     # z-order audit (32-term codegen interleave + one keyed agg)
     "ivm01_partial_merge",
     "zo01_zorder_layout",
+    # end of round-10: ST12's batch twin — the hour-binned keyed
+    # attribution interval join (2x click replication + one
+    # (user, bin) hash join)
+    "j09_attribution_join",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

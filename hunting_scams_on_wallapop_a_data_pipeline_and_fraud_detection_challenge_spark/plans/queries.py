@@ -1492,6 +1492,9 @@ _ROTATION_TAIL = [
     # entries:
     "w04_sessionize",
     "j05_asof_enrich",
+    # parked end-of-round-10 (triple-green) to fund the window slot
+    # for the new j09_attribution_join entry (ST12's batch twin):
+    "j06_range_count",
 ]
 
 

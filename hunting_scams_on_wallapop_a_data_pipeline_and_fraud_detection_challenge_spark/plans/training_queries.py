@@ -12405,3 +12405,108 @@ def zo01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("locality_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j09: keyed attribution interval join — ST12's oracle-backed batch twin
+# ---------------------------------------------------------------------------
+#: attribution window in epoch microseconds (matches streaming/joins.py)
+_J09_WINDOW_US = 60 * 60 * 1_000_000
+
+_J09_SQL = f"""
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+           FROM events WHERE event_type = 'click'),
+ p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+       FROM events WHERE event_type = 'purchase'),
+ m AS (SELECT c.user_id, c.click_id,
+              CAST(count(*) AS BIGINT) AS n_purchases,
+              min(p.pt - c.ct) AS first_lag_us
+       FROM c JOIN p ON c.user_id = p.user_id
+        AND p.pt > c.ct AND p.pt <= c.ct + {_J09_WINDOW_US}
+       GROUP BY 1, 2)
+SELECT c.user_id, c.click_id,
+       CAST(coalesce(m.n_purchases, 0) AS BIGINT) AS n_purchases,
+       m.first_lag_us
+FROM c LEFT JOIN m USING (user_id, click_id)
+"""
+
+
+@query("j09_attribution_join", oracle=_J09_SQL, ops=("JOIN-ATTRIBUTION",))
+def j09_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a KEYED interval join — the
+    oracle-backed batch twin of the ST12 stream-stream join
+    (streaming/joins.py — same window, same multi-touch semantics),
+    completing the batch↔streaming twin pattern (dd12↔ST9, dd16↔ST10,
+    cdc02↔ST11): per click, how many of the same user's purchases
+    landed inside the attribution window, and the lag to the first
+    (NULL for unattributed clicks — they stay in the ledger).
+
+    The scale shape is the j06/j08 bin trick applied to a KEYED
+    range join: the naive (user) equi-join explodes on hot users
+    (every click × every purchase of the user, then filter); instead
+    each click replicates into exactly the TWO hour bins its window
+    can touch, purchases carry their own bin, and candidates meet in
+    a (user, hour-bin) equi-join where the residual range predicate
+    prunes — each true pair matches in exactly ONE of the click's two
+    bins, so no dedup pass exists. The oracle spells the same
+    semantics as the plain range join (DuckDB's planner handles the
+    small-SF case natively).
+
+    Exactness: pure integer epoch-microsecond arithmetic and BIGINT
+    counts; first_lag_us is an integer difference (min over exact
+    ints). Every row hash-matches.
+
+    Scale shape (100 TB): candidate volume is bounded by per-(user,
+    hour) activity instead of per-user totals — the hot-user
+    quadratic becomes per-bin-quadratic (AQE's skew split handles a
+    hot hour); 2× replication of the click side only. Plan-pinned:
+    the join is a hash equi-join on (user, bin), never a
+    nested-loop."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), tus.alias("ct")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        tus.alias("pt"),
+    )
+    c2 = c.select(
+        "user_id",
+        "click_id",
+        "ct",
+        F.explode(
+            F.array(
+                F.expr(f"ct DIV {_J09_WINDOW_US}"),
+                F.expr(f"ct DIV {_J09_WINDOW_US} + 1"),
+            )
+        ).alias("hb"),
+    )
+    p2 = p.withColumn("phb", F.expr(f"pt DIV {_J09_WINDOW_US}"))
+    m = (
+        c2.join(
+            p2,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("hb") == F.col("phb")),
+        )
+        .filter(
+            (F.col("pt") > F.col("ct"))
+            & (F.col("pt") <= F.col("ct") + _J09_WINDOW_US)
+        )
+        .groupBy("user_id", "click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.min(F.col("pt") - F.col("ct")).alias("first_lag_us"),
+        )
+    )
+    return c.join(m, ["user_id", "click_id"], "left").select(
+        "user_id",
+        "click_id",
+        F.coalesce(F.col("n_purchases"), F.lit(0)).cast("bigint").alias(
+            "n_purchases"
+        ),
+        "first_lag_us",
+    )

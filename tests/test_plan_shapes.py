@@ -1456,3 +1456,16 @@ def test_zo01_zorder_is_one_scan_one_aggregate(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan, plan
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "event_id" in read and "value" in read and "props" not in read, read
+
+
+def test_j09_attribution_is_bin_keyed_not_user_quadratic(spark, sf_dir):
+    """The keyed attribution join's scale contract: candidates meet in
+    a hash equi-join on (user, hour-bin) — the hot-user quadratic is
+    bounded per bin — with the click side replicated into exactly its
+    two reachable bins by a Generate; no CartesianProduct, no
+    BroadcastNestedLoopJoin, and the range predicate rides the join as
+    a post-condition."""
+    plan = _plan(spark, sf_dir, "j09_attribution_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan

@@ -49,6 +49,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "dq02_expectation_suite",
     "ivm01_partial_merge",
     "zo01_zorder_layout",
+    "j09_attribution_join",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r09 — the 9
@@ -101,7 +102,8 @@ TRIPLE_GREEN = {
     # end-of-round-10 (next-most-expensive triple-greens after
     # dd11/ct03) to fund the gr02/cdc02 window slots — see
     # _ROTATION_TAIL.
-    "j06_range_count",
+    # j06_range_count was parked end-of-round-10 (triple-green) to
+    # fund the j09 window slot — see _ROTATION_TAIL.
     "dd12_bloom_incremental",
     # sk01_cms_heavy_hitters was parked end-of-round-10 (triple-green)
     # to fund the a19 window slot — see _ROTATION_TAIL.
