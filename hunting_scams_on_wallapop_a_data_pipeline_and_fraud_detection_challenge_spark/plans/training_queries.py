@@ -11811,13 +11811,17 @@ def er01_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.length("dirty") - F.length("name")) <= 1
             ),
         )
-        .filter(F.levenshtein("dirty", "name") <= _ER01_MAXDIST)
+        # project the DP once, THEN filter on the column — the filter
+        # predicate and the select list are separate expression trees,
+        # so codegen would otherwise evaluate the O(len^2) DP twice
+        # per blocked pair
         .select(
             "p_partkey",
             "dirty",
             "name",
             F.levenshtein("dirty", "name").cast("bigint").alias("dist"),
         )
+        .filter(F.col("dist") <= _ER01_MAXDIST)
     )
     # best-match in ONE pass over the candidates: the per-mention min
     # and count ride a mention-keyed window (single shuffle), so the

@@ -23,22 +23,19 @@ row itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ST11 and ST12 consume the SAME event landing format — one schema and
+# one reader (a second copy would let the two input contracts drift)
+from .scd import EVENT_SCHEMA  # noqa: F401  (re-exported contract)
+from .scd import read_change_stream as read_event_stream  # noqa: F401
 
 #: attribution window: a purchase matches a click at most this many
 #: minutes after it
 ATTRIBUTION_MIN = 60
 #: how late either side may arrive before its state is fair game
 LATE_BUFFER = "30 minutes"
-
-EVENT_SCHEMA = "user_id long, event_id long, event_type string, ts timestamp"
-
-
-def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """NDJSON event landing files as an unbounded file-source stream
-    (the sessions/scd landing pattern)."""
-    return spark.readStream.schema(EVENT_SCHEMA).json(landing_dir)
 
 
 def attributed_purchases(
