@@ -215,6 +215,17 @@ HEADLINE = [
     # attribution interval join (2x click replication + one
     # (user, bin) hash join)
     "j09_attribution_join",
+    # round-11: the last-touch arg-max over j09's candidate generator
+    # (2x purchase replication + one partial-aggregated struct max)
+    "j10_last_touch_attribution",
+    # round-11: blocked min-label connected components (4 propagation
+    # rounds of keyed join + MIN agg over the nation-blocked supplier
+    # graph), the signed-delta IVM merge (retraction algebra on the
+    # ivm01 plan shape), and the z-order write-leg audit (two global
+    # rank sorts + file ledger + broadcast probe join)
+    "gr03_connected_components",
+    "ivm02_retraction_merge",
+    "zo02_zorder_file_pruning",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

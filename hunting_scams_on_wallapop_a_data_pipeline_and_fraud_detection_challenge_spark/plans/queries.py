@@ -1301,12 +1301,27 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            ~135 s (VERDICT r09 watch item closed — the parks were
 #            the expensive entries; the arrivals are mostly
 #            single-shuffle aggregates).
-#   round 11+ rotate a different set of multi-greens back (use
+#   round 11 tail: the r10 tail plus four parks funding the round's
+#            four new entries one-for-one (j10 last-touch attribution,
+#            gr03 connected components, ivm02 retraction merge, zo02
+#            z-order write-leg audit): tp03_triplet_assembly (9.5 s,
+#            triple-green), tk02_bpe_trainer and tk03_bpe_compression
+#            (6.7/6.4 s, double-green) and vc01_vocab_coverage
+#            (2.1 s, four-green) — the most expensive in-window
+#            multi-greens. ALL 27 r10 single-green arrivals, the
+#            reshaped nn08 (one green at its 6-row shape) and
+#            nn09/tk04 stay in-window for their second greens.
+#            Measured window cost (idle box, sf0.01, local[8], this
+#            round's full-registry sim): the r10 window ran 108.8 s;
+#            the four parks cut 24.7 s and the four arrivals add
+#            ~13 s -> ~97 s, back under the ~100 s target (VERDICT
+#            r10 item 8).
+#   round 12+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
-#            The r10 heavies (nn08 13 s, nn09 7 s, tk02/tk03/tk04 ~5 s
-#            each) earn their r10 greens this round and become the
-#            natural r11 parking stock.
+#            The r10 heavies (nn08 13.6 s, nn09 8.2 s, tk04 8.9 s)
+#            earn their second greens this round and become the
+#            natural r12 parking stock.
 #
 # Union after round 3: every oracle-backed entry has ≥1 green row in
 # r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
@@ -1495,6 +1510,18 @@ _ROTATION_TAIL = [
     # parked end-of-round-10 (triple-green) to fund the window slot
     # for the new j09_attribution_join entry (ST12's batch twin):
     "j06_range_count",
+    # parked round-11, one-for-one for the round's four new entries
+    # (j10_last_touch_attribution, gr03_connected_components,
+    # ivm02_retraction_merge, zo02_zorder_file_pruning), chosen as the
+    # most EXPENSIVE in-window entries with >=2 green rows (tp03
+    # 9.5 s / tk02 6.7 s / tk03 6.4 s / vc01 2.1 s in this round's
+    # idle full-registry sim) — the r10 single-green arrivals and the
+    # reshaped nn08 all stay in-window for their second greens, per
+    # the <2-green rule:
+    "tp03_triplet_assembly",
+    "tk02_bpe_trainer",
+    "tk03_bpe_compression",
+    "vc01_vocab_coverage",
 ]
 
 

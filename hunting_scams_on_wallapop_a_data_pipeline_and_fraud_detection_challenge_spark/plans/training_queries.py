@@ -10593,13 +10593,38 @@ _GR_ROUNDS = 4
 _GR_TOPK = 20
 
 
+#: the supplier co-purchase edge set (suppliers are adjacent when they
+#: co-supply an order — co01's basket projection as an undirected,
+#: symmetric edge list), shared verbatim by the gr01 AND gr03 oracles
+#: so the two graph operators cannot drift on what the graph IS
+_GR_EDGE_CTES = """t AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+           FROM lineitem),
+    ed AS (SELECT DISTINCT a.s AS src, b.s AS dst
+           FROM t a JOIN t b ON a.o = b.o WHERE a.s <> b.s)"""
+
+
+def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_GR_EDGE_CTES``: the symmetric (src, dst)
+    supplier co-purchase edge list, lineage-cut (both graph operators
+    iterate joins against it)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "o")
+        .filter(F.col("a.s") != F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def _gr01_sql(rounds: int = _GR_ROUNDS) -> str:
     teleport = (100 - _GR_DAMP_PCT) * _GR_SCALE // 100
     parts = [
-        """t AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
-           FROM lineitem),
-    ed AS (SELECT DISTINCT a.s AS src, b.s AS dst
-           FROM t a JOIN t b ON a.o = b.o WHERE a.s <> b.s),
+        _GR_EDGE_CTES
+        + """,
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
             FROM ed GROUP BY src),
     s0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS score
@@ -10659,17 +10684,7 @@ def gr01_integer_pagerank(
     deliberately UNHINTED: the score side is node-sized, a priori
     unbounded (the r09 rule), so AQE elects the strategy. The final
     leaderboard is a TakeOrdered top-k, never a global sort."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    ed = (
-        li.alias("a")
-        .join(li.alias("b"), "o")
-        .filter(F.col("a.s") != F.col("b.s"))
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ed = _gr_edges(spark, sf_dir)
     deg = ed.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).localCheckpoint(eager=False)
@@ -10716,10 +10731,12 @@ _J07_RADIUS = 1.0
 #: squared radius — the filter compares squared planar distance (no sqrt)
 _J07_R2 = _J07_RADIUS * _J07_RADIUS
 
-#: point derivation shared verbatim with the oracle: lat folds the event
-#: value into [0, 90) (the x19 rule), lon spreads event_id over
-#: [-180, 180) at 0.01-degree resolution so points are dense enough for
-#: non-trivial neighborhoods at every SF
+#: point derivation shared verbatim with the oracle AND with zo01 (the
+#: layout counterpart — one definition, so the j07/zo01 coordinate
+#: contract cannot drift): lat folds the event value into [0, 90] (the
+#: x19 rule), lon spreads event_id over [-180, 180) at 0.01-degree
+#: resolution so points are dense enough for non-trivial neighborhoods
+#: at every SF. Both strings are valid in Spark SQL and DuckDB alike.
 _J07_LAT_SQL = "round((value % 90) + 1e-6, 2)"
 _J07_LON_SQL = (
     "round((CAST(event_id % 36000 AS DOUBLE) / 100.0 - 180) + 1e-6, 2)"
@@ -10771,7 +10788,14 @@ def j07_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     planar equirectangular ((dlat)^2 + (dlon)^2 — pure IEEE multiply/
     add, bit-identical across engines; haversine's libm trig is not
     correctly rounded, the standing oracle-math rule), which is the
-    right small-radius approximation anyway.
+    right small-radius approximation anyway. Longitude is treated as
+    UNBOUNDED planar space — no antimeridian wraparound: a pair within
+    radius across lon = ±180 never shares or neighbors a grid cell, so
+    its neighbor counts are undercounted on both sides. Oracle and
+    Spark agree (the limitation is shared, parity holds); wraparound
+    semantics would alias the ±180 boundary cells (cy = -180 ≡ +180)
+    on BOTH the cell assignment and the distance, which this synthetic
+    degree space does not need.
 
     Exactness: coordinates are 2-dp-rounded doubles (the x19 rule)
     BEFORE cell assignment and distance math, so both engines bucket
@@ -12296,7 +12320,8 @@ def ivm01_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # zo01: Z-order (Morton) layout — space-filling-curve clustering audit
 # ---------------------------------------------------------------------------
-#: bits per coordinate (gx < 9,000 and gy < 36,000 both fit 16 bits)
+#: bits per coordinate (gx <= 9,000 — lat can round up to exactly
+#: 90.00 — and gy < 36,000; both fit 16 bits)
 _ZO01_BITS = 16
 #: block id = top 8+8 interleaved bits → inside one block each
 #: coordinate spans at most 2^8 = 256 grid cells — the locality bound
@@ -12318,12 +12343,17 @@ def _morton_terms(gx: str, gy: str) -> str:
     return " + ".join(terms)
 
 
+#: grid-int derivation on top of the j07 coordinates — ONE definition
+#: feeds zo01's oracle and its Spark side (both engines parse the same
+#: string), so the j07/zo01 coordinate contract cannot drift
+_ZO01_GX_SQL = f"CAST(floor({_J07_LAT_SQL} * 100 + 0.5) AS BIGINT)"
+_ZO01_GY_SQL = f"CAST(floor({_J07_LON_SQL} * 100 + 0.5) AS BIGINT) + 18000"
+
+
 def _zo01_sql() -> str:
-    lat = "round((value % 90) + 1e-6, 2)"
-    lon = "round((CAST(event_id % 36000 AS DOUBLE) / 100.0 - 180) + 1e-6, 2)"
     return f"""
-    WITH p AS (SELECT CAST(floor({lat} * 100 + 0.5) AS BIGINT) AS gx,
-                      CAST(floor({lon} * 100 + 0.5) AS BIGINT) + 18000 AS gy
+    WITH p AS (SELECT {_ZO01_GX_SQL} AS gx,
+                      {_ZO01_GY_SQL} AS gy
                FROM events),
     z AS (SELECT gx, gy,
                  CAST({_morton_terms("gx", "gy")} AS BIGINT) AS zval
@@ -12364,17 +12394,8 @@ def zo01_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     ev = _t(spark, sf_dir, "events")
     p = ev.select(
-        F.expr(
-            "CAST(floor(round((value % 90) + 1e-6, 2) * 100 + 0.5)"
-            " AS BIGINT)"
-        ).alias("gx"),
-        (
-            F.expr(
-                "CAST(floor(round((CAST(event_id % 36000 AS DOUBLE)"
-                " / 100.0 - 180) + 1e-6, 2) * 100 + 0.5) AS BIGINT)"
-            )
-            + 18000
-        ).alias("gy"),
+        F.expr(_ZO01_GX_SQL).alias("gx"),
+        F.expr(_ZO01_GY_SQL).alias("gy"),
     )
     z = p.select(
         "gx",
@@ -12513,4 +12534,645 @@ def j09_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases"
         ),
         "first_lag_us",
+    )
+
+
+# ---------------------------------------------------------------------------
+# j10: last-touch attribution — the arg-max model over j09's ledger
+# ---------------------------------------------------------------------------
+_J10_SQL = f"""
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+           FROM events WHERE event_type = 'click'),
+ p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+       FROM events WHERE event_type = 'purchase'),
+ m AS (SELECT p.user_id, p.purchase_id,
+              max(struct_pack(ct := c.ct, cid := c.click_id)) AS mx
+       FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ct < p.pt AND c.ct >= p.pt - {_J09_WINDOW_US}
+       GROUP BY 1, 2)
+SELECT p.user_id, p.purchase_id,
+       struct_extract(m.mx, 'cid') AS click_id,
+       p.pt - struct_extract(m.mx, 'ct') AS lag_us
+FROM p LEFT JOIN m USING (user_id, purchase_id)
+"""
+
+
+@query("j10_last_touch_attribution", oracle=_J10_SQL, ops=("JOIN-ATTRIBUTION",))
+def j10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the attribution model most pipelines
+    actually ship (j09 emits the multi-touch ledger; this collapses it
+    to ONE row per conversion): for every purchase, the LATEST click
+    of the same user inside the attribution window before it, with
+    the lag to that click; unattributed purchases stay in the ledger
+    with NULL click_id (the j09 left-join rule). Tiebreak on equal
+    click timestamps is the larger click_id — arg-max over the
+    (ct, click_id) pair, which both engines express as a lexicographic
+    ``max(struct)`` (pinned identical orderings; the streaming form in
+    streaming/joins.py:last_touch_attribution applies the same arg-max
+    over ST12's join, parity-pinned in tests/test_streaming_joins.py).
+
+    The candidate generator is j09's keyed-bin trick MIRRORED: the
+    window now looks BACKWARD from each purchase, so the PURCHASE side
+    replicates into the two hour bins its lookback window can touch
+    and clicks carry their own bin; each true (click, purchase) pair
+    meets in exactly ONE of the purchase's two bins (the click's own),
+    so no dedup pass exists. The arg-max itself is a plain aggregate —
+    map-side combinable partial max per (user, purchase), NOT a window
+    sort over candidates.
+
+    Exactness: pure integer epoch-microsecond arithmetic, BIGINT ids,
+    and a lexicographic struct max over BIGINT pairs — every row
+    hash-matches; the struct is consumed engine-side (scalars out,
+    never a struct column — the standing emit-scalars rule).
+
+    Scale shape (100 TB): candidate volume is bounded per (user, hour)
+    exactly like j09 — the hot-user quadratic never materializes and
+    AQE's skew split handles a hot hour; 2x replication of the
+    purchase side only. Plan-pinned: hash equi-join on (user, bin) +
+    one partial-aggregated arg-max, never a nested loop and never a
+    per-purchase sort."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        tus.alias("ct"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" ts) DIV {_J09_WINDOW_US}"
+        ).alias("cb"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), tus.alias("pt")
+    )
+    p2 = p.select(
+        "user_id",
+        "purchase_id",
+        "pt",
+        F.explode(
+            F.array(
+                F.expr(f"pt DIV {_J09_WINDOW_US} - 1"),
+                F.expr(f"pt DIV {_J09_WINDOW_US}"),
+            )
+        ).alias("hb"),
+    )
+    m = (
+        p2.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("hb") == F.col("cb")),
+        )
+        .filter(
+            (F.col("ct") < F.col("pt"))
+            & (F.col("ct") >= F.col("pt") - _J09_WINDOW_US)
+        )
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ct").alias("ct"), F.col("click_id").alias("cid"))
+            ).alias("mx")
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("mx.cid").alias("click_id"),
+            F.col("mx.ct").alias("last_ct"),
+        )
+    )
+    return p.join(m, ["user_id", "purchase_id"], "left").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.col("pt") - F.col("last_ct")).alias("lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gr03: connected components — min-label propagation to a fixed point
+# ---------------------------------------------------------------------------
+#: propagation rounds: labels travel one hop per round, so this bounds
+#: the component diameter the proof covers; the emitted `converged`
+#: flag (last round changed NO label) is the in-result evidence the
+#: fixed point was actually reached at this SF, not an assumption
+#: (measured: 2 rounds incl. the no-change round at sf0.01, 3 at
+#: sf0.1 — 4 leaves margin)
+_GR03_ROUNDS = 4
+
+#: the blocked subgraph CC runs on: gr01's co-purchase edges restricted
+#: to SAME-NATION supplier pairs (the domestic co-supplier network) —
+#: the raw co-purchase graph is a single clique at every SF (every
+#: supplier co-supplies with every other), so an unblocked census is
+#: vacuously one row; the nation block is the standard "cluster within
+#: blocks" shape a dedup pipeline runs CC in, and it yields a REAL
+#: multi-component census (23 components at sf0.01, 25 at sf0.1).
+#: Nodes are ALL suppliers appearing in lineitem — a supplier with no
+#: domestic co-purchase edge is a singleton component, not a dropped
+#: row, so the census partitions the whole node set.
+_GR03_BLOCK_CTES = (
+    _GR_EDGE_CTES
+    + """,
+    dom AS (SELECT ed.src, ed.dst
+            FROM ed JOIN supplier sa ON sa.s_suppkey = ed.src
+                    JOIN supplier sb ON sb.s_suppkey = ed.dst
+            WHERE sa.s_nationkey = sb.s_nationkey),
+    nd AS (SELECT DISTINCT l_suppkey AS node FROM lineitem)"""
+)
+
+
+def _gr03_sql(rounds: int = _GR03_ROUNDS) -> str:
+    parts = [
+        _GR03_BLOCK_CTES
+        + """,
+    s0 AS (SELECT node, node AS lab FROM nd)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""s{r} AS (
+        SELECT n.node, least(n.lab, coalesce(m.ml, n.lab)) AS lab
+        FROM s{r - 1} n LEFT JOIN
+             (SELECT dom.dst AS node, min(s.lab) AS ml
+              FROM dom JOIN s{r - 1} s ON s.node = dom.src
+              GROUP BY dom.dst) m USING (node))""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    chg AS (SELECT CAST(count(*) AS BIGINT) AS n_changed
+            FROM s{rounds} a JOIN s{rounds - 1} b
+              ON a.node = b.node AND a.lab <> b.lab)
+    SELECT s{rounds}.lab AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node,
+           (SELECT n_changed FROM chg) = 0 AS converged
+    FROM s{rounds} GROUP BY 1
+    """
+    )
+
+
+@query("gr03_connected_components", oracle=_gr03_sql, ops=("GRAPH-CC",))
+def gr03_connected_components(
+    spark: SparkSession, sf_dir: str, *, rounds: int = _GR03_ROUNDS
+) -> DataFrame:
+    """Connected components — the GRAPH-CC census that turns pair
+    evidence into cluster ids (dd06's label-propagation kernel as an
+    explicit, convergence-proven component operator; a dedup pipeline
+    runs exactly this downstream of its pair generator): every node
+    starts labeled with its own id, each round every node takes the
+    MIN of its own and its neighbors' labels, and after the fixed
+    {_GR03_ROUNDS} rounds the ledger reports one row per component
+    (component, n_nodes, min_node, max_node) plus a `converged`
+    column PROVING the last round changed no label — the gr01
+    fixed-point trick applied to min-label propagation (integer
+    labels, integer MIN: every intermediate state is bit-equal across
+    engines, which is what makes an iterative algorithm
+    driver-hash-verifiable at all; the proof is IN the verified rows,
+    not a docstring claim).
+
+    The graph is gr01's supplier co-purchase edge set (shared VERBATIM
+    via `_GR_EDGE_CTES` / `_gr_edges` — one definition, so the graph
+    operators cannot drift on what the graph is) BLOCKED to same-
+    nation pairs — the raw graph is a single clique at every SF, so
+    the unblocked census is vacuous; see `_GR03_BLOCK_CTES`. Isolated
+    suppliers stay in the census as singleton components.
+
+    Scale shape (100 TB): each round is ONE keyed equi-join of the
+    node-sized label table against the edge list plus one map-side-
+    combinable MIN aggregate and a node-keyed left join — the textbook
+    distributed label-propagation shape (large-star/small-star would
+    cut rounds on high-diameter graphs; a blocked co-purchase graph is
+    dense inside blocks, so plain propagation converges in a handful
+    of hops, and the emitted flag proves it did). Joins stay UNHINTED
+    (node side a-priori unbounded — the r09 rule); lineage is cut
+    every second round (the tk02 cadence). The final census is one
+    keyed aggregate; the convergence probe joins two node-sized
+    tables."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ed = _gr_edges(spark, sf_dir)
+    dom = (
+        ed.join(
+            sup.select(
+                F.col("s_suppkey").alias("src"),
+                F.col("s_nationkey").alias("na"),
+            ),
+            "src",
+        )
+        .join(
+            sup.select(
+                F.col("s_suppkey").alias("dst"),
+                F.col("s_nationkey").alias("nb"),
+            ),
+            "dst",
+        )
+        .filter(F.col("na") == F.col("nb"))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    prev = None
+    for r in range(1, rounds + 1):
+        m = (
+            dom.join(s, dom["src"] == s["node"])
+            .groupBy("dst")
+            .agg(F.min("lab").alias("ml"))
+        )
+        prev = s
+        s = (
+            s.join(m, s["node"] == m["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("ml"), F.col("lab"))
+                ).alias("lab"),
+            )
+        )
+        if r % 2 == 0 or r == rounds:
+            s = s.localCheckpoint(eager=False)
+    chg = (
+        s.alias("a")
+        .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.lab") != F.col("b.lab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
+    )
+    return (
+        s.groupBy(F.col("lab").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .crossJoin(F.broadcast(chg))
+        .select(
+            "component",
+            "n_nodes",
+            "min_node",
+            "max_node",
+            (F.col("n_changed") == 0).alias("converged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ivm02: incremental view maintenance under RETRACTIONS (signed deltas)
+# ---------------------------------------------------------------------------
+#: the synthetic change feed, derived deterministically from the newest
+#: day's boundary so both engines see the identical MERGE: history rows
+#: with event_id % 10 == 0 are DELETED, rows with event_id % 10 == 5
+#: are UPDATED to value + 1.00 (one retraction + one insertion), and
+#: the newest day's rows are INSERTED — the cdc02-shaped keyed change
+#: classes (delete / update / insert) an IVM merge must absorb
+_IVM02_DEL_MOD = 0
+_IVM02_UPD_MOD = 5
+_IVM02_UPD_CENTS = 100
+
+_IVM02_SQL = f"""
+WITH e AS (SELECT user_id, event_id,
+                  CAST(epoch_us(ts) // {_IVM01_DAY_US} AS BIGINT) AS d,
+                  CAST({_IVM01_CENTS} AS BIGINT) AS c
+           FROM events),
+ mx AS (SELECT max(d) AS dmax FROM e),
+ h AS (SELECT user_id, event_id, c FROM e, mx WHERE d < dmax),
+ ins AS (SELECT user_id, c FROM e, mx WHERE d = dmax),
+ hist AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS s2
+          FROM h GROUP BY user_id),
+ feed AS (SELECT user_id, -1 AS sg, c FROM h
+          WHERE event_id % 10 = {_IVM02_DEL_MOD}
+          UNION ALL
+          SELECT user_id, -1, c FROM h
+          WHERE event_id % 10 = {_IVM02_UPD_MOD}
+          UNION ALL
+          SELECT user_id, 1, c + {_IVM02_UPD_CENTS} FROM h
+          WHERE event_id % 10 = {_IVM02_UPD_MOD}
+          UNION ALL
+          SELECT user_id, 1, c FROM ins),
+ dp AS (SELECT user_id, CAST(sum(sg) AS BIGINT) AS n,
+               CAST(sum(sg * c) AS BIGINT) AS s,
+               CAST(sum(sg * c * c) AS BIGINT) AS s2
+        FROM feed GROUP BY user_id),
+ merged AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(s) AS BIGINT) AS s,
+                   CAST(sum(s2) AS BIGINT) AS s2
+            FROM (SELECT * FROM hist UNION ALL SELECT * FROM dp)
+            GROUP BY user_id),
+ b AS (SELECT user_id, c FROM h
+       WHERE event_id % 10 NOT IN ({_IVM02_DEL_MOD}, {_IVM02_UPD_MOD})
+       UNION ALL
+       SELECT user_id, c + {_IVM02_UPD_CENTS} FROM h
+       WHERE event_id % 10 = {_IVM02_UPD_MOD}
+       UNION ALL
+       SELECT user_id, c FROM ins),
+ direct AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM b GROUP BY user_id)
+SELECT m.user_id, m.n, m.s, m.s2,
+       round((CAST(m.s AS DOUBLE) / m.n / 100.0) + 1e-6, 4) AS mean_value,
+       round(((m.s2 - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n / 10000.0)
+             + 1e-6, 4) AS var_value,
+       (m.n = d.n AND m.s = d.s AND m.s2 = d.s2) AS merge_exact
+FROM merged m JOIN direct d USING (user_id)
+"""
+
+
+@query("ivm02_retraction_merge", oracle=_IVM02_SQL, ops=("IVM-RETRACT",))
+def ivm02_retraction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under RETRACTIONS — ivm01's merge
+    extended from append-only deltas to the full keyed change feed a
+    MERGE statement produces (deletes and updates, not just inserts;
+    cdc02's closed intervals are exactly this feed's shape): the
+    change feed carries SIGNED rows (sg = ±1 — an update is one
+    retraction plus one insertion of the new value), the per-user
+    delta partials are signed sums (Σsg, Σsg·c, Σsg·c²), and the
+    stored view's (n, Σ, Σ²) absorbs them by plain addition — the
+    same Chan-identity merge as ivm01, now closed under subtraction
+    because the partials are EXACT integers (a float view cannot
+    retract safely; integer moments can). The ledger recomputes the
+    post-change table directly and emits per-key merge_exact — the
+    merge-equals-recompute proof holds UNDER DELETES in the verified
+    rows themselves.
+
+    The change classes derive deterministically from the newest-day
+    boundary (see `_IVM02_*`): history rows with event_id % 10 == 0
+    delete, % 10 == 5 update to value + 1.00, the newest day inserts
+    — so both engines construct the identical feed with no RNG.
+
+    Exactness: the ivm01 cents rule (floor(x·100 + 0.5) BIGINTs),
+    signed BIGINT partials, fixed-order double derivations of
+    mean/variance from exact integers.
+
+    Scale shape (100 TB): identical to ivm01 — the stored view is
+    read back key-partitioned, the feed is delta-sized, and the merge
+    is a UNION of partials + one keyed sum with map-side combine;
+    retraction changes the ALGEBRA (signed sums), not the plan. The
+    direct-recompute leg exists only as the in-result proof.
+    Plan-pinned: union-of-partials aggregate, no nested-loop join."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_IVM01_DAY_US}"
+        ).alias("d"),
+        F.expr(_IVM01_CENTS).cast("bigint").alias("c"),
+    ).localCheckpoint(eager=False)
+    mx = e.agg(F.max("d").alias("dmax"))
+    ej = e.crossJoin(F.broadcast(mx))
+    h = ej.filter(F.col("d") < F.col("dmax")).select("user_id", "event_id", "c")
+    ins = ej.filter(F.col("d") == F.col("dmax")).select("user_id", "c")
+    hist = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mod = F.col("event_id") % 10
+    feed = (
+        h.filter(mod == _IVM02_DEL_MOD)
+        .select("user_id", F.lit(-1).alias("sg"), "c")
+        .unionByName(
+            h.filter(mod == _IVM02_UPD_MOD).select(
+                "user_id", F.lit(-1).alias("sg"), "c"
+            )
+        )
+        .unionByName(
+            h.filter(mod == _IVM02_UPD_MOD).select(
+                "user_id",
+                F.lit(1).alias("sg"),
+                (F.col("c") + _IVM02_UPD_CENTS).alias("c"),
+            )
+        )
+        .unionByName(ins.select("user_id", F.lit(1).alias("sg"), "c"))
+    )
+    dp = feed.groupBy("user_id").agg(
+        F.sum("sg").cast("bigint").alias("n"),
+        F.sum(F.col("sg") * F.col("c")).cast("bigint").alias("s"),
+        F.sum(F.col("sg") * F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    merged = (
+        hist.unionByName(dp)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("s2").cast("bigint").alias("s2"),
+        )
+    )
+    b = (
+        h.filter(~mod.isin(_IVM02_DEL_MOD, _IVM02_UPD_MOD)).select(
+            "user_id", "c"
+        )
+        .unionByName(
+            h.filter(mod == _IVM02_UPD_MOD).select(
+                "user_id", (F.col("c") + _IVM02_UPD_CENTS).alias("c")
+            )
+        )
+        .unionByName(ins)
+    )
+    direct = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum("c").cast("bigint").alias("ds"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ds2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 100.0
+    var = (
+        (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.col("n")
+        / 10000.0
+    )
+    return merged.join(direct, "user_id").select(
+        "user_id",
+        "n",
+        "s",
+        "s2",
+        _r(mean, 4).alias("mean_value"),
+        _r(var, 4).alias("var_value"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s") == F.col("ds"))
+            & (F.col("s2") == F.col("ds2"))
+        ).alias("merge_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zo02: z-order WRITE leg — file ledger + multi-dim pruning proof
+# ---------------------------------------------------------------------------
+#: target file count for the layout (the OPTIMIZE job's output size
+#: knob; 64 keeps per-file row counts non-trivial at every test SF)
+_ZO02_FILES = 64
+#: probe rectangles: gx bounds in GRID units (gx = lat·100 spans
+#: [0, 9000] at every SF), gy bounds as PERCENT of max(gy) — gy =
+#: lon·100 + 18000 is DENSE in [0, n_events) because lon derives from
+#: event_id, so absolute gy bounds would cover a different fraction of
+#: the domain at each SF; percent bounds keep every probe
+#: proportionally sized AND deterministic in both engines (integer
+#: max·pct DIV 100). Two 2-D boxes, one gx-only band and one gy-only
+#: band — the predicate classes a lakehouse range scan actually
+#: issues. Ingest order (by event_id) already sorts gy, so the
+#: gy-band probe prunes under BOTH layouts (the curve is slightly
+#: worse on the pre-sorted dimension — the honest tradeoff); the gx
+#: and 2-D probes prune ONLY under z-order — exactly the single-sort-
+#: column-vs-curve contrast OPTIMIZE ZORDER exists to fix.
+_ZO02_PROBES = [
+    (1, 1000, 2000, 25, 45),
+    (2, 4000, 4500, 60, 70),
+    (3, 8000, 8999, 0, 100),
+    (4, 0, 9000, 40, 50),
+]
+
+
+def _zo02_sql() -> str:
+    vals = ", ".join(f"({p}, {x1}, {x2}, {y1p}, {y2p})"
+                     for p, x1, x2, y1p, y2p in _ZO02_PROBES)
+    return f"""
+    WITH pts AS (SELECT {_ZO01_GX_SQL} AS gx,
+                        {_ZO01_GY_SQL} AS gy,
+                        event_id
+                 FROM events),
+    mg AS (SELECT max(gy) AS m FROM pts),
+    z AS (SELECT gx, gy, event_id,
+                 CAST({_morton_terms("gx", "gy")} AS BIGINT) AS zval
+          FROM pts),
+    rz AS (SELECT gx, gy,
+                  (row_number() OVER (ORDER BY zval) - 1) * {_ZO02_FILES}
+                      // count(*) OVER () AS f
+           FROM z),
+    lz AS (SELECT 'zorder' AS layout, f, CAST(count(*) AS BIGINT) AS n,
+                  min(gx) AS min_gx, max(gx) AS max_gx,
+                  min(gy) AS min_gy, max(gy) AS max_gy
+           FROM rz GROUP BY f),
+    ri AS (SELECT gx, gy,
+                  (row_number() OVER (ORDER BY event_id) - 1) * {_ZO02_FILES}
+                      // count(*) OVER () AS f
+           FROM z),
+    li AS (SELECT 'ingest' AS layout, f, CAST(count(*) AS BIGINT) AS n,
+                  min(gx) AS min_gx, max(gx) AS max_gx,
+                  min(gy) AS min_gy, max(gy) AS max_gy
+           FROM ri GROUP BY f),
+    led AS (SELECT * FROM lz UNION ALL SELECT * FROM li),
+    pr AS (SELECT probe_id, x1, x2,
+                  mg.m * y1p // 100 AS y1, mg.m * y2p // 100 AS y2
+           FROM (VALUES {vals}) v(probe_id, x1, x2, y1p, y2p), mg)
+    SELECT pr.probe_id, led.layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN led.min_gx <= pr.x2 AND led.max_gx >= pr.x1
+                          AND led.min_gy <= pr.y2 AND led.max_gy >= pr.y1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN led.min_gx <= pr.x2 AND led.max_gx >= pr.x1
+                          AND led.min_gy <= pr.y2 AND led.max_gy >= pr.y1
+                         THEN led.n ELSE 0 END) AS BIGINT) AS rows_scanned
+    FROM pr CROSS JOIN led
+    GROUP BY 1, 2
+    """
+
+
+@query("zo02_zorder_file_pruning", oracle=_zo02_sql, ops=("LAYOUT-ZORDER-WRITE",))
+def zo02_zorder_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order WRITE leg — the production step zo01's audit stopped
+    short of (zo01's own docstring names the repartitionByRange write
+    as "the expensive step the layout job exists to pay"): points are
+    assigned to {_ZO02_FILES} equal-row FILES in Morton-key order, the
+    per-file (min, max) ledger is exactly the footer statistics a
+    parquet writer would persist, and the verified rows PROVE file-
+    level pruning — for each probe rectangle, how many files (and
+    rows) a min/max-overlap scan touches under the z-order layout vs
+    the same file count laid out in INGEST order (the Delta OPTIMIZE
+    ZORDER before/after contract). The 2-D probes touch a handful of
+    z-order files but nearly every ingest-order file; the one-
+    dimensional band probes show the curve still prunes a single
+    dimension. The coordinate/interleave derivation is shared verbatim
+    with zo01/j07 (`_ZO01_GX_SQL`/`_ZO01_GY_SQL`/`_morton_terms`).
+
+    File assignment is rank-based — ``(row_number - 1) · F DIV total``
+    — NOT a sampled ``repartitionByRange``: sampled boundaries are
+    nondeterministic across engines, rank boundaries are the
+    deterministic twin the oracle can replay (ties share identical
+    (gx, gy), so every per-file aggregate is tie-invariant). The REAL
+    write — ``repartitionByRange(F, zval)`` + ``maxRecordsPerFile`` +
+    pyarrow footer-stats verification on the written files — runs in
+    tests/test_zorder_write.py, where nondeterministic boundaries are
+    fine because the assertion is the pruning BOUND, not a hash.
+
+    Exactness: pure integer grid/rank/count arithmetic end to end.
+
+    Scale shape (100 TB): the audited plan is one global z-sort (the
+    honest cost of any clustering rewrite — production pays it as the
+    one range shuffle of repartitionByRange, which samples boundaries
+    instead of ranking, then writes in parallel) + one keyed ledger
+    aggregate; the probe evaluation is a broadcast cross join of a
+    4-row probe set against a file-count-sized ledger. Plan-pinned:
+    the only join is the broadcast probe cross join."""
+    ev = _t(spark, sf_dir, "events")
+    z = ev.select(
+        F.expr(_ZO01_GX_SQL).alias("gx"),
+        F.expr(_ZO01_GY_SQL).alias("gy"),
+        "event_id",
+        F.expr(_morton_terms("gx", "gy").replace("//", " DIV "))
+        .cast("bigint")
+        .alias("zval"),
+    )
+
+    def _ledger(ordcol: str, tag: str) -> DataFrame:
+        return (
+            z.select(
+                "gx",
+                "gy",
+                F.expr(
+                    f"(row_number() OVER (ORDER BY {ordcol}) - 1)"
+                    f" * {_ZO02_FILES} DIV count(*) OVER ()"
+                ).alias("f"),
+            )
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("gx").alias("min_gx"),
+                F.max("gx").alias("max_gx"),
+                F.min("gy").alias("min_gy"),
+                F.max("gy").alias("max_gy"),
+            )
+            .select(F.lit(tag).alias("layout"), "*")
+        )
+
+    led = _ledger("zval", "zorder").unionByName(_ledger("event_id", "ingest"))
+    mg = z.agg(F.max("gy").alias("m"))
+    probes = (
+        spark.createDataFrame(
+            _ZO02_PROBES,
+            "probe_id long, x1 long, x2 long, y1p long, y2p long",
+        )
+        .crossJoin(F.broadcast(mg))
+        .select(
+            "probe_id",
+            "x1",
+            "x2",
+            F.expr("m * y1p DIV 100").alias("y1"),
+            F.expr("m * y2p DIV 100").alias("y2"),
+        )
+    )
+    hit = (
+        (F.col("min_gx") <= F.col("x2"))
+        & (F.col("max_gx") >= F.col("x1"))
+        & (F.col("min_gy") <= F.col("y2"))
+        & (F.col("max_gy") >= F.col("y1"))
+    )
+    return (
+        led.join(F.broadcast(probes))
+        .groupBy("probe_id", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(
+                "files_scanned"
+            ),
+            F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("bigint").alias(
+                "rows_scanned"
+            ),
+        )
     )

@@ -19,6 +19,11 @@ rate, independent of history; the shuffle is the same single user_id
 exchange as the batch twin. Inner joins emit exactly when both sides
 have arrived — append mode, no watermark-close latency on the output
 row itself.
+
+``last_touch_attribution`` chains a second stateful operator onto the
+join (windowed arg-max per purchase — the ST13-era multiple-stateful-
+operator pattern); its batch twin is the oracle-backed
+``j10_last_touch_attribution`` registry entry.
 """
 
 from __future__ import annotations
@@ -38,22 +43,13 @@ ATTRIBUTION_MIN = 60
 LATE_BUFFER = "30 minutes"
 
 
-def attributed_purchases(
-    events: DataFrame,
-    window_minutes: int = ATTRIBUTION_MIN,
-    buffer: str = LATE_BUFFER,
+def _joined(
+    events: DataFrame, window_minutes: int, buffer: str
 ) -> DataFrame:
-    """Click→purchase attribution as a watermarked stream-stream inner
-    join: purchases join the same user's clicks with
-    ``click_ts < purchase_ts AND purchase_ts <= click_ts + window``.
-
-    Both sides carry their own watermark and the join condition bounds
-    event time on both sides, so Spark derives state-eviction
-    thresholds for each input (clicks survive ``window`` past the
-    purchase watermark; purchases need only out-of-order slack). A
-    purchase inside two clicks' windows attributes to BOTH — the
-    multi-touch ledger; last-touch would be a downstream max_by over
-    this output."""
+    """The watermarked inner join with BOTH event-time columns still
+    aboard — ST12's ledger and the last-touch aggregate both derive
+    from this one join (a second copy would let the two attribution
+    contracts drift)."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -80,7 +76,26 @@ def attributed_purchases(
             <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
         )
     )
-    return clicks.join(purchases, cond, "inner").select(
+    return clicks.join(purchases, cond, "inner")
+
+
+def attributed_purchases(
+    events: DataFrame,
+    window_minutes: int = ATTRIBUTION_MIN,
+    buffer: str = LATE_BUFFER,
+) -> DataFrame:
+    """Click→purchase attribution as a watermarked stream-stream inner
+    join: purchases join the same user's clicks with
+    ``click_ts < purchase_ts AND purchase_ts <= click_ts + window``.
+
+    Both sides carry their own watermark and the join condition bounds
+    event time on both sides, so Spark derives state-eviction
+    thresholds for each input (clicks survive ``window`` past the
+    purchase watermark; purchases need only out-of-order slack). A
+    purchase inside two clicks' windows attributes to BOTH — the
+    multi-touch ledger; ``last_touch_attribution`` below is the
+    downstream arg-max over the same join."""
+    return _joined(events, window_minutes, buffer).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
@@ -88,4 +103,59 @@ def attributed_purchases(
             F.unix_micros(F.col("purchase_ts"))
             - F.unix_micros(F.col("click_ts"))
         ).alias("lag_us"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    window_minutes: int = ATTRIBUTION_MIN,
+    buffer: str = LATE_BUFFER,
+) -> DataFrame:
+    """Last-touch attribution, streaming form: per purchase, the
+    LATEST covering click — the attribution model most pipelines ship
+    (the batch twin is ``j10_last_touch_attribution``, which applies
+    the identical (click_ts, click_id) lexicographic arg-max; parity
+    pinned in tests/test_streaming_joins.py).
+
+    This CHAINS two stateful operators — the ST12 stream-stream join
+    feeds a windowed aggregation keyed by the purchase (Spark's
+    multiple-stateful-operator support: the aggregate windows on the
+    watermarked ``purchase_ts`` that survives the join, so its state
+    closes when the purchase watermark passes the hour window). A
+    purchase's candidates all land in ONE group (its own (user,
+    purchase, hour-window) key), the arg-max is a map-side-combinable
+    ``max(struct)`` partial — never a per-purchase sort — and the row
+    emits exactly once, when the watermark proves no later click can
+    still join (a click more than ``window_minutes`` after the
+    purchase cannot match, so the join's own state bound already
+    covers the aggregate's input completeness).
+
+    Scale note (100 TB/day): state adds one (purchase, best-so-far)
+    row per in-flight purchase on top of the join state — bounded by
+    the same watermark horizon, keyed by the same user-partitioned
+    shuffle."""
+    j = _joined(events, window_minutes, buffer)
+    return (
+        j.groupBy(
+            F.window("purchase_ts", "1 hour").alias("w"),
+            F.col("c_user").alias("user_id"),
+            "purchase_id",
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("click_ts").alias("ct"),
+                    F.col("click_id").alias("cid"),
+                    F.col("purchase_ts").alias("pt"),
+                )
+            ).alias("mx")
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("mx.cid").alias("click_id"),
+            (
+                F.unix_micros(F.col("mx.pt")) - F.unix_micros(F.col("mx.ct"))
+            ).alias("lag_us"),
+        )
     )

@@ -22,8 +22,13 @@ Semantics vs the batch twin (documented, not hidden):
   history would rewrite already-emitted intervals, which append mode
   cannot do. Within a micro-batch, rows sort by (event time, event_id)
   — the batch twin's total order.
-- Ties ACROSS batches (same timestamp landing in a later batch)
-  resolve in arrival order, where the batch twin resolves by event_id.
+- The frontier is the PAIR (event time, event_id) of the last
+  processed row, so an exact-frontier replay (same ts, same event_id —
+  a duplicate delivery) is dropped rather than re-processed, and a
+  cross-batch tie at the frontier timestamp admits only event_ids
+  ABOVE the frontier's — the batch twin's (ts, event_id) total order,
+  minus the rows append mode can never splice back in (a tied row with
+  a LOWER event_id arriving late is dropped like any other late row).
 
 Scale note (100 TB/day ingest): state is ONE fixed-width row per key
 (current value, valid_from, frontier, version) — bounded by the live
@@ -83,6 +88,7 @@ def scd2_closed_intervals(stream: DataFrame) -> DataFrame:
             T.StructField("cur_type", T.StringType()),
             T.StructField("valid_from_us", T.LongType()),
             T.StructField("frontier_us", T.LongType()),
+            T.StructField("frontier_eid", T.LongType()),
             T.StructField("version", T.LongType()),
         ]
     )
@@ -101,13 +107,17 @@ def scd2_closed_intervals(stream: DataFrame) -> DataFrame:
             .sort_values(["ev_us", "event_id"], kind="stable")
             .reset_index(drop=True)
         )
-        cur, vfrom, frontier, ver = (
-            state.get if state.exists else (None, None, None, 0)
+        cur, vfrom, frontier, feid, ver = (
+            state.get if state.exists else (None, None, None, None, 0)
         )
         if frontier is not None:
-            # late rows behind the processed frontier: drop (see module
-            # docstring — append mode cannot retro-splice history)
-            pdf = pdf[pdf["ev_us"].to_numpy(np.int64) >= frontier]
+            # rows at or behind the processed (ts, event_id) frontier:
+            # drop (see module docstring — append mode cannot
+            # retro-splice history, and an exact-frontier replay is a
+            # duplicate delivery, not a new change)
+            ev = pdf["ev_us"].to_numpy(np.int64)
+            eid = pdf["event_id"].to_numpy(np.int64)
+            pdf = pdf[(ev > frontier) | ((ev == frontier) & (eid > feid))]
         if not len(pdf):
             yield _empty()
             return
@@ -133,7 +143,8 @@ def scd2_closed_intervals(stream: DataFrame) -> DataFrame:
             cur = str(vals[idx[-1]])
             vfrom = int(ts[idx[-1]])
             ver = ver + int(idx.size)
-        state.update((cur, int(vfrom), int(ts[-1]), int(ver)))
+        last_eid = int(pdf["event_id"].to_numpy(np.int64)[-1])
+        state.update((cur, int(vfrom), int(ts[-1]), last_eid, int(ver)))
         yield (
             pd.DataFrame(rows, columns=out_cols) if rows else _empty()
         )

@@ -113,6 +113,53 @@ def test_streaming_scd2_closes_versions_and_survives_restart(spark, tmp_path):
     assert got == [(1, "purchase", _us("11:00"), _us("12:00"), 3)], got
 
 
+def test_streaming_scd2_frontier_replay_dropped_tie_admitted(
+    spark, tmp_path
+):
+    """The frontier is the (ts, event_id) PAIR: an exact-frontier
+    replay (duplicate delivery, even with a mutated value) is dropped,
+    while a tie at the frontier timestamp with a HIGHER event_id is
+    admitted in the batch twin's (ts, event_id) order."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    got: list[tuple] = []
+
+    _write(
+        landing / "b1.json",
+        [
+            _event(5, 1, "2026-08-13T10:00:00", "view"),
+            _event(5, 2, "2026-08-13T10:30:00", "click"),
+        ],
+    )
+    _drain(spark, landing, ckpt, got)
+    assert got == [(5, "view", _us("10:00"), _us("10:30"), 1)], got
+
+    # exact-frontier replay (same ts AND event_id) with a MUTATED value
+    # — a duplicate delivery, not a new change: dropped, no emission
+    got.clear()
+    _write(landing / "b2.json", [_event(5, 2, "2026-08-13T10:30:00", "error")])
+    _drain(spark, landing, ckpt, got)
+    assert got == [], got
+
+    # tie at the frontier timestamp with a HIGHER event_id: admitted —
+    # closes the click interval zero-length at 10:30, exactly what the
+    # batch twin's (ts, event_id) total order produces
+    got.clear()
+    _write(
+        landing / "b3.json", [_event(5, 3, "2026-08-13T10:30:00", "purchase")]
+    )
+    _drain(spark, landing, ckpt, got)
+    assert got == [(5, "click", _us("10:30"), _us("10:30"), 2)], got
+
+    # the replayed "error" never spliced in: the next change closes
+    # purchase from 10:30, version numbering unbroken
+    got.clear()
+    _write(landing / "b4.json", [_event(5, 4, "2026-08-13T11:15:00", "error")])
+    _drain(spark, landing, ckpt, got)
+    assert got == [(5, "purchase", _us("10:30"), _us("11:15"), 3)], got
+
+
 def test_streaming_scd2_matches_batch_twin_on_in_order_input(
     spark, tmp_path
 ):
