@@ -12071,6 +12071,56 @@ def dq01_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: demonstrably CATCHES, instead of vacuously passing every rule
 _DQ02_MAX_PRICE = 300_000
 
+#: the four single-table orders rules in ledger order: (rule id,
+#: violation-count column of `_dq02_orders_agg`). Shared with the
+#: streaming quality gate (streaming/quality_gate.py, ST13) — ONE
+#: source of truth for rule ids, thresholds and evaluation, so the
+#: batch suite and the stream gate cannot drift.
+_DQ02_ORDERS_RULES = [
+    ("orders_totalprice_range", "v_range"),
+    ("orders_status_in_set", "v_set"),
+    ("orders_custkey_not_null", "v_null"),
+    ("orders_orderkey_unique", "v_uniq"),
+]
+
+
+def _dq02_row_violations(df: DataFrame) -> DataFrame:
+    """Per-row violation flags for the three ROW-LEVEL orders rules
+    (range / set / null — uniqueness is cross-row and handled by its
+    consumer): the quarantine predicate of the ST13 gate, derived from
+    the same thresholds dq02 aggregates over."""
+    return df.withColumns(
+        {
+            "v_range": (F.col("o_totalprice") <= 0)
+            | (F.col("o_totalprice") > _DQ02_MAX_PRICE),
+            "v_set": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "v_null": F.col("o_custkey").isNull(),
+        }
+    )
+
+
+def _dq02_orders_agg(orders: DataFrame) -> DataFrame:
+    """The ONE-pass one-row orders rule aggregate (all four rules in a
+    single scan — the rule-batching discipline): n plus one violation
+    count per `_DQ02_ORDERS_RULES` entry. Shared by dq02's batch suite
+    and the ST13 streaming gate's per-micro-batch verdict."""
+    v = _dq02_row_violations(orders)
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("v_range"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_range"),
+        F.sum(F.when(F.col("v_set"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_set"),
+        F.sum(F.when(F.col("v_null"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_uniq"),
+    )
+
 _DQ02_SQL = f"""
 WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(CASE WHEN o_totalprice <= 0
@@ -12136,28 +12186,11 @@ def dq02_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan-pinned: no nested-loop join; the union legs are one-row."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    o = orders.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(
-            F.when(
-                (F.col("o_totalprice") <= 0)
-                | (F.col("o_totalprice") > _DQ02_MAX_PRICE),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("v_range"),
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
-        ).cast("bigint").alias("v_set"),
-        F.sum(
-            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
-        ).cast("bigint").alias("v_null"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
-        .cast("bigint")
-        .alias("v_uniq"),
-        # four union legs read this one-row aggregate — materialize it
-        # (Spark does not share subplans across union branches; without
-        # the cut each leg re-scans the lake)
-    ).localCheckpoint(eager=False)
+    # four union legs read this one-row aggregate — materialize it
+    # (Spark does not share subplans across union branches; without
+    # the cut each leg re-scans the lake); the aggregate itself is the
+    # shared `_dq02_orders_agg` the ST13 gate evaluates per micro-batch
+    o = _dq02_orders_agg(orders).localCheckpoint(eager=False)
     l = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(
@@ -12191,15 +12224,12 @@ def dq02_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col(vcol) == 0).alias("pass"),
         )
 
-    return (
-        _rule(o, "orders_totalprice_range", "v_range")
-        .unionByName(_rule(o, "orders_status_in_set", "v_set"))
-        .unionByName(_rule(o, "orders_custkey_not_null", "v_null"))
-        .unionByName(_rule(o, "orders_orderkey_unique", "v_uniq"))
-        .unionByName(_rule(l, "lineitem_discount_range", "v_disc"))
-        .unionByName(_rule(j, "lineitem_orderkey_fk", "v_fk"))
-        .unionByName(_rule(j, "lineitem_ship_after_order", "v_temporal"))
-    )
+    legs = [_rule(o, name, vcol) for name, vcol in _DQ02_ORDERS_RULES] + [
+        _rule(l, "lineitem_discount_range", "v_disc"),
+        _rule(j, "lineitem_orderkey_fk", "v_fk"),
+        _rule(j, "lineitem_ship_after_order", "v_temporal"),
+    ]
+    return reduce(DataFrame.unionByName, legs)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,134 @@
+"""Streaming expectation gate (streaming/quality_gate.py, ST13): each
+micro-batch is judged by dq02's shared one-pass orders rule aggregate,
+violating rows quarantine while clean rows are admitted (a disjoint
+partition of the batch), the per-batch ledger matches dq02's orders
+legs evaluated on the same rows (batch↔stream parity), and a restart
+re-processes nothing."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+    _DQ02_ORDERS_RULES,
+    _dq02_orders_agg,
+)
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.quality_gate import (
+    ORDERS_SCHEMA,
+    start_quality_gate,
+)
+
+
+def _order(key, cust, status, price):
+    return {
+        "o_orderkey": key,
+        "o_custkey": cust,
+        "o_orderstatus": status,
+        "o_totalprice": price,
+    }
+
+
+def _write(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _read_leg(out_dir, leg):
+    rows = []
+    for f in sorted(glob.glob(f"{out_dir}/{leg}/batch=*/*.json")):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    return sorted(rows, key=lambda r: r["o_orderkey"])
+
+
+def _read_ledger(out_dir):
+    rows = []
+    for f in sorted(glob.glob(f"{out_dir}/ledger/*.json")):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    return rows
+
+
+_B1 = [
+    _order(1, 10, "O", 120.0),        # clean
+    _order(2, 11, "F", 400_000.0),    # price over ceiling -> quarantine
+    _order(3, 12, "X", 55.0),         # status outside set -> quarantine
+    _order(4, None, "P", 70.0),       # null custkey -> quarantine
+    _order(5, 13, "O", -3.0),         # non-positive price -> quarantine
+    _order(6, 14, "O", 10.0),         # duplicated key: BOTH rows
+    _order(6, 15, "F", 20.0),         # quarantine (batch-local dup)
+    _order(7, 16, "P", 99.5),         # clean
+]
+
+
+def test_gate_partitions_batch_and_ledger_matches_dq02(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    _write(landing / "b1.json", _B1)
+    q = start_quality_gate(spark, str(landing), str(out), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    accepted = _read_leg(out, "accepted")
+    quarantined = _read_leg(out, "quarantine")
+    assert [r["o_orderkey"] for r in accepted] == [1, 7]
+    assert [r["o_orderkey"] for r in quarantined] == [2, 3, 4, 5, 6, 6]
+    # disjoint partition of the whole batch
+    assert len(accepted) + len(quarantined) == len(_B1)
+
+    # batch↔stream parity: dq02's shared orders aggregate over the SAME
+    # rows produces the ledger the gate appended
+    batch = spark.read.schema(ORDERS_SCHEMA).json(str(landing))
+    verdict = _dq02_orders_agg(batch).collect()[0]
+    expected = [
+        {
+            "batch_id": 0,
+            "rule": name,
+            "n_checked": verdict["n"],
+            "n_violations": verdict[vcol],
+            "pass": verdict[vcol] == 0,
+        }
+        for name, vcol in _DQ02_ORDERS_RULES
+    ]
+    got = _read_ledger(out)
+    assert got == expected, (got, expected)
+    # and the suite REALLY catches: every rule has violations here
+    assert all(not r["pass"] for r in got)
+    by_rule = {r["rule"]: r["n_violations"] for r in got}
+    assert by_rule == {
+        "orders_totalprice_range": 2,
+        "orders_status_in_set": 1,
+        "orders_custkey_not_null": 1,
+        "orders_orderkey_unique": 1,
+    }
+
+
+def test_gate_restart_is_exactly_once_per_file(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    _write(landing / "b1.json", _B1)
+    start_quality_gate(spark, str(landing), str(out), str(ck)).awaitTermination(
+        120
+    )
+    # restart with nothing new: no batch runs, no ledger rows appended
+    start_quality_gate(spark, str(landing), str(out), str(ck)).awaitTermination(
+        120
+    )
+    assert len(_read_ledger(out)) == len(_DQ02_ORDERS_RULES)
+
+    # a second file: only ITS rows are processed (a clean batch passes
+    # all rules); duplicates split ACROSS batches are admitted —
+    # batch-local uniqueness, per the module contract
+    _write(landing / "b2.json", [_order(1, 17, "O", 50.0)])
+    start_quality_gate(spark, str(landing), str(out), str(ck)).awaitTermination(
+        120
+    )
+    ledger = _read_ledger(out)
+    assert len(ledger) == 2 * len(_DQ02_ORDERS_RULES)
+    b2 = [r for r in ledger if r["batch_id"] == 1]
+    assert all(r["pass"] and r["n_checked"] == 1 for r in b2), b2
+    # orderkey 1 appears in accepted twice (once per batch)
+    accepted = _read_leg(out, "accepted")
+    assert [r["o_orderkey"] for r in accepted] == [1, 1, 7]
