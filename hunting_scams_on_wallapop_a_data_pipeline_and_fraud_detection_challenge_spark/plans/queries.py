@@ -1312,10 +1312,12 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            reshaped nn08 (one green at its 6-row shape) and
 #            nn09/tk04 stay in-window for their second greens.
 #            Measured window cost (idle box, sf0.01, local[8], this
-#            round's full-registry sim): the r10 window ran 108.8 s;
-#            the four parks cut 24.7 s and the four arrivals add
-#            ~13 s -> ~97 s, back under the ~100 s target (VERDICT
-#            r10 item 8).
+#            round's full-registry sims): the r10 window ran 108.8 s;
+#            after the four parks (−24.7 s) and the four arrivals the
+#            re-measured r11 window is 99.9 s — at the ~100 s target
+#            (VERDICT r10 item 8); the next big cut is parking the
+#            r10 heavies (nn08 13.6 + nn09 8.2 + tk04 8.9 s) once
+#            they take their second greens this round.
 #   round 12+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.

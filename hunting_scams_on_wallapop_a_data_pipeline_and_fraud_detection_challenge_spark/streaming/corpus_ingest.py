@@ -510,86 +510,31 @@ def _probe_against_bloom(
 
 
 def _bloom_state_versions(spark: SparkSession, state_dir: str) -> list[int]:
-    """COMMITTED bloom-state versions under ``state_dir`` (``v=<n>``
-    directories containing a parquet ``_SUCCESS`` marker), ascending.
+    """COMMITTED bloom-state versions — the shared versioned-state
+    commit protocol (streaming/state.py; factored out in r11 so ST14's
+    maintained view rides the same contract this module established in
+    r10 under ADVICE r09)."""
+    from .state import committed_versions
 
-    Listing goes through the Hadoop FileSystem API so any scheme the
-    checkpoint supports (local, HDFS, object stores with a committer)
-    works. A missing ``state_dir`` is the one legitimate "no state yet"
-    case and returns ``[]``; every OTHER failure mode (permissions,
-    transient FS faults) propagates — silently treating corruption as
-    "first batch" would reset the dedup history (ADVICE r09)."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return []
-    out = []
-    legacy = False
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("v=")):
-            # pre-versioned layouts wrote part-*.parquet + _SUCCESS
-            # directly under state_dir; treating that as "no state"
-            # would be exactly the silent dedup-history reset the
-            # versioned layout exists to prevent
-            if not st.isDirectory() and (
-                name == "_SUCCESS" or name.endswith(".parquet")
-            ):
-                legacy = True
-            continue
-        try:
-            n = int(name[2:])
-        except ValueError:
-            continue
-        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-        if fs.exists(marker):
-            out.append(n)
-    if legacy and not out:
-        raise ValueError(
-            f"bloom state at {state_dir!r} uses the pre-versioned flat "
-            "layout; migrate it (move the parquet files into "
-            f"{state_dir}/v=0/) instead of silently restarting with "
-            "empty dedup history"
-        )
-    return sorted(out)
+    return committed_versions(spark, state_dir)
 
 
 def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The newest COMMITTED (word, bits) bloom table, or an empty one
-    when no version has ever committed. Readers never see a mid-write
-    state: a version directory only becomes visible here once its
-    parquet ``_SUCCESS`` marker exists."""
-    versions = _bloom_state_versions(spark, state_dir)
-    if not versions:
-        return spark.createDataFrame([], "word BIGINT, bits BIGINT")
-    return spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+    when no version has ever committed (streaming/state.py's reader —
+    a version is visible only once its ``_SUCCESS`` marker exists)."""
+    from .state import read_latest_state
+
+    return read_latest_state(spark, state_dir, "word BIGINT, bits BIGINT")
 
 
 def _write_bloom_state(spark: SparkSession, df: DataFrame, state_dir: str) -> None:
-    """Commit ``df`` as the next bloom-state version, crash-safely.
+    """Commit ``df`` as the next bloom-state version, crash-safely
+    (streaming/state.py's writer: fresh ``v=<latest+1>`` path, atomic
+    reader-visible switch, prune-keeps-predecessor)."""
+    from .state import write_next_state
 
-    The new table lands at ``state_dir/v=<latest+1>`` — a FRESH path,
-    so a crash mid-write leaves the previous committed version intact
-    and the partial new directory invisible (no ``_SUCCESS``); the
-    switch is atomic from the reader's perspective (ADVICE r09: a plain
-    ``mode("overwrite")`` of ``state_dir`` deleted the old state before
-    the new write committed). After the commit, versions older than the
-    previous one are pruned best-effort — the reader only ever opens
-    the newest, and keeping one predecessor means even a crash mid-
-    prune can never leave zero committed versions."""
-    versions = _bloom_state_versions(spark, state_dir)
-    new = (versions[-1] + 1) if versions else 0
-    # mode("overwrite") only to reclaim an UNCOMMITTED leftover v=<new>
-    # from a crashed writer; a committed v=<new> can't exist (versions
-    # lists every committed dir and new is past the last one)
-    df.coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/v={new}")
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(state_dir).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    for n in versions[:-1]:  # keep the new version and its predecessor
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={n}"), True)
+    write_next_state(spark, df, state_dir)
 
 
 def start_bloom_ingest_query(

@@ -1469,3 +1469,64 @@ def test_j09_attribution_is_bin_keyed_not_user_quadratic(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_j10_last_touch_is_bin_keyed_argmax_not_window(spark, sf_dir):
+    """Last-touch rides j09's bin trick mirrored (the PURCHASE side
+    replicates via a Generate) and the arg-max is a partial-aggregated
+    max(struct) — never a per-purchase sort window, never a nested
+    loop."""
+    plan = _plan(spark, sf_dir, "j10_last_touch_attribution")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert not _parse_windows(plan), plan  # arg-max is an aggregate
+
+
+def test_gr03_components_stay_unhinted_equi_joined(spark, sf_dir):
+    """Min-label propagation: every round is a keyed equi-join + MIN
+    aggregate on node/edge-sized tables — no cartesian product, no
+    nested loop, no broadcast HINT (node side a-priori unbounded; AQE
+    elects strategies), and the final census is one aggregate (the
+    convergence probe's one-row cross join is the only non-equi
+    join)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans import (
+        training_queries as tq,
+    )
+
+    plan = _plan(spark, sf_dir, "gr03_connected_components")
+    assert "CartesianProduct" not in plan, plan
+    # the deliberate one-row convergence scalar is the ONLY BNLJ-shaped
+    # node allowed (a broadcast of a single aggregate row)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    import inspect
+
+    src = inspect.getsource(tq.gr03_connected_components) + inspect.getsource(
+        tq._gr_edges
+    )
+    # the single hint is the one-row convergence scalar
+    assert src.count("F.broadcast(") == 1, src.count("F.broadcast(")
+
+
+def test_ivm02_merge_is_a_union_of_signed_partials(spark, sf_dir):
+    """Retraction changes the ALGEBRA, not the plan: like ivm01, the
+    merge aggregate consumes a Union of partial-aggregate legs; no
+    nested-loop join anywhere."""
+    plan = _plan(spark, sf_dir, "ivm02_retraction_merge")
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan, plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_zo02_probe_join_is_broadcast(spark, sf_dir):
+    """The write-leg audit's only join is the 4-row probe set meeting
+    the file ledger — broadcast, never a shuffle join; the global
+    z-sort windows are the audit's documented surrogate for the
+    production repartitionByRange (exercised for real in
+    test_zorder_write.py)."""
+    plan = _plan(spark, sf_dir, "zo02_zorder_file_pruning")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )

@@ -1,0 +1,130 @@
+"""Streaming IVM (streaming/ivm.py, ST14): the maintained view equals
+a direct recompute over the logical current table after every batch —
+merge-equals-recompute under inserts, deletes and update pairs, held
+continuously; zero-count keys leave the view; restarts fold nothing
+twice; state versions advance one per processed batch."""
+
+from __future__ import annotations
+
+import json
+
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.ivm import (
+    merge_batch,
+    start_view_maintenance,
+    view_stats,
+)
+from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.state import (
+    committed_versions,
+)
+
+
+def _chg(user, eid, op, value):
+    return {"user_id": user, "event_id": eid, "op": op, "value": value}
+
+
+def _write(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _drain(spark, landing, state, ckpt):
+    q = start_view_maintenance(spark, str(landing), str(state), str(ckpt))
+    q.awaitTermination(120)
+
+
+def _cents(v):
+    import math
+
+    return int(math.floor(v * 100 + 0.5))
+
+
+def _expected(table):
+    """Direct recompute over the logical current table {key: [values]}."""
+    out = {}
+    for u, vals in table.items():
+        if not vals:
+            continue
+        cs = [_cents(v) for v in vals]
+        out[u] = (len(cs), sum(cs), sum(c * c for c in cs))
+    return out
+
+
+def _view(spark, state):
+    return {
+        r.user_id: (r.n, r.s, r.s2)
+        for r in view_stats(spark, str(state)).collect()
+    }
+
+
+def test_view_maintains_under_retractions(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    state, ckpt = tmp_path / "state", tmp_path / "ckpt"
+
+    # batch 1: inserts only
+    _write(
+        landing / "b1.json",
+        [
+            _chg(1, 1, "I", 10.00),
+            _chg(1, 2, "I", 20.50),
+            _chg(2, 3, "I", 5.25),
+        ],
+    )
+    _drain(spark, landing, state, ckpt)
+    table = {1: [10.00, 20.50], 2: [5.25]}
+    assert _view(spark, state) == _expected(table)
+    assert committed_versions(spark, str(state)) == [0]
+
+    # batch 2: a delete, an update pair (retract old + insert new) and
+    # a new key — the signed merge absorbs all three change classes
+    _write(
+        landing / "b2.json",
+        [
+            _chg(1, 4, "D", 10.00),           # delete user 1's first row
+            _chg(1, 5, "D", 20.50),           # update: retract old...
+            _chg(1, 6, "I", 21.50),           # ...insert new value
+            _chg(3, 7, "I", 100.00),          # brand-new key
+        ],
+    )
+    _drain(spark, landing, state, ckpt)
+    table = {1: [21.50], 2: [5.25], 3: [100.00]}
+    assert _view(spark, state) == _expected(table)
+    # one version per processed batch, predecessor retained
+    assert committed_versions(spark, str(state))[-1] == 1
+
+    # restart with nothing new: no batch runs, no version commits
+    _drain(spark, landing, state, ckpt)
+    assert committed_versions(spark, str(state))[-1] == 1
+
+    # batch 3: retract EVERYTHING user 2 has — the key leaves the view
+    _write(landing / "b3.json", [_chg(2, 8, "D", 5.25)])
+    _drain(spark, landing, state, ckpt)
+    table = {1: [21.50], 3: [100.00]}
+    assert _view(spark, state) == _expected(table)
+    assert 2 not in _view(spark, state)
+
+    # derived stats come from the exact integer moments: user 1 has a
+    # single 21.50 row — mean 21.5, variance 0
+    stats = {
+        r.user_id: (r.mean_value, r.var_value)
+        for r in view_stats(spark, str(state)).collect()
+    }
+    assert stats[1] == (21.5, 0.0)
+
+
+def test_merge_batch_is_idempotent_per_state_version(spark, tmp_path):
+    """The batch twin contract directly (no stream): folding the same
+    delta into successive views gives exactly the recompute, and the
+    versioned store never exposes a mid-write state."""
+    state = tmp_path / "state"
+    b1 = spark.createDataFrame(
+        [(1, 1, "I", 10.00), (1, 2, "I", 30.00)],
+        "user_id long, event_id long, op string, value double",
+    )
+    merge_batch(b1, str(state))
+    b2 = spark.createDataFrame(
+        [(1, 3, "D", 30.00)],
+        "user_id long, event_id long, op string, value double",
+    )
+    merge_batch(b2, str(state))
+    assert _view(spark, state) == {1: (1, 1000, 1000000)}
+    assert committed_versions(spark, str(state)) == [0, 1]
