@@ -226,6 +226,9 @@ HEADLINE = [
     "gr03_connected_components",
     "ivm02_retraction_merge",
     "zo02_zorder_file_pruning",
+    # round-11: the mergeable HLL register algebra (two MAX aggregates
+    # over a hashed projection + the m-row merge/direct agreement join)
+    "sk02_hll_mergeable",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

@@ -1524,6 +1524,10 @@ _ROTATION_TAIL = [
     "tk02_bpe_trainer",
     "tk03_bpe_compression",
     "vc01_vocab_coverage",
+    # parked mid-round-11 (double-green, the most expensive remaining
+    # parkable resident at 1.84 s) to fund the window slot for the new
+    # sk02_hll_mergeable entry:
+    "rk02_retrieval_eval",
 ]
 
 

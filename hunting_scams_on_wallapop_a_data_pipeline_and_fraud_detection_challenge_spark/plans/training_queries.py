@@ -37,7 +37,15 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import M31, hmod, seeded, sql_hmod, sql_seeded
+from ..functions.hashing import (
+    M31,
+    h32,
+    hmod,
+    seeded,
+    sql_h32,
+    sql_hmod,
+    sql_seeded,
+)
 from ..functions.textstats import (
     bpe_token_count,
     distinct_tokens,
@@ -13215,5 +13223,183 @@ def zo02_zorder_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("bigint").alias(
                 "rows_scanned"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sk02: mergeable HyperLogLog — union of sketches == sketch of union
+# ---------------------------------------------------------------------------
+#: register count (2^4): small enough that the raw estimate is
+#: exercised at every test SF, large enough that n/m clears the
+#: small-range regime at sf0.01+ (~150 distinct users per event type)
+_SK02_M = 16
+#: alpha_16 — the standard HLL bias constant for m = 16
+_SK02_ALPHA = 0.673
+#: the scaled-integer sum trick: Σ 2^(-M[j]) is computed as the exact
+#: BIGINT Σ 2^(K - M[j]) with K = 32, so the harmonic-mean denominator
+#: is order-insensitive integer addition (no float-sum ordering
+#: anywhere); rho <= 29 (w has 28 bits), so every term is >= 2^3
+_SK02_K = 32
+#: shards the mergeability proof splits each group into (by key)
+_SK02_SHARDS = 4
+
+_SK02_SQL = f"""
+WITH v AS (SELECT DISTINCT p_brand AS grp, p_partkey AS k,
+                  p_partkey % {_SK02_SHARDS} AS shard
+           FROM part),
+ h AS (SELECT grp, k, shard,
+              {sql_h32("CAST(k AS VARCHAR)")} AS h
+       FROM v),
+ r AS (SELECT grp, k, shard,
+              h % {_SK02_M} AS reg,
+              h // {_SK02_M} AS w
+       FROM h),
+ rho AS (SELECT grp, shard, reg,
+                CASE WHEN w = 0 THEN 29
+                     ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+         FROM r),
+ rs AS (SELECT grp, shard, reg, max(rho) AS m FROM rho GROUP BY 1, 2, 3),
+ rm AS (SELECT grp, reg, max(m) AS m FROM rs GROUP BY 1, 2),
+ rd AS (SELECT grp, reg, max(rho) AS m FROM rho GROUP BY 1, 2),
+ agree AS (SELECT coalesce(rm.grp, rd.grp) AS grp,
+                  CAST(sum(CASE WHEN rm.m IS DISTINCT FROM rd.m
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+           FROM rm FULL JOIN rd ON rm.grp = rd.grp AND rm.reg = rd.reg
+           GROUP BY 1),
+ s AS (SELECT grp,
+              CAST(count(*) AS BIGINT) AS n_used,
+              CAST(sum(CAST(1 AS BIGINT) << ({_SK02_K} - m)) AS BIGINT)
+                  AS s_present
+       FROM rm GROUP BY grp),
+ ex AS (SELECT p_brand AS grp,
+               CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_exact
+        FROM part GROUP BY 1)
+SELECT ex.grp AS p_brand, ex.n_exact, s.n_used AS n_registers_used,
+       round(({_SK02_ALPHA} * {_SK02_M} * {_SK02_M}
+              * CAST(CAST(1 AS BIGINT) << {_SK02_K} AS DOUBLE)
+              / (s.s_present + ({_SK02_M} - s.n_used)
+                 * (CAST(1 AS BIGINT) << {_SK02_K}))) + 1e-6, 2)
+           AS hll_estimate,
+       round((abs({_SK02_ALPHA} * {_SK02_M} * {_SK02_M}
+              * CAST(CAST(1 AS BIGINT) << {_SK02_K} AS DOUBLE)
+              / (s.s_present + ({_SK02_M} - s.n_used)
+                 * (CAST(1 AS BIGINT) << {_SK02_K}))
+              - ex.n_exact) / ex.n_exact) + 1e-6, 4) AS rel_err,
+       (agree.n_diff = 0) AS merge_exact
+FROM ex JOIN s ON s.grp = ex.grp JOIN agree ON agree.grp = ex.grp
+"""
+
+
+@query("sk02_hll_mergeable", oracle=_SK02_SQL, ops=("SKETCH-HLL",))
+def sk02_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketch — the property that
+    makes sketches THE 100 TB cardinality tool (sk01 covers heavy
+    hitters; a14 gates on Spark's built-in approx distinct; this
+    implements the register algebra itself so MERGEABILITY is provable
+    in the verified rows): per part brand, build the 16-register HLL
+    over distinct part keys TWICE — once directly, once as key-sharded
+    sketches merged by register max (union of sketches; brands
+    partition the part table into DISJOINT, varied-size key sets, so
+    every group exercises a different sketch) — and emit
+    per group the exact count, the raw HLL estimate, its relative
+    error, and `merge_exact`: the merged and direct register tables
+    agree on every register, i.e. sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) — the identity that lets partial sketches from 1,000
+    executors (or 1,000 days of history) combine without ever
+    re-scanning, the same partial-merge contract ivm01/ivm02 prove
+    for exact moments.
+
+    Exactness: the register pipeline is pure integer arithmetic on
+    the shared portable hash (functions/hashing.h32 — identical
+    md5-derived BIGINTs in both engines): reg = h % m, rho = trailing
+    zeros of the remaining 28 bits + 1 via `bit_count((w & -w) - 1)`,
+    registers aggregate by MAX. The harmonic-mean denominator uses
+    the scaled-integer trick — Σ2^(K−M[j]) as exact BIGINT addition
+    (order-insensitive), so the one double division computing the
+    estimate consumes exact integers in a fixed expression. The raw
+    estimate carries no small-range correction (documented; n/m
+    clears the biased regime at sf0.01+, and the CONTRACT under test
+    is determinism + mergeability, not estimator bias).
+
+    Scale shape (100 TB): sketch build is one map-side-combinable MAX
+    aggregate over a hashed projection (register tables are m rows
+    per group — trivially broadcastable state); the merge is a second
+    MAX over m-row tables; the exact-count leg exists only as the
+    in-result proof (production ships the sketch INSTEAD of the exact
+    two-hop distinct). Plan-pinned: no nested-loop join; every join
+    key is (grp) or (grp, reg)."""
+    pt = _t(spark, sf_dir, "part")
+    v = pt.select(
+        F.col("p_brand").alias("grp"),
+        F.col("p_partkey").alias("k"),
+        (F.col("p_partkey") % _SK02_SHARDS).alias("shard"),
+    ).distinct()
+    h = v.select(
+        "grp", "shard", h32(F.col("k").cast("string")).alias("h")
+    )
+    rho = h.select(
+        "grp",
+        "shard",
+        (F.col("h") % _SK02_M).alias("reg"),
+        F.expr(
+            f"CASE WHEN h DIV {_SK02_M} = 0 THEN 29"
+            f" ELSE bit_count(((h DIV {_SK02_M}) & -(h DIV {_SK02_M})) - 1)"
+            " + 1 END"
+        ).alias("rho"),
+    )
+    rs = rho.groupBy("grp", "shard", "reg").agg(F.max("rho").alias("m"))
+    rm = rs.groupBy("grp", "reg").agg(F.max("m").alias("m"))
+    rd = rho.groupBy("grp", "reg").agg(F.max("rho").alias("m"))
+    agree = (
+        rm.select("grp", "reg", F.col("m").alias("ma"))
+        .join(
+            rd.select(
+                F.col("grp").alias("g2"),
+                F.col("reg").alias("r2"),
+                F.col("m").alias("mb"),
+            ),
+            (F.col("grp") == F.col("g2")) & (F.col("reg") == F.col("r2")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("grp"), F.col("g2")).alias("grp"),
+            (~(F.col("ma").eqNullSafe(F.col("mb")))).cast("int").alias("d"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("d").cast("bigint").alias("n_diff"))
+    )
+    s = rm.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SK02_K} - m)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    ex = pt.groupBy(F.col("p_brand").alias("grp")).agg(
+        F.countDistinct("p_partkey").cast("bigint").alias("n_exact")
+    )
+    est = (
+        F.lit(_SK02_ALPHA)
+        * _SK02_M
+        * _SK02_M
+        * F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_SK02_K}) AS DOUBLE)")
+        / (
+            F.col("s_present")
+            + (_SK02_M - F.col("n_used"))
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SK02_K})")
+        )
+    )
+    return (
+        ex.join(s, "grp")
+        .join(agree, "grp")
+        .select(
+            F.col("grp").alias("p_brand"),
+            "n_exact",
+            F.col("n_used").alias("n_registers_used"),
+            _r(est, 2).alias("hll_estimate"),
+            _r(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+            (F.col("n_diff") == 0).alias("merge_exact"),
         )
     )

@@ -23,6 +23,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 #: Entries with ZERO green driver rows entering round 11 — the four
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
+    "sk02_hll_mergeable",
     "j10_last_touch_attribution",
     "gr03_connected_components",
     "ivm02_retraction_merge",
@@ -68,14 +69,13 @@ SINGLE_GREEN = {
 #: kept in-window for third rows. tk02/tk03 were parked in r11 at two
 #: greens to fund new-entry slots (the documented rule: <2 greens must
 #: stay; two greens may park — VERDICT r10 item 8 plans exactly this
-#: for the heavies).
+#: for the heavies); rk02 was parked mid-round for sk02's slot.
 DOUBLE_GREEN = {
     "dd14_duplicate_spans",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
     "dd15_span_scrub",
     "a17_conversion_funnel",
-    "rk02_retrieval_eval",
     "mm04_frame_dedup",
 }
 
