@@ -229,6 +229,9 @@ HEADLINE = [
     # round-11: the mergeable HLL register algebra (two MAX aggregates
     # over a hashed projection + the m-row merge/direct agreement join)
     "sk02_hll_mergeable",
+    # round-11: the inverted-index build (one corpus explode, two keyed
+    # aggregates, a term-partitioned top-k window)
+    "ix01_inverted_index",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

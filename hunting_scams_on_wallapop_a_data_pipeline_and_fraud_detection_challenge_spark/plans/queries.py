@@ -1528,6 +1528,10 @@ _ROTATION_TAIL = [
     # parkable resident at 1.84 s) to fund the window slot for the new
     # sk02_hll_mergeable entry:
     "rk02_retrieval_eval",
+    # parked mid-round-11 (triple-green, next in expense order at
+    # 1.68 s) to fund the window slot for the new ix01_inverted_index
+    # entry:
+    "lm01_bigram_likelihood",
 ]
 
 

@@ -13403,3 +13403,134 @@ def sk02_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff") == 0).alias("merge_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ix01: inverted-index build — postings with BM25 length normalization
+# ---------------------------------------------------------------------------
+#: BM25 constants (the Robertson defaults every engine ships)
+_IX01_K1 = 1.2
+_IX01_B = 0.75
+#: postings depth per term (impact-ordered index truncation)
+_IX01_TOPK = 3
+#: min document frequency — hapax terms dominate raw vocabulary and no
+#: production index keeps them (the standard min-df cutoff)
+_IX01_MIN_DF = 2
+
+
+def _ix01_sql() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest({sql_tokens("text")}) AS term
+                FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tk GROUP BY doc_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_tok
+          FROM dl),
+    tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY term, doc_id),
+    st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY term HAVING count(*) >= {_IX01_MIN_DF}),
+    p AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+                 row_number() OVER (PARTITION BY tf.term
+                                    ORDER BY tf.tf DESC, tf.doc_id ASC)
+                     AS rank
+          FROM tf JOIN st USING (term) JOIN dl USING (doc_id))
+    SELECT p.term, st.df, st.cf, g.n_docs,
+           CAST(p.rank AS BIGINT) AS rank, p.doc_id, p.tf,
+           round((CAST(p.tf AS DOUBLE) * ({_IX01_K1} + 1)
+                  / (p.tf + {_IX01_K1}
+                     * (1 - {_IX01_B} + {_IX01_B} * p.dl
+                        / (CAST(g.total_tok AS DOUBLE) / g.n_docs))))
+                 + 1e-9, 6) + 0.0 AS w_bm25
+    FROM p JOIN st USING (term), g
+    WHERE p.rank <= {_IX01_TOPK}
+    """
+
+
+@query("ix01_inverted_index", oracle=_ix01_sql, ops=("RETRIEVE-INDEX",))
+def ix01_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the lexical retrieval artifact the rk
+    family consumes but nothing yet constructed (rk01's lexical leg
+    scores Jaccard inline; a shipping retrieval stack BUILDS the
+    postings once and serves from them): per term above the min-df
+    cutoff, its document frequency, collection frequency, and the
+    top-{_IX01_TOPK} postings by term frequency (impact-ordered index
+    truncation), each carrying the BM25 LENGTH-NORMALIZED term weight
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). The idf factor is
+    deliberately NOT materialized: idf needs ln(), and libm
+    transcendentals are not correctly rounded across engines (the
+    standing oracle-math rule) — the index instead carries the exact
+    integer (n_docs, df) pair so a consumer applies its own idf at
+    query time, which is also what real impact indexes store.
+
+    Exactness: token/doc/term counts are BIGINT from the shared
+    tokenizer (functions/textstats.tokens — one definition with the
+    oracle); the weight is ONE fixed-order IEEE expression over exact
+    integers (avgdl spelled inline as total_tok/n_docs), rounded to
+    6 dp with the epsilon rule; postings order is pinned by the
+    (tf DESC, doc_id ASC) tiebreak.
+
+    Scale shape (100 TB): the classic two-aggregate index build — the
+    corpus explodes to (term, doc) ONCE, tf is a map-side-combinable
+    keyed count, term stats are a second keyed aggregate, and the
+    top-k truncation is a term-PARTITIONED window (never a global
+    sort; fanout bounded by per-term postings). The one-row corpus
+    global (n_docs, total_tok) joins back as a broadcast. Plan-pinned:
+    the window is partitioned, no nested-loop join."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=False)
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tok"),
+    )
+    tf = tk.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    st = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+        )
+        .filter(F.col("df") >= _IX01_MIN_DF)
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    p = (
+        tf.join(st, "term")
+        .join(dl, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IX01_TOPK)
+    )
+    bm25 = (
+        F.col("tf").cast("double")
+        * (_IX01_K1 + 1)
+        / (
+            F.col("tf")
+            + _IX01_K1
+            * (
+                1
+                - _IX01_B
+                + _IX01_B
+                * F.col("dl")
+                / (F.col("total_tok").cast("double") / F.col("n_docs"))
+            )
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            "term",
+            "df",
+            "cf",
+            "n_docs",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "tf",
+            (_r(bm25, 6) + F.lit(0.0)).alias("w_bm25"),
+        )
+    )

@@ -24,6 +24,7 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
     "sk02_hll_mergeable",
+    "ix01_inverted_index",
     "j10_last_touch_attribution",
     "gr03_connected_components",
     "ivm02_retraction_merge",
@@ -88,7 +89,6 @@ TRIPLE_GREEN = {
     "a15_mixture_rollup",
     "dd13_winnow_pairs",
     "w05_cohort_retention",
-    "lm01_bigram_likelihood",
     "a16_event_type_pivot",
     "dd12_bloom_incremental",
     "cdc01_snapshot_delta",
