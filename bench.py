@@ -232,6 +232,11 @@ HEADLINE = [
     # round-11: the inverted-index build (one corpus explode, two keyed
     # aggregates, a term-partitioned top-k window)
     "ix01_inverted_index",
+    # round-11: journey-string pattern counting (one sorted keyed
+    # aggregate + codegen regex) and the OHLC resample (one keyed
+    # aggregate with struct-min/max first/last partials)
+    "w07_sequence_patterns",
+    "ts02_ohlc_resample",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

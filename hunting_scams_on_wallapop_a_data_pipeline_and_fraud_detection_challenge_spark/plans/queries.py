@@ -1532,6 +1532,11 @@ _ROTATION_TAIL = [
     # 1.68 s) to fund the window slot for the new ix01_inverted_index
     # entry:
     "lm01_bigram_likelihood",
+    # parked mid-round-11 (double-/triple-green, next in expense order
+    # at 1.59/1.54 s) to fund the window slots for the new
+    # w07_sequence_patterns and ts02_ohlc_resample entries:
+    "dd15_span_scrub",
+    "cp03_incremental_pipeline",
 ]
 
 

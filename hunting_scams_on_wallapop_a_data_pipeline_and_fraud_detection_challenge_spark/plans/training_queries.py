@@ -13534,3 +13534,171 @@ def ix01_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_r(bm25, 6) + F.lit(0.0)).alias("w_bm25"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w07: event-sequence pattern detection — MATCH_RECOGNIZE as composition
+# ---------------------------------------------------------------------------
+#: the journey patterns, over single-char event codes (the first letter
+#: of event_type is unique across the five types): conversion adjacency,
+#: click bursts (maximal runs of >=3), and purchase-then-error
+_W07_PATTERNS = [
+    ("n_click_buy", "cp"),
+    ("n_click_burst", "c{3,}"),
+    ("n_buy_error", "pe"),
+]
+
+_W07_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                  substring(event_type, 1, 1) AS ch
+           FROM events),
+ j AS (SELECT user_id,
+              string_agg(ch, '' ORDER BY us, event_id) AS journey
+       FROM e GROUP BY user_id)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS journey_len,
+       {", ".join(
+           f"CAST(len(regexp_extract_all(journey, '{pat}')) AS BIGINT)"
+           f" AS {name}" for name, pat in _W07_PATTERNS
+       )}
+FROM j
+"""
+
+
+@query("w07_sequence_patterns", oracle=_W07_SQL, ops=("SEQ-PATTERN",))
+def w07_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection — SQL MATCH_RECOGNIZE
+    (Flink CEP / Trino row-pattern matching) re-expressed as a
+    composition Spark can run, because Spark HAS no row-pattern
+    operator: per user, the event journey collapses to a compact
+    per-key STRING in (ts, event_id) total order — one char per event,
+    first letter of event_type, unique across the five types — and
+    each behavioral pattern is a regular expression counted
+    non-overlapping left-to-right over that string (exactly
+    MATCH_RECOGNIZE's default AFTER MATCH SKIP PAST LAST ROW
+    semantics): conversion adjacency (click immediately followed by
+    purchase), click bursts (maximal runs of three or more — the
+    bot/scalper signature the reference's frequency alert ST1
+    approximates with a windowed count), and purchase-then-error.
+
+    Exactness: the journey string is deterministic (ordered
+    aggregation with the (ts, event_id) total-order tiebreak — the
+    cdc02 rule), and both engines count non-overlapping greedy regex
+    matches identically (verified: 'cp' on 'ccccpcp' = 2, 'c{{3,}}' on
+    'ccccc' = 1 in both); counts are BIGINT.
+
+    Scale shape (100 TB): ONE key shuffle builds the per-user journey
+    (sorted aggregation — map-side collect, merge on the reducer);
+    pattern counting is a pure codegen projection over key-sized
+    strings. A journey string is bounded by per-user event count —
+    the same per-key-state bound every sessionizer (w04/ST8) already
+    carries; a pathological hot key would be salted upstream. No
+    joins at all. The regex NFA never leaves the JVM."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    j = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("bigint").alias("journey_len"),
+        *[
+            F.regexp_count("journey", F.lit(pat)).cast("bigint").alias(name)
+            for name, pat in _W07_PATTERNS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts02: time-series OHLC resample — first/last/extreme per time bucket
+# ---------------------------------------------------------------------------
+_TS02_HOUR_US = 3_600_000_000
+
+
+@query("ts02_ohlc_resample", oracle=f"""
+WITH e AS (SELECT event_type, user_id, event_id, value,
+                  epoch_us(ts) AS us,
+                  CAST(epoch_us(ts) // {_TS02_HOUR_US} AS BIGINT) AS hb
+           FROM events)
+SELECT event_type, hb AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       struct_extract(min(struct_pack(us := us, eid := event_id,
+                                      v := value)), 'v') AS open,
+       max(value) AS high,
+       min(value) AS low,
+       struct_extract(max(struct_pack(us := us, eid := event_id,
+                                      v := value)), 'v') AS close
+FROM e GROUP BY 1, 2
+""", ops=("TS-RESAMPLE",))
+def ts02_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling — the resample/rollup every
+    time-series store ships (Timescale time_bucket + first/last,
+    Influx aggregateWindow): per (series, hour bucket), the OPEN
+    (first value in (ts, event_id) order), HIGH, LOW and CLOSE (last
+    value) plus the sample count. FIRST/LAST are the interesting
+    operators — they are ORDER-dependent aggregates Spark expresses
+    as a lexicographic min/max over a (ts, event_id, value) struct
+    (the j10 arg-max move), which keeps them map-side-combinable
+    partials instead of a per-bucket sort window.
+
+    Exactness: open/high/low/close are SELECTED parquet doubles (no
+    arithmetic — no rounding needed); the bucket is integer epoch
+    division; ties break on the (ts, event_id) total order (the cdc02
+    rule). Every row hash-matches.
+
+    Scale shape (100 TB): ONE keyed aggregate with map-side combine —
+    the partial for first/last is a struct min/max, so a 1000-executor
+    rollup merges partials exactly like sum/count; no window, no
+    join, no sort. Downsampling 100 TB of ticks to per-hour candles
+    is precisely the workload this shape exists for."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        us.alias("us"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_TS02_HOUR_US}"
+        ).alias("hb"),
+    )
+    return (
+        e.groupBy("event_type", F.col("hb").alias("hour_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(F.struct("us", F.col("event_id").alias("eid"), "value"))
+            .alias("omn"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("us", F.col("event_id").alias("eid"), "value"))
+            .alias("omx"),
+        )
+        .select(
+            "event_type",
+            "hour_bucket",
+            "n",
+            F.col("omn.value").alias("open"),
+            "high",
+            "low",
+            F.col("omx.value").alias("close"),
+        )
+    )

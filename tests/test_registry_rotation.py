@@ -25,6 +25,8 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 NEEDS_FIRST_ROW: set[str] = {
     "sk02_hll_mergeable",
     "ix01_inverted_index",
+    "w07_sequence_patterns",
+    "ts02_ohlc_resample",
     "j10_last_touch_attribution",
     "gr03_connected_components",
     "ivm02_retraction_merge",
@@ -75,7 +77,6 @@ DOUBLE_GREEN = {
     "dd14_duplicate_spans",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
-    "dd15_span_scrub",
     "a17_conversion_funnel",
     "mm04_frame_dedup",
 }
@@ -84,7 +85,6 @@ DOUBLE_GREEN = {
 #: three greens minus tp03, parked r11; the r07-era four-greens minus
 #: vc01, parked r11) — eligible parking stock for future rounds.
 TRIPLE_GREEN = {
-    "cp03_incremental_pipeline",
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
     "dd13_winnow_pairs",
