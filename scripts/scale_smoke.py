@@ -131,6 +131,11 @@ OPS = [
     "qf01_linear_quality_classifier",
     "cp05_quality_gate_pipeline",
     "gr02_dup_graph_cohesion",
+    # round-11 addition. inverted index: one corpus explode to
+    # (term, doc), two map-side-combinable keyed aggregates, and a
+    # term-PARTITIONED top-k window whose per-partition state is the
+    # postings list — corpus growth widens partitions, never the plan.
+    "ix01_inverted_index",
 ]
 
 
