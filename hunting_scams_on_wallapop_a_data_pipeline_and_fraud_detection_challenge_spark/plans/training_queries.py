@@ -12113,17 +12113,20 @@ def _dq02_orders_agg(orders: DataFrame) -> DataFrame:
     count per `_DQ02_ORDERS_RULES` entry. Shared by dq02's batch suite
     and the ST13 streaming gate's per-micro-batch verdict."""
     v = _dq02_row_violations(orders)
+
+    # sums are coalesced so an EMPTY input (a zero-record micro-batch
+    # at the ST13 gate) reports 0 violations / pass, not NULL / fail;
+    # on non-empty input this matches the oracle's CASE-sum exactly
+    def _vio(c: str):
+        return F.coalesce(
+            F.sum(F.when(F.col(c), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias(c)
+
     return v.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("v_range"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("v_range"),
-        F.sum(F.when(F.col("v_set"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("v_set"),
-        F.sum(F.when(F.col("v_null"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("v_null"),
+        _vio("v_range"),
+        _vio("v_set"),
+        _vio("v_null"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .cast("bigint")
         .alias("v_uniq"),
@@ -12641,18 +12644,12 @@ def j10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated arg-max, never a nested loop and never a
     per-purchase sort."""
     ev = _t(spark, sf_dir, "events")
-    tus = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
+    tus = F.expr(_EPOCH_US)
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
         tus.alias("ct"),
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-            f" ts) DIV {_J09_WINDOW_US}"
-        ).alias("cb"),
-    )
+    ).withColumn("cb", F.expr(f"ct DIV {_J09_WINDOW_US}"))
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), tus.alias("pt")
     )
@@ -12967,10 +12964,7 @@ def ivm02_retraction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "user_id",
         "event_id",
-        F.expr(
-            "timestampdiff(MICROSECOND,"
-            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_IVM01_DAY_US}"
-        ).alias("d"),
+        F.expr(f"({_EPOCH_US}) DIV {_IVM01_DAY_US}").alias("d"),
         F.expr(_IVM01_CENTS).cast("bigint").alias("c"),
     ).localCheckpoint(eager=False)
     mx = e.agg(F.max("d").alias("dmax"))
@@ -13597,10 +13591,7 @@ def w07_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
-        F.expr(
-            "timestampdiff(MICROSECOND,"
-            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("us"),
+        F.expr(_EPOCH_US).alias("us"),
         "event_id",
         F.substring("event_type", 1, 1).alias("ch"),
     )
@@ -13668,18 +13659,12 @@ def ts02_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no sort. Downsampling 100 TB of ticks to per-hour candles
     is precisely the workload this shape exists for."""
     ev = _t(spark, sf_dir, "events")
-    us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
     e = ev.select(
         "event_type",
         "event_id",
         "value",
-        us.alias("us"),
-        F.expr(
-            "timestampdiff(MICROSECOND,"
-            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_TS02_HOUR_US}"
-        ).alias("hb"),
+        F.expr(_EPOCH_US).alias("us"),
+        F.expr(f"({_EPOCH_US}) DIV {_TS02_HOUR_US}").alias("hb"),
     )
     return (
         e.groupBy("event_type", F.col("hb").alias("hour_bucket"))

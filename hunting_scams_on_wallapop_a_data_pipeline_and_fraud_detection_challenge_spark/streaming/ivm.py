@@ -12,8 +12,14 @@ each batch reads the newest committed view, merges by plain addition
 (the Chan-identity merge, closed under subtraction because the
 partials are EXACT integers — the ivm02 argument), drops keys whose
 count reaches zero, and commits the next version. A crash mid-commit
-leaves the previous view intact; the checkpoint's file-source offset
-log makes each input file fold exactly once.
+leaves the previous view intact. Because ``foreachBatch`` is
+at-least-once (a crash BETWEEN the state commit and the streaming
+commit-log write replays the batch) and a signed sum — unlike ST9's
+idempotent ``bit_or`` — would double-fold a replayed delta, every
+committed version carries the id of the last batch folded into it
+(``applied_bid``, on every row plus a NULL-key sentinel row so it
+survives an empty view): ``merge_batch`` no-ops on any batch id at or
+below the stored one, making the fold idempotent under replay.
 
 Parity (pinned in tests/test_streaming_ivm.py): after any sequence of
 batches, the view equals a DIRECT recompute over the logical current
@@ -39,8 +45,13 @@ from .state import read_latest_state, write_next_state
 #: an UPDATE is a ('D', old value) + ('I', new value) row pair
 CHANGE_SCHEMA = "user_id long, event_id long, op string, value double"
 
-#: the stored view: exact integer moments per key
-VIEW_SCHEMA = "user_id BIGINT, n BIGINT, s BIGINT, s2 BIGINT"
+#: the stored view: exact integer moments per key, plus the replay
+#: fence (the id of the last batch folded in — constant per version;
+#: a NULL-key sentinel row keeps it present even when the view itself
+#: is empty)
+VIEW_SCHEMA = (
+    "user_id BIGINT, n BIGINT, s BIGINT, s2 BIGINT, applied_bid BIGINT"
+)
 
 
 def read_change_feed(spark: SparkSession, landing_dir: str) -> DataFrame:
@@ -74,13 +85,21 @@ def signed_partials(df: DataFrame) -> DataFrame:
     )
 
 
-def merge_batch(batch_df: DataFrame, state_dir: str) -> None:
+def merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
     """Fold one micro-batch into the stored view: read the newest
-    committed view, add the batch's signed partials (union + keyed
-    sum — the plan shape ivm01/ivm02 pin), drop zero-count keys, and
-    commit the next version crash-safely."""
+    committed view, NO-OP if ``batch_id`` was already folded (the
+    replay fence — foreachBatch is at-least-once), otherwise add the
+    batch's signed partials (union + keyed sum — the plan shape
+    ivm01/ivm02 pin), drop zero-count keys, and commit the next
+    version crash-safely with the fence advanced."""
     spark = batch_df.sparkSession
-    view = read_latest_state(spark, state_dir, VIEW_SCHEMA)
+    state = read_latest_state(spark, state_dir, VIEW_SCHEMA)
+    applied = state.agg(F.max("applied_bid")).collect()[0][0]
+    if applied is not None and batch_id <= applied:
+        return  # replayed batch: already folded into a committed view
+    view = state.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "n", "s", "s2"
+    )
     merged = (
         view.unionByName(signed_partials(batch_df))
         .groupBy("user_id")
@@ -93,19 +112,29 @@ def merge_batch(batch_df: DataFrame, state_dir: str) -> None:
         # view holds live keys only
         .filter(F.col("n") != 0)
     )
-    write_next_state(spark, merged, state_dir)
+    sentinel = spark.createDataFrame(
+        [(None, 0, 0, 0, batch_id)], VIEW_SCHEMA
+    )
+    write_next_state(
+        spark,
+        merged.withColumn(
+            "applied_bid", F.lit(batch_id).cast("bigint")
+        ).unionByName(sentinel),
+        state_dir,
+    )
 
 
 def start_view_maintenance(
     spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:
     """Maintain the view over everything currently in the landing dir
-    (availableNow trigger; the checkpoint's offset log + the versioned
-    state commit make each input file fold exactly once)."""
+    (availableNow trigger; the checkpoint's offset log + the
+    batch-id-fenced versioned state commit make each input file fold
+    exactly once EVEN under foreachBatch replay)."""
     return (
         read_change_feed(spark, landing_dir)
         .writeStream.foreachBatch(
-            lambda df, bid: merge_batch(df, state_dir)
+            lambda df, bid: merge_batch(df, bid, state_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -114,9 +143,15 @@ def start_view_maintenance(
 
 
 def view_stats(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The maintained view with derived mean/variance — the ivm02
-    fixed-order double derivations from the exact integer moments."""
-    v = read_latest_state(spark, state_dir, VIEW_SCHEMA)
+    """The maintained view (sentinel row excluded) with derived
+    mean/variance — the ivm02 fixed-order double derivations from the
+    exact integer moments, through the shared ``_r`` rounding rule
+    (one epsilon policy with the batch twin)."""
+    from ..plans.queries import _r
+
+    v = read_latest_state(spark, state_dir, VIEW_SCHEMA).filter(
+        F.col("user_id").isNotNull()
+    )
     mean = F.col("s").cast("double") / F.col("n") / 100.0
     var = (
         (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n"))
@@ -128,6 +163,6 @@ def view_stats(spark: SparkSession, state_dir: str) -> DataFrame:
         "n",
         "s",
         "s2",
-        F.round(mean + F.lit(1e-6), 4).alias("mean_value"),
-        F.round(var + F.lit(1e-6), 4).alias("var_value"),
+        _r(mean, 4).alias("mean_value"),
+        _r(var, 4).alias("var_value"),
     )

@@ -12,7 +12,11 @@ the dd12↔ST9 / dd16↔ST10 / cdc02↔ST11 / j09-j10↔ST12 pattern
 Semantics (documented, not hidden):
 
 - The three ROW-level rules (price range, status set, custkey null)
-  quarantine exactly the violating rows. The UNIQUENESS rule is
+  quarantine exactly the violating rows, and a MALFORMED row (NULL in
+  a rule field, where the rule comparison itself is NULL) quarantines
+  too — the ledger counts only definite violations (the dq02 oracle's
+  CASE semantics), but no row is ever lost to three-valued logic:
+  accepted ∪ quarantine == batch always. The UNIQUENESS rule is
   cross-row: within a micro-batch, ALL rows of a duplicated orderkey
   quarantine (keeping "the first" of an unordered batch would be
   nondeterministic); duplicates SPLIT ACROSS batches are admitted —
@@ -83,10 +87,20 @@ def gate_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
 
     dup = F.count(F.lit(1)).over(Window.partitionBy("o_orderkey")) > 1
     flagged = _dq02_row_violations(rows).withColumn("v_dup", dup)
+    # NULL-safe quarantine: a NULL in a rule field (missing price or
+    # status on a malformed landing row) makes the comparison flag
+    # NULL — three-valued logic would then drop the row from BOTH legs
+    # and silently lose it. coalesce(..., True) sends malformed rows
+    # to quarantine, keeping accepted ∪ quarantine == batch. The
+    # LEDGER still counts only DEFINITE violations (the dq02 oracle's
+    # CASE semantics) — a quarantined-as-malformed row need not appear
+    # in any rule's violation count.
     bad = (
-        F.col("v_range") | F.col("v_set") | F.col("v_null") | F.col("v_dup")
+        F.coalesce(F.col("v_range") | F.col("v_set"), F.lit(True))
+        | F.col("v_null")
+        | F.col("v_dup")
     )
-    cols = [f.split(" ")[0] for f in ORDERS_SCHEMA.split(", ")]
+    cols = rows.columns
     (
         flagged.filter(bad)
         .select(*cols)

@@ -30,6 +30,15 @@ Semantics vs the batch twin (documented, not hidden):
   minus the rows append mode can never splice back in (a tied row with
   a LOWER event_id arriving late is dropped like any other late row).
 
+State-schema version: the per-key state is the 5-field layout
+(cur_type, valid_from_us, frontier_us, frontier_eid, version) — r11
+widened it from the 4-field r10 layout to carry the (ts, event_id)
+frontier pair. Spark's state-store compatibility check REFUSES to
+resume a checkpoint written by the old layout (StateSchemaNotCompatible
+— a loud failure, never silent corruption); a pre-r11 checkpoint must
+be discarded (or its history re-driven through cdc02 and re-seeded),
+the standard operational cost of widening stateful-operator state.
+
 Scale note (100 TB/day ingest): state is ONE fixed-width row per key
 (current value, valid_from, frontier, version) — bounded by the live
 key population, not by history; the shuffle keys on user_id (the batch

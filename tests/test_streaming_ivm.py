@@ -111,20 +111,43 @@ def test_view_maintains_under_retractions(spark, tmp_path):
     assert stats[1] == (21.5, 0.0)
 
 
-def test_merge_batch_is_idempotent_per_state_version(spark, tmp_path):
-    """The batch twin contract directly (no stream): folding the same
-    delta into successive views gives exactly the recompute, and the
-    versioned store never exposes a mid-write state."""
+def test_merge_batch_replay_fence(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch id must NOT
+    double-fold its signed delta into the view (the applied_bid fence
+    — ST9's bit_or is naturally idempotent, a signed sum is not)."""
     state = tmp_path / "state"
     b1 = spark.createDataFrame(
         [(1, 1, "I", 10.00), (1, 2, "I", 30.00)],
         "user_id long, event_id long, op string, value double",
     )
-    merge_batch(b1, str(state))
+    merge_batch(b1, 0, str(state))
     b2 = spark.createDataFrame(
         [(1, 3, "D", 30.00)],
         "user_id long, event_id long, op string, value double",
     )
-    merge_batch(b2, str(state))
+    merge_batch(b2, 1, str(state))
     assert _view(spark, state) == {1: (1, 1000, 1000000)}
     assert committed_versions(spark, str(state)) == [0, 1]
+
+    # REPLAY batch 1 (crash between state commit and streaming commit
+    # log): the fence no-ops — view unchanged, no new version
+    merge_batch(b2, 1, str(state))
+    assert _view(spark, state) == {1: (1, 1000, 1000000)}
+    assert committed_versions(spark, str(state)) == [0, 1]
+
+    # a replayed EARLIER batch is fenced too
+    merge_batch(b1, 0, str(state))
+    assert _view(spark, state) == {1: (1, 1000, 1000000)}
+    assert committed_versions(spark, str(state)) == [0, 1]
+
+    # the fence survives a view that empties: retract the last row,
+    # then replay that same batch — still one fold
+    b3 = spark.createDataFrame(
+        [(1, 4, "D", 10.00)],
+        "user_id long, event_id long, op string, value double",
+    )
+    merge_batch(b3, 2, str(state))
+    assert _view(spark, state) == {}
+    merge_batch(b3, 2, str(state))
+    assert _view(spark, state) == {}
+    assert committed_versions(spark, str(state))[-1] == 2

@@ -132,3 +132,43 @@ def test_gate_restart_is_exactly_once_per_file(spark, tmp_path):
     # orderkey 1 appears in accepted twice (once per batch)
     accepted = _read_leg(out, "accepted")
     assert [r["o_orderkey"] for r in accepted] == [1, 1, 7]
+
+
+def test_gate_malformed_and_empty_batches(spark, tmp_path):
+    """NULL-safe partition: rows with NULL rule fields (malformed
+    landing rows) quarantine instead of vanishing into three-valued
+    logic, and a zero-record file yields an all-pass n_checked=0
+    ledger instead of NULL/fail verdicts."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    rows = [
+        _order(1, 10, "O", 120.0),   # clean
+        {"o_orderkey": 2, "o_custkey": 11, "o_totalprice": 10.0},  # no status
+        {"o_orderkey": 3, "o_custkey": 12, "o_orderstatus": "O"},  # no price
+    ]
+    _write(landing / "b1.json", rows)
+    start_quality_gate(spark, str(landing), str(out), str(ck)).awaitTermination(
+        120
+    )
+    accepted = _read_leg(out, "accepted")
+    quarantined = _read_leg(out, "quarantine")
+    assert [r["o_orderkey"] for r in accepted] == [1]
+    assert [r["o_orderkey"] for r in quarantined] == [2, 3]
+    assert len(accepted) + len(quarantined) == len(rows)
+    # the ledger counts only DEFINITE violations: every rule passes
+    # (NULL comparisons are not counted — the dq02 oracle's CASE
+    # semantics), yet the malformed rows still quarantined above
+    assert all(r["pass"] and r["n_checked"] == 3 for r in _read_ledger(out))
+
+    # an empty landing file: if the source plans a batch for it, the
+    # verdict must be all-pass with n_checked = 0 (never NULL/fail)
+    (landing / "b2.json").write_text("")
+    start_quality_gate(spark, str(landing), str(out), str(ck)).awaitTermination(
+        120
+    )
+    for r in _read_ledger(out):
+        if r["batch_id"] >= 1:
+            assert r["pass"] and r["n_checked"] == 0, r
+            assert r["n_violations"] == 0, r
