@@ -1301,23 +1301,28 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            ~135 s (VERDICT r09 watch item closed — the parks were
 #            the expensive entries; the arrivals are mostly
 #            single-shuffle aggregates).
-#   round 11 tail: the r10 tail plus four parks funding the round's
-#            four new entries one-for-one (j10 last-touch attribution,
+#   round 11 tail: the r10 tail plus EIGHT parks funding the round's
+#            eight new entries one-for-one (j10 last-touch attribution,
 #            gr03 connected components, ivm02 retraction merge, zo02
-#            z-order write-leg audit): tp03_triplet_assembly (9.5 s,
-#            triple-green), tk02_bpe_trainer and tk03_bpe_compression
-#            (6.7/6.4 s, double-green) and vc01_vocab_coverage
-#            (2.1 s, four-green) — the most expensive in-window
-#            multi-greens. ALL 27 r10 single-green arrivals, the
+#            z-order write-leg audit, sk02 mergeable HLL, ix01
+#            inverted index, w07 sequence patterns, ts02 OHLC
+#            resample): tp03_triplet_assembly (9.5 s, triple-green),
+#            tk02_bpe_trainer / tk03_bpe_compression (6.7/6.4 s,
+#            double-green), vc01_vocab_coverage (2.1 s, four-green),
+#            then mid-round rk02_retrieval_eval (1.8 s, double),
+#            lm01_bigram_likelihood (1.7 s, triple), dd15_span_scrub
+#            (1.6 s, double) and cp03_incremental_pipeline (1.5 s,
+#            triple) — always the most expensive in-window entry with
+#            >=2 greens. ALL 27 r10 single-green arrivals, the
 #            reshaped nn08 (one green at its 6-row shape) and
 #            nn09/tk04 stay in-window for their second greens.
-#            Measured window cost (idle box, sf0.01, local[8], this
-#            round's full-registry sims): the r10 window ran 108.8 s;
-#            after the four parks (−24.7 s) and the four arrivals the
-#            re-measured r11 window is 99.9 s — at the ~100 s target
-#            (VERDICT r10 item 8); the next big cut is parking the
-#            r10 heavies (nn08 13.6 + nn09 8.2 + tk04 8.9 s) once
-#            they take their second greens this round.
+#            Measured window cost (idle box, sf0.01, local[8],
+#            full-registry sims): the r10 window ran 108.8 s; the
+#            close-of-round r11 window is 106.3 s — eight new entries
+#            absorbed at roughly the r10 cost (the parks paid for
+#            them); the next big cut is parking the r10 heavies
+#            (nn08 13.6 + nn09 8.2 + tk04 8.9 s) once they take their
+#            second greens this round (VERDICT r10 item 8's plan).
 #   round 12+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
