@@ -237,6 +237,9 @@ HEADLINE = [
     # aggregate with struct-min/max first/last partials)
     "w07_sequence_patterns",
     "ts02_ohlc_resample",
+    # round-11: greedy MMR selection (one relevance scan + TakeOrdered
+    # shortlist, then 8 bounded argmax rounds over the C×C sim table)
+    "ds13_mmr_diverse_select",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

@@ -1542,6 +1542,10 @@ _ROTATION_TAIL = [
     # w07_sequence_patterns and ts02_ohlc_resample entries:
     "dd15_span_scrub",
     "cp03_incremental_pipeline",
+    # parked late-round-11 (double-green, next in expense order at
+    # 1.5 s) to fund the window slot for the new
+    # ds13_mmr_diverse_select entry:
+    "a17_conversion_funnel",
 ]
 
 

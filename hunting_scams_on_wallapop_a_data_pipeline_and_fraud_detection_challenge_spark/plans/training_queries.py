@@ -13687,3 +13687,195 @@ def ts02_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("omx.value").alias("close"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ds13: MMR diverse selection — greedy relevance/diversity tradeoff
+# ---------------------------------------------------------------------------
+#: selection depth (greedy rounds) and the candidate pool the greedy
+#: runs over (top-C by relevance — the ANN shortlist a production
+#: selector hands the re-ranker)
+_DS13_K = 8
+_DS13_C = 24
+#: diversity weight λ as an exact binary double (0.5 = one bit): the
+#: MMR score rel − λ·maxsim stays a two-term fixed-order expression
+_DS13_LAMBDA = "0.5"
+#: the anchor query vector (the nn01 query-block convention)
+_DS13_QID = 0
+
+
+def _ds13_sql(k: int = _DS13_K) -> str:
+    parts = [
+        f"""v AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_sql_norm("v")} AS nrm FROM v),
+    base AS (SELECT * FROM n WHERE nrm > 0),
+    q AS (SELECT v AS qv, nrm AS qn FROM base WHERE vec_id = {_DS13_QID}),
+    rel AS (SELECT c.vec_id, c.v, c.nrm,
+                   {_sql_dot("c.v", "q.qv")} / (c.nrm * q.qn) AS rel
+            FROM base c, q WHERE c.vec_id <> {_DS13_QID}),
+    cand AS (SELECT * FROM rel ORDER BY rel DESC, vec_id ASC
+             LIMIT {_DS13_C}),
+    pw AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                  {_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, rel, rel AS score FROM cand
+           ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""m{r} AS (
+        SELECT pw.ai AS vec_id, max(pw.sim) AS ms
+        FROM pw JOIN sel{r - 1} s ON pw.bi = s.vec_id GROUP BY pw.ai),
+    s{r} AS (SELECT c.vec_id, c.rel,
+                    c.rel - {_DS13_LAMBDA} * m{r}.ms AS score
+             FROM cand c JOIN m{r} USING (vec_id)
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+             ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+    sel{r} AS (SELECT vec_id FROM sel{r - 1}
+               UNION ALL SELECT vec_id FROM s{r})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, rel, score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    sql = (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT rank, vec_id,
+           round(rel + 1e-9, 6) + 0.0 AS relevance,
+           round(score + 1e-9, 6) + 0.0 AS mmr_score
+    FROM ({unions})
+    """
+    )
+    # every greedy round references the PREVIOUS round's CTEs two or
+    # three times (the max-sim join, the NOT IN, the sel union) — under
+    # CTE INLINING the expression tree grows ~3^k and the inlined form
+    # did not finish in 120 s at sf0.01; MATERIALIZED pins the linear
+    # evaluation (the Spark side gets the same property from the
+    # per-round localCheckpoint cuts)
+    return sql.replace("AS (", "AS MATERIALIZED (")
+
+
+@query("ds13_mmr_diverse_select", oracle=_ds13_sql, ops=("DS-DIVERSE",))
+def ds13_mmr_diverse_select(
+    spark: SparkSession, sf_dir: str, *, k: int = _DS13_K
+) -> DataFrame:
+    """Maximal-marginal-relevance selection — the diversity-aware
+    subset picker a training-data pipeline runs where pure top-k
+    relevance would select near-duplicates (MMR, Carbonell & Goldstein
+    1998; the deduplicating re-rank step of retrieval-augmented data
+    selection): from the top-{_DS13_C} relevance shortlist against the
+    anchor query, greedily take {_DS13_K} items maximizing
+    rel(c) − λ·max_{{s∈S}} sim(c, s) — each pick penalized by its
+    similarity to everything already selected.
+
+    A greedy float loop is the hardest operator class to
+    hash-verify; this entry applies the gr01/tk02 unrolled-fixed-point
+    trick to FLOAT greedy selection: the candidate relevances and the
+    full candidate-pairwise cosine table are computed ONCE with the
+    pinned fold order (`_dot`/`_sql_dot` — the nn01 exactness
+    machinery), every round's argmax consumes those bit-identical
+    doubles with a (score DESC, vec_id ASC) tiebreak, and λ = 0.5 is
+    an exact binary double so the two-term score is one fixed-order
+    expression. Both engines replay the identical {_DS13_K}-round
+    greedy, so every selection decision — and therefore every row —
+    hash-matches.
+
+    Scale shape (100 TB): the distributed work is the relevance scan
+    (broadcast query, corpus scanned once, TakeOrdered top-C — the
+    nn01 shape; at scale the shortlist comes from the IVF/PQ entries
+    instead); the greedy itself is inherently serial and BOUNDED —
+    C×C pairwise sims (576 doubles) and K rounds of argmax over ≤C
+    rows, all broadcast-sized (the selected-set joins hint broadcast
+    on an a-priori-≤{_DS13_K}-row side, the one-row-dim rule).
+    Plan-pinned: no CartesianProduct beyond the bounded C×C pairwise
+    build, TakeOrdered for the shortlist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    q = base.filter(F.col("vec_id") == _DS13_QID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        base.filter(F.col("vec_id") != _DS13_QID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_DS13_C)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ai"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bi"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    pw = (
+        a.join(b, F.col("ai") != F.col("bi"))
+        .select(
+            "ai",
+            "bi",
+            (_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    crel = cand.select("vec_id", "rel")
+    picked = (
+        crel.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("rank"),
+            "vec_id",
+            "rel",
+            F.col("rel").alias("score"),
+        )
+    )
+    sel = picked
+    for r in range(2, k + 1):
+        sel_ids = sel.select("vec_id")
+        m = (
+            pw.join(
+                F.broadcast(sel_ids.select(F.col("vec_id").alias("bi"))), "bi"
+            )
+            .groupBy("ai")
+            .agg(F.max("sim").alias("ms"))
+        )
+        nxt = (
+            crel.join(m, crel["vec_id"] == m["ai"])
+            .join(F.broadcast(sel_ids), "vec_id", "left_anti")
+            .select(
+                "vec_id",
+                "rel",
+                (F.col("rel") - F.expr(_DS13_LAMBDA) * F.col("ms")).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(r).cast("bigint").alias("rank"), "vec_id", "rel", "score")
+        )
+        sel = sel.unionByName(nxt)
+        if r % 2 == 0 or r == k:
+            sel = sel.localCheckpoint(eager=False)
+    return sel.select(
+        "rank",
+        "vec_id",
+        (_r(F.col("rel"), 6) + F.lit(0.0)).alias("relevance"),
+        (_r(F.col("score"), 6) + F.lit(0.0)).alias("mmr_score"),
+    )

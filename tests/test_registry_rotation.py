@@ -27,6 +27,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "ix01_inverted_index",
     "w07_sequence_patterns",
     "ts02_ohlc_resample",
+    "ds13_mmr_diverse_select",
     "j10_last_touch_attribution",
     "gr03_connected_components",
     "ivm02_retraction_merge",
@@ -77,7 +78,6 @@ DOUBLE_GREEN = {
     "dd14_duplicate_spans",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
-    "a17_conversion_funnel",
     "mm04_frame_dedup",
 }
 
