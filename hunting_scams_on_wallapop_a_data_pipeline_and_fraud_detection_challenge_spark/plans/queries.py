@@ -1301,18 +1301,20 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            ~135 s (VERDICT r09 watch item closed — the parks were
 #            the expensive entries; the arrivals are mostly
 #            single-shuffle aggregates).
-#   round 11 tail: the r10 tail plus EIGHT parks funding the round's
-#            eight new entries one-for-one (j10 last-touch attribution,
+#   round 11 tail: the r10 tail plus NINE parks funding the round's
+#            nine new entries one-for-one (j10 last-touch attribution,
 #            gr03 connected components, ivm02 retraction merge, zo02
 #            z-order write-leg audit, sk02 mergeable HLL, ix01
 #            inverted index, w07 sequence patterns, ts02 OHLC
-#            resample): tp03_triplet_assembly (9.5 s, triple-green),
+#            resample, ds13 MMR diverse selection):
+#            tp03_triplet_assembly (9.5 s, triple-green),
 #            tk02_bpe_trainer / tk03_bpe_compression (6.7/6.4 s,
 #            double-green), vc01_vocab_coverage (2.1 s, four-green),
 #            then mid-round rk02_retrieval_eval (1.8 s, double),
 #            lm01_bigram_likelihood (1.7 s, triple), dd15_span_scrub
-#            (1.6 s, double) and cp03_incremental_pipeline (1.5 s,
-#            triple) — always the most expensive in-window entry with
+#            (1.6 s, double), cp03_incremental_pipeline (1.5 s,
+#            triple) and a17_conversion_funnel (1.5 s, double) —
+#            always the most expensive in-window entry with
 #            >=2 greens. ALL 27 r10 single-green arrivals, the
 #            reshaped nn08 (one green at its 6-row shape) and
 #            nn09/tk04 stay in-window for their second greens.
