@@ -1530,3 +1530,32 @@ def test_zo02_probe_join_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         plan
     )
+
+
+def test_ds13_mmr_shortlist_is_takeordered_pairwise_bounded(spark, sf_dir):
+    """MMR's distributed work is the relevance scan + TakeOrdered
+    shortlist; the greedy rounds live behind per-round localCheckpoint
+    cuts (the FINAL executed plan is the checkpoint-truncated
+    projection — asserted, since that truncation IS the linearity
+    guarantee the oracle gets from MATERIALIZED CTEs), so the scale
+    pins are source-level: the shortlist is an orderBy().limit(C)
+    (TakeOrdered, never a global sort materialization), and the only
+    broadcast hints are the bounded query block and the
+    a-priori-≤K-row selected set."""
+    plan = _plan(spark, sf_dir, "ds13_mmr_diverse_select")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpoint cut
+    import inspect
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans import (
+        training_queries as tq,
+    )
+
+    src = inspect.getsource(tq.ds13_mmr_diverse_select)
+    assert ".limit(_DS13_C)" in src  # TakeOrdered shortlist
+    # bounded-side hints only: the one-row query block + two
+    # selected-set (<= K rows) join sides
+    assert src.count("F.broadcast(") == 3, src.count("F.broadcast(")
+    # every round cuts lineage like the oracle MATERIALIZEs its CTEs
+    assert src.count("localCheckpoint") >= 3
