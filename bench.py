@@ -240,6 +240,13 @@ HEADLINE = [
     # round-11: greedy MMR selection (one relevance scan + TakeOrdered
     # shortlist, then 8 bounded argmax rounds over the C×C sim table)
     "ds13_mmr_diverse_select",
+    # round-12: BM25 serving from ix01's checkpointed postings (index
+    # build + the dictionary-sized query-term join and query-
+    # partitioned top-k) and the mergeable log-bucketed quantile
+    # sketch (integer bucket build + merge proof + histogram-guided
+    # exact refinement)
+    "ix02_bm25_topk",
+    "sk03_quantile_sketch",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage
@@ -493,6 +500,18 @@ def main() -> None:
     # first timed run (ADVICE r06)
     _ensure_neardup_landing(spark, sf_dir)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # dd06 pre-warm AT THE TARGET SF (VERDICT r11 item 6): the sf0.001
+    # warmup above compiles the plans but does not populate the
+    # persisted shingle table / page cache at sf_dir, so dd06's first
+    # timed run used to carry that build (the r11 driver median was 2x
+    # the steady state — a 6.95 -> 2.97 s slope over five probe runs).
+    # One untimed target-SF run here makes the stored median the
+    # steady-state number (the nn03 lesson, r08 note above).
+    if "dd06_neardup_clusters" in REGISTRY:
+        try:
+            REGISTRY["dd06_neardup_clusters"].fn(spark, sf_dir).count()
+        except Exception:
+            pass
 
     runs = [(name, name, {}) for name in HEADLINE if name in REGISTRY] + [
         (label, reg, kw)

@@ -1325,12 +1325,19 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            them); the next big cut is parking the r10 heavies
 #            (nn08 13.6 + nn09 8.2 + tk04 8.9 s) once they take their
 #            second greens this round (VERDICT r10 item 8's plan).
-#   round 12+ rotate a different set of multi-greens back (use
+#   round 12 tail: the r11 tail plus the three r10 heavies, exactly as
+#            planned — nn08_recall_gate (6 greens), nn09_twin_contracts
+#            and tk04_bpe_encode (2 greens each, earned in r11) parked
+#            at 13.6/8.2/8.9 s, funding the round's two new entries
+#            (ix02_bm25_topk, sk03_quantile_sketch) and cutting the
+#            window cost toward the <80 s target. The 9 r11 arrivals
+#            (j10, gr03, ivm02, zo02, sk02, ix01, w07, ts02, ds13) all
+#            stay in-window for their second greens per the <2-green
+#            rule. With 49 non-parked entries the driver's 50th slot
+#            falls to the tail head (nn02_lsh_ann — cheap, 5 greens).
+#   round 13+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
-#            The r10 heavies (nn08 13.6 s, nn09 8.2 s, tk04 8.9 s)
-#            earn their second greens this round and become the
-#            natural r12 parking stock.
 #
 # Union after round 3: every oracle-backed entry has ≥1 green row in
 # r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
@@ -1343,6 +1350,12 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 # parked entries summed to ~2 s, so the window grows ~11 s — well inside
 # the driver's per-run budget (r02's window ran ~90 s total).
 _ROTATION_TAIL = [
+    # round-12: with 49 non-parked entries the driver's 50th slot falls
+    # to the tail HEAD — deliberately the cheapest multi-green entry
+    # (x19 is a 0.2 s scan projection, four greens) so the leftover
+    # slot costs nothing; nn02 (~2-11 s embedding LSH) held this spot
+    # only by the historical --propose-tail ordering
+    "x19_geo_struct",
     # the exact `--propose-tail` set computed from CORRECTNESS_r01-r07:
     # every entry below has >=4 non-vacuous greens (nn02/dd06 have 5)
     # and was green the last time the driver ran it (r07).
@@ -1364,7 +1377,7 @@ _ROTATION_TAIL = [
     "nn04_pq_adc",
     "nn05_ivfpq",
     "rep02_ngram_repetition",
-    "x19_geo_struct",
+    # (x19_geo_struct moved to the tail head in round 12 — see above)
     "rp01_end_to_end_risk",
     "a01_grouped_price_stats",
     "a02_component_stats",
@@ -1548,6 +1561,17 @@ _ROTATION_TAIL = [
     # 1.5 s) to fund the window slot for the new
     # ds13_mmr_diverse_select entry:
     "a17_conversion_funnel",
+    # parked round-12: the r10 heavies took their SECOND greens in the
+    # r11 window (nn08 6 greens, nn09/tk04 2 each — CORRECTNESS_r11)
+    # and at 13.6 + 8.2 + 8.9 s they were the three most expensive
+    # window residents; parking them is VERDICT r11 item 1's own plan
+    # ("the natural r12 parking stock") and funds the round's two new
+    # entries (ix02_bm25_topk — the serving leg reading ix01's
+    # postings, sk03_quantile_sketch — the mergeable quantile sketch)
+    # while dropping the measured window cost toward the <80 s target:
+    "nn08_recall_gate",
+    "nn09_twin_contracts",
+    "tk04_bpe_encode",
 ]
 
 

@@ -13412,9 +13412,12 @@ _IX01_TOPK = 3
 _IX01_MIN_DF = 2
 
 
-def _ix01_sql() -> str:
-    return f"""
-    WITH tk AS (SELECT doc_id, unnest({sql_tokens("text")}) AS term
+#: the index-build CTE chain, shared VERBATIM between ix01 (the build
+#: audit) and ix02 (the serving leg that reads the postings) — one
+#: source of truth for the index definition, the gr01/gr03 edge-sharing
+#: pattern. `idx` is the stored index: per surviving posting, the term
+#: stats (df, cf, n_docs) and the length-normalized BM25 weight.
+_IX01_CTES = f"""tk AS (SELECT doc_id, unnest({sql_tokens("text")}) AS term
                 FROM documents),
     dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
            FROM tk GROUP BY doc_id),
@@ -13430,16 +13433,22 @@ def _ix01_sql() -> str:
                  row_number() OVER (PARTITION BY tf.term
                                     ORDER BY tf.tf DESC, tf.doc_id ASC)
                      AS rank
-          FROM tf JOIN st USING (term) JOIN dl USING (doc_id))
-    SELECT p.term, st.df, st.cf, g.n_docs,
-           CAST(p.rank AS BIGINT) AS rank, p.doc_id, p.tf,
-           round((CAST(p.tf AS DOUBLE) * ({_IX01_K1} + 1)
-                  / (p.tf + {_IX01_K1}
-                     * (1 - {_IX01_B} + {_IX01_B} * p.dl
-                        / (CAST(g.total_tok AS DOUBLE) / g.n_docs))))
-                 + 1e-9, 6) + 0.0 AS w_bm25
-    FROM p JOIN st USING (term), g
-    WHERE p.rank <= {_IX01_TOPK}
+          FROM tf JOIN st USING (term) JOIN dl USING (doc_id)),
+    idx AS (SELECT p.term, st.df, st.cf, g.n_docs,
+                   CAST(p.rank AS BIGINT) AS rank, p.doc_id, p.tf,
+                   round((CAST(p.tf AS DOUBLE) * ({_IX01_K1} + 1)
+                          / (p.tf + {_IX01_K1}
+                             * (1 - {_IX01_B} + {_IX01_B} * p.dl
+                                / (CAST(g.total_tok AS DOUBLE) / g.n_docs))))
+                         + 1e-9, 6) + 0.0 AS w_bm25
+            FROM p JOIN st USING (term), g
+            WHERE p.rank <= {_IX01_TOPK})"""
+
+
+def _ix01_sql() -> str:
+    return f"""
+    WITH {_IX01_CTES}
+    SELECT term, df, cf, n_docs, rank, doc_id, tf, w_bm25 FROM idx
     """
 
 
@@ -13473,6 +13482,12 @@ def ix01_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; fanout bounded by per-term postings). The one-row corpus
     global (n_docs, total_tok) joins back as a broadcast. Plan-pinned:
     the window is partitioned, no nested-loop join."""
+    return _ix01_index(spark, sf_dir)
+
+
+def _ix01_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-build plan shared by ix01 (build audit) and ix02 (the
+    serving leg) — the Spark twin of ``_IX01_CTES``."""
     docs = _t(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -13878,4 +13893,487 @@ def ds13_mmr_diverse_select(
         "vec_id",
         (_r(F.col("rel"), 6) + F.lit(0.0)).alias("relevance"),
         (_r(F.col("score"), 6) + F.lit(0.0)).alias("mmr_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer log primitives — shared by ix02 (query-time idf)
+# and sk03 (log-bucketed quantile sketch)
+# ---------------------------------------------------------------------------
+# The standing oracle-math rule bans libm transcendentals (ln/pow/trig
+# are not correctly rounded, so Spark and DuckDB can disagree in the
+# last ulp and a hash gate dies on it). These helpers compute
+# floor(log2(x)) and ln(x) for a positive BIGINT x using ONLY
+# operations both engines define bit-identically:
+#
+# - floor_log2: bit-smearing (x |= x>>1 … x>>32) + bit_count — pure
+#   BIGINT, exact (the shiftleft/bit_count agreement rule in the
+#   module header; sk02 already relies on it).
+# - ln: range-reduce by that exact exponent (m = x / 2^k ∈ [1,2) as
+#   ONE division of two exactly-representable doubles — correctly
+#   rounded, identical), then the atanh series
+#   ln(m) = 2z·(1 + z²/3 + z⁴/5 + …), z = (m−1)/(m+1) ∈ [0,1/3),
+#   as ONE fixed-order Horner expression whose coefficients are
+#   PYTHON-COMPUTED repr literals embedded verbatim in both engines
+#   (the rk03 discount-table pattern), and ln(x) = k·LN2 + ln(m) with
+#   LN2 a pinned literal. Every op is IEEE +,−,×,÷ in an identical
+#   expression tree, so the result is bit-identical cross-engine; the
+#   series truncation error (z^18 term, < 1e-11 relative) is an
+#   APPROXIMATION both engines share exactly, far below the 6 dp
+#   reporting quantum.
+_LN2_LIT = "0.6931471805599453"
+_LN_COEFFS = [repr(1.0 / k) for k in (3, 5, 7, 9, 11, 13, 15, 17)]
+
+
+def _shr(e: str, n, duck: bool) -> str:
+    return f"(({e}) >> ({n}))" if duck else f"shiftright({e}, {n})"
+
+
+def _shl(e: str, n, duck: bool) -> str:
+    return f"(({e}) << ({n}))" if duck else f"shiftleft({e}, {n})"
+
+
+def _flog2_steps(src: str, out: str, duck: bool) -> list[tuple[str, str]]:
+    """(column, expr) chain computing ``out`` = floor(log2(src)) for a
+    BIGINT src >= 1: smear the top bit down, then popcount - 1."""
+    steps, prev = [], src
+    for n in (1, 2, 4, 8, 16, 32):
+        name = f"{out}_s{n}"
+        steps.append((name, f"(({prev}) | {_shr(prev, n, duck)})"))
+        prev = name
+    # DuckDB bit_count returns TINYINT, which overflows when the
+    # exponent is later used as a SHIFT BASE (k << subbits) — widen to
+    # BIGINT there; Spark's returns INT, already shift-safe
+    count = f"CAST(bit_count({prev}) AS BIGINT)" if duck else f"bit_count({prev})"
+    steps.append((out, f"({count} - 1)"))
+    return steps
+
+
+def _ln_steps(src: str, out: str, duck: bool) -> list[tuple[str, str]]:
+    """(column, expr) chain computing ``out`` = ln(src) for a BIGINT
+    src >= 1, deterministic cross-engine (see block comment above)."""
+    steps = _flog2_steps(src, f"{out}_k", duck)
+    pow2k = _shl("CAST(1 AS BIGINT)", f"{out}_k", duck)
+    steps.append(
+        (f"{out}_m", f"(CAST({src} AS DOUBLE) / CAST({pow2k} AS DOUBLE))")
+    )
+    steps.append((f"{out}_z", f"(({out}_m - 1.0) / ({out}_m + 1.0))"))
+    steps.append((f"{out}_w", f"({out}_z * {out}_z)"))
+    horner = _LN_COEFFS[-1]
+    for c in reversed(_LN_COEFFS[:-1]):
+        horner = f"({c} + {out}_w * {horner})"
+    steps.append(
+        (
+            out,
+            f"(CAST({out}_k AS DOUBLE) * {_LN2_LIT}"
+            f" + 2.0 * {out}_z * (1.0 + {out}_w * {horner}))",
+        )
+    )
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# ix02: BM25 top-k serving — the leg that READS ix01's postings
+# ---------------------------------------------------------------------------
+#: doc_id < 8 are the query block (the rk01/_RRF convention)
+_IX02_QUERIES = 8
+#: results kept per query
+_IX02_TOPK = 10
+#: impact quantization: contributions are floored to 1e-6 units so the
+#: cross-term sum is EXACT BIGINT addition (order-insensitive — no
+#: float-sum ordering anywhere), which is also what production
+#: impact-ordered indexes store (quantized impacts, JASS/anytime
+#: ranking)
+_IX02_SCALE = 1_000_000
+
+
+def _ix02_idf_num_den() -> tuple[str, str]:
+    """Lucene-shape BM25 idf ln(1 + (N - df + 0.5)/(df + 0.5)) =
+    ln((2N + 2)/(2df + 1)) — numerator and denominator as EXACT
+    BIGINT expressions over the stored (n_docs, df) pair."""
+    return "(2 * n_docs + 2)", "(2 * df + 1)"
+
+
+def _ix02_sql() -> str:
+    num, den = _ix02_idf_num_den()
+    ctes = [f"i0 AS (SELECT *, {num} AS ia, {den} AS ib FROM idx)"]
+    prev = "i0"
+    for i, (name, expr) in enumerate(
+        _ln_steps("ia", "la", duck=True) + _ln_steps("ib", "lb", duck=True)
+    ):
+        nxt = f"i{i + 1}"
+        ctes.append(f"{nxt} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = nxt
+    cte_text = ",\n    ".join(ctes)
+    return f"""
+    WITH {_IX01_CTES},
+    {cte_text},
+    wi AS (SELECT term, doc_id,
+                  CAST(floor((la - lb) * w_bm25 * {_IX02_SCALE}.0)
+                       AS BIGINT) AS impact
+           FROM {prev}),
+    qt AS (SELECT doc_id AS q_id,
+                  unnest({sql_distinct_tokens("text")}) AS term
+           FROM documents WHERE doc_id < {_IX02_QUERIES}),
+    hits AS (SELECT qt.q_id, wi.doc_id, wi.impact
+             FROM qt JOIN wi USING (term)
+             WHERE wi.doc_id <> qt.q_id),
+    scored AS (SELECT q_id, doc_id,
+                      CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(sum(impact) AS BIGINT) AS impact_sum
+               FROM hits GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY impact_sum DESC, doc_id ASC) AS rnk
+               FROM scored)
+    SELECT q_id, CAST(rnk AS BIGINT) AS rank, doc_id, n_terms, impact_sum,
+           round((CAST(impact_sum AS DOUBLE) / {_IX02_SCALE}.0) + 1e-9, 6)
+               + 0.0 AS bm25_score
+    FROM ranked WHERE rnk <= {_IX02_TOPK}
+    """
+
+
+@query("ix02_bm25_topk", oracle=_ix02_sql, ops=("RETRIEVE-SERVE",))
+def ix02_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k serving FROM ix01's postings — the per-query operator
+    a retrieval stack actually runs (VERDICT r11 item 2: the index was
+    built but nothing read it; rk01's lexical leg scores Jaccard inline
+    against the corpus). The query block's terms hash-join the stored
+    postings — a dictionary-sized join, never a corpus scan — idf is
+    applied AT QUERY TIME from the stored exact (n_docs, df) pair
+    exactly as ix01's docstring defers it, and per-(query, doc)
+    contributions are quantized to 1e-6 impact units so the cross-term
+    sum is exact BIGINT addition with no float-sum ordering.
+
+    Exactness: idf = ln((2N+2)/(2df+1)) (the Lucene BM25 idf shape)
+    computed by the deterministic ``_ln_steps`` primitive — exact
+    integer range reduction + a pinned-order Horner atanh series with
+    repr-literal coefficients shared verbatim by both engines — so the
+    idf·w_bm25 doubles are bit-identical and the floored impacts agree
+    exactly; ranking ties break on doc_id ASC. Serving happens from the
+    min-df-truncated, top-{_IX01_TOPK}-postings index, so scores are
+    the index's (impact-ordered, truncated) scores by construction —
+    the honest semantics of serving from a pruned index.
+
+    Scale shape (100 TB): the index builds ONCE (ix01's two-aggregate
+    plan) and is materialized via localCheckpoint — the serving join's
+    posting side reads that artifact (Scan ExistingRDD in the pinned
+    plan; in production a stored index table), NOT the corpus: the only
+    parquet scan in the serving plan is the bounded query block. The
+    per-query work is |query terms| postings-list probes + a
+    query-PARTITIONED top-k window — no global sort, no corpus
+    shuffle."""
+    num, den = _ix02_idf_num_den()
+    wi = (
+        _ix01_index(spark, sf_dir)
+        .localCheckpoint()
+        .withColumn("ia", F.expr(num))
+        .withColumn("ib", F.expr(den))
+    )
+    for name, expr in _ln_steps("ia", "la", duck=False) + _ln_steps(
+        "ib", "lb", duck=False
+    ):
+        wi = wi.withColumn(name, F.expr(expr))
+    wi = wi.select(
+        "term",
+        "doc_id",
+        F.expr(
+            f"CAST(floor((la - lb) * w_bm25 * {_IX02_SCALE}.0) AS BIGINT)"
+        ).alias("impact"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    qt = docs.filter(F.col("doc_id") < _IX02_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(distinct_tokens(F.col("text"))).alias("term"),
+    )
+    scored = (
+        qt.join(wi, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("impact").cast("bigint").alias("impact_sum"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("impact_sum"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IX02_TOPK)
+        .select(
+            "q_id",
+            F.col("rnk").cast("bigint").alias("rank"),
+            "doc_id",
+            "n_terms",
+            "impact_sum",
+            (
+                _r(F.col("impact_sum").cast("double") / _IX02_SCALE, 6)
+                + F.lit(0.0)
+            ).alias("bm25_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sk03: mergeable quantile sketch — log-bucketed CDF with rank-error gate
+# ---------------------------------------------------------------------------
+#: mantissa bits per octave: 2^5 = 32 sub-buckets, so the sketch's
+#: relative VALUE error is bounded by 2^-5 = 3.125% by construction
+#: (the DDSketch guarantee shape with deterministic base-2 buckets)
+_SK03_SUBBITS = 5
+#: the quantiles profiled (percent)
+_SK03_QUANTILES = (25, 50, 75, 90, 99)
+#: rank-error gate: |rank(est) - target_rank| <= n DIV 25 (4%) — the
+#: observed worst bucket occupancy is ~1.5% of n at every test SF
+#: (bucket width 3.125% of value, l_extendedprice density bounded),
+#: so the gate has >2.5x headroom while still far below what a sorted
+#: exact pass would need to certify
+_SK03_RANK_DIV = 25
+#: shards the mergeability proof splits the sketch into (by order key)
+_SK03_SHARDS = 4
+
+
+def _sk03_bucket(c: str, k: str, duck: bool) -> str:
+    """Bucket id of BIGINT cents value c with floor-log2 k: octave in
+    the high bits, top {_SK03_SUBBITS} mantissa bits below — monotone
+    in c, so bucket order IS value order."""
+    sub = f"({_shr(c, f'greatest({k} - {_SK03_SUBBITS}, 0)', duck)} & {(1 << _SK03_SUBBITS) - 1})"
+    return f"({_shl(k, _SK03_SUBBITS, duck)} | {sub})"
+
+
+def _sk03_lb(b: str, duck: bool) -> str:
+    """Lower bound (cents) of bucket id b — the reported estimate."""
+    k = f"({_shr(b, _SK03_SUBBITS, duck)})"
+    mant = f"(({b} & {(1 << _SK03_SUBBITS) - 1}) | {1 << _SK03_SUBBITS})"
+    return (
+        f"(CASE WHEN {k} >= {_SK03_SUBBITS}"
+        f" THEN {_shl(mant, f'{k} - {_SK03_SUBBITS}', duck)}"
+        f" ELSE ({b} & {(1 << _SK03_SUBBITS) - 1}) END)"
+    )
+
+
+def _sk03_sql() -> str:
+    flog = _flog2_steps("c", "kc", duck=True)
+    steps = ",\n    ".join(
+        f"f{i} AS (SELECT *, {expr} AS {name} FROM f{i - 1})"
+        for i, (name, expr) in enumerate(flog, start=1)
+    )
+    qlist = ", ".join(str(q) for q in _SK03_QUANTILES)
+    return f"""
+    WITH f0 AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                       l_orderkey % {_SK03_SHARDS} AS shard
+                FROM lineitem),
+    {steps},
+    bb AS (SELECT c, shard, {_sk03_bucket("c", "kc", True)} AS b
+           FROM f{len(flog)}),
+    bh AS (SELECT b, shard, CAST(count(*) AS BIGINT) AS cnt
+           FROM bb GROUP BY 1, 2),
+    merged AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM bh GROUP BY b),
+    direct AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY b),
+    agree AS (SELECT CAST(sum(CASE WHEN m.cnt IS DISTINCT FROM d.cnt
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+              FROM merged m FULL JOIN direct d ON m.b = d.b),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(sum(cnt) AS BIGINT) AS n
+           FROM merged),
+    cum AS (SELECT b, cnt, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum
+            FROM merged),
+    t AS (SELECT q_pct, (q_pct * n + 99) // 100 AS kq, n
+          FROM (SELECT unnest([{qlist}]) AS q_pct) CROSS JOIN nb),
+    est AS (SELECT t.q_pct, t.kq, t.n,
+                   min(CASE WHEN cum.cum >= t.kq THEN cum.b END) AS eb
+            FROM cum CROSS JOIN t GROUP BY 1, 2, 3),
+    ej AS (SELECT est.*, cum.cum - cum.cnt AS cum_before,
+                  {_sk03_lb("est.eb", True)} AS lb_c
+           FROM est JOIN cum ON cum.b = est.eb),
+    rt AS (SELECT ej.q_pct,
+                  CAST(count(CASE WHEN bb.c <= ej.lb_c THEN 1 END)
+                       AS BIGINT) AS r_true
+           FROM bb CROSS JOIN ej GROUP BY 1),
+    inb AS (SELECT ej.q_pct, ej.kq - ej.cum_before AS j, bb.c,
+                   row_number() OVER (PARTITION BY ej.q_pct
+                                      ORDER BY bb.c) AS rn
+            FROM bb JOIN ej ON bb.b = ej.eb),
+    ex AS (SELECT q_pct, min(CASE WHEN rn = j THEN c END) AS exact_c
+           FROM inb GROUP BY 1)
+    SELECT ej.q_pct, ej.n, CAST(ej.kq AS BIGINT) AS k_rank,
+           round(ej.lb_c / 100.0 + 1e-6, 2) AS est_price,
+           round(ex.exact_c / 100.0 + 1e-6, 2) AS exact_price,
+           rt.r_true,
+           CAST(abs(rt.r_true - ej.kq) AS BIGINT) AS rank_err,
+           CAST(ej.n // {_SK03_RANK_DIV} AS BIGINT) AS rank_bound,
+           (abs(rt.r_true - ej.kq) <= ej.n // {_SK03_RANK_DIV})
+               AS rank_within_bound,
+           CAST(ex.exact_c - ej.lb_c AS BIGINT) AS value_err_cents,
+           ((ex.exact_c - ej.lb_c) * {1 << _SK03_SUBBITS} <= ex.exact_c)
+               AS value_within_bound,
+           (agree.n_diff = 0) AS merge_exact,
+           nb.n_buckets
+    FROM ej JOIN rt ON rt.q_pct = ej.q_pct
+            JOIN ex ON ex.q_pct = ej.q_pct
+         CROSS JOIN agree CROSS JOIN nb
+    """
+
+
+@query("sk03_quantile_sketch", oracle=_sk03_sql, ops=("SKETCH-QUANTILE",))
+def sk03_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the third canonical 100 TB sketch
+    (sk01 covers heavy hitters, sk02 distinct counts; a pipeline
+    profiling 100 TB cannot SORT for percentiles): a log-bucketed CDF
+    histogram in the DDSketch shape (Masson et al., VLDB'19) with
+    deterministic base-2 buckets — octave = floor(log2(cents)), top
+    {_SK03_SUBBITS} mantissa bits as sub-bucket — so the bucket id is
+    pure BIGINT arithmetic, monotone in the value, and the per-bucket
+    counts are EXACT integers that merge by addition (commutative,
+    associative, no float anywhere — the strongest mergeability class
+    a sketch can have).
+
+    In the verified rows, per profiled quantile of l_extendedprice:
+    the sketch estimate (bucket lower bound), the exact quantile, and
+    THREE proofs — `merge_exact` ({_SK03_SHARDS} key-sharded sketches
+    summed vs the sketch built direct, the sk02 union identity),
+    `rank_within_bound` (|rank(estimate) − target rank| ≤ n DIV
+    {_SK03_RANK_DIV}, the measured rank-error contract vs the ds11
+    exact-rank definition k = ceil(p·n/100) in pure BIGINT), and
+    `value_within_bound` (relative value error ≤ 2^-{_SK03_SUBBITS},
+    the DDSketch guarantee, checked as the integer inequality
+    32·(exact−est) ≤ exact — no division).
+
+    The exact quantile itself is computed by HISTOGRAM-GUIDED
+    refinement — the sketch's cum-counts locate the target bucket,
+    and only that bucket's rows (occupancy-bounded, ~1.5% of n) are
+    ranked — demonstrating the production pattern: sketch to narrow,
+    exact within the bucket, never a global sort.
+
+    Scale shape (100 TB): the build is one map-side-combinable keyed
+    count over pure-integer bucket ids (a few hundred buckets per
+    octave span — KBs of state per executor, the reason this sketch
+    class survives any cardinality); the audit's extra passes (direct
+    rebuild for the merge proof, the rank count, the in-bucket
+    refinement) exist to CERTIFY the sketch and drop in production.
+    Cum/quantile selection touches only the bucket dictionary."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        F.expr(f"l_orderkey % {_SK03_SHARDS}").alias("shard"),
+    )
+    for name, expr in _flog2_steps("c", "kc", duck=False):
+        v = v.withColumn(name, F.expr(expr))
+    bb = v.select(
+        "c", "shard", F.expr(_sk03_bucket("c", "kc", False)).alias("b")
+    )
+    bh = bb.groupBy("b", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = bh.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    direct = bb.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    agree = (
+        merged.select("b", F.col("cnt").alias("mc"))
+        .join(
+            direct.select(F.col("b").alias("b2"), F.col("cnt").alias("dc")),
+            F.col("b") == F.col("b2"),
+            "full",
+        )
+        .agg(
+            F.sum(
+                (~F.col("mc").eqNullSafe(F.col("dc"))).cast("int")
+            ).cast("bigint").alias("n_diff")
+        )
+    )
+    nb = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "b", "cnt", F.sum("cnt").over(wcum).cast("bigint").alias("cum")
+    )
+    t = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(q) for q in _SK03_QUANTILES])
+            ).alias("q_pct")
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "q_pct", F.expr(f"(q_pct * n + 99) DIV 100").alias("kq"), "n"
+        )
+    )
+    est = cum.crossJoin(F.broadcast(t)).groupBy("q_pct", "kq", "n").agg(
+        F.min(F.when(F.col("cum") >= F.col("kq"), F.col("b"))).alias("eb")
+    )
+    ej = (
+        F.broadcast(est).join(cum, est["eb"] == cum["b"])
+        .select(
+            "q_pct",
+            "kq",
+            "n",
+            "eb",
+            (F.col("cum") - F.col("cnt")).alias("cum_before"),
+            F.expr(_sk03_lb("eb", False)).alias("lb_c"),
+        )
+    )
+    rt = (
+        bb.crossJoin(F.broadcast(ej.select("q_pct", "lb_c")))
+        .groupBy("q_pct")
+        .agg(
+            F.count(F.when(F.col("c") <= F.col("lb_c"), 1))
+            .cast("bigint")
+            .alias("r_true")
+        )
+    )
+    winb = Window.partitionBy("q_pct").orderBy("c")
+    ex = (
+        bb.join(
+            F.broadcast(
+                ej.select(
+                    "q_pct",
+                    F.col("eb").alias("jb"),
+                    (F.col("kq") - F.col("cum_before")).alias("j"),
+                )
+            ),
+            F.col("b") == F.col("jb"),
+        )
+        .withColumn("rn", F.row_number().over(winb))
+        .groupBy("q_pct")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("j"), F.col("c"))).alias(
+                "exact_c"
+            )
+        )
+    )
+    return (
+        ej.join(F.broadcast(rt), "q_pct")
+        .join(F.broadcast(ex), "q_pct")
+        .crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(nb.select("n_buckets")))
+        .select(
+            "q_pct",
+            "n",
+            F.col("kq").cast("bigint").alias("k_rank"),
+            _r(F.col("lb_c") / 100.0, 2).alias("est_price"),
+            _r(F.col("exact_c") / 100.0, 2).alias("exact_price"),
+            "r_true",
+            F.abs(F.col("r_true") - F.col("kq"))
+            .cast("bigint")
+            .alias("rank_err"),
+            F.expr(f"CAST(n DIV {_SK03_RANK_DIV} AS BIGINT)").alias(
+                "rank_bound"
+            ),
+            (
+                F.abs(F.col("r_true") - F.col("kq"))
+                <= F.expr(f"n DIV {_SK03_RANK_DIV}")
+            ).alias("rank_within_bound"),
+            (F.col("exact_c") - F.col("lb_c"))
+            .cast("bigint")
+            .alias("value_err_cents"),
+            (
+                (F.col("exact_c") - F.col("lb_c")) * (1 << _SK03_SUBBITS)
+                <= F.col("exact_c")
+            ).alias("value_within_bound"),
+            (F.col("n_diff") == 0).alias("merge_exact"),
+            "n_buckets",
+        )
     )

@@ -28,9 +28,27 @@ continuously.
 
 Scale shape (100 TB/day ingest): per batch ONE map-side-combinable
 signed aggregate over the delta (delta-sized, never history-sized) +
-one keyed merge against the view; the view is key-partitioned parquet
-(here one file — production buckets it by key so the merge join is
-co-located); no history scan ever happens after the first load.
+one keyed merge against the view; no history scan ever happens after
+the first load. Two store layouts:
+
+- ``n_buckets=None`` (default): the whole view is one versioned table
+  — the single-file test shape, full-view rewrite per batch.
+- ``n_buckets=B`` (VERDICT r11 item 4 — the named production variant):
+  the view is KEY-BUCKETED, ``state_dir/bucket=<k>`` each an
+  independently versioned store under the same state.py commit
+  protocol. The bucket of a key is the pinned portable hash
+  (``h32(key) % B`` — stable across versions and engines), so a key's
+  state never moves buckets, the per-bucket merge touches ONLY that
+  bucket's keys (co-located by construction), and — the property that
+  makes it the 100 TB shape — a batch rewrites ONLY its DIRTY buckets:
+  per-batch state I/O is proportional to the delta's key spread, not
+  the view size. Each bucket carries its own ``applied_bid`` fence, so
+  replay (foreachBatch is at-least-once) folds each bucket exactly
+  once even when a crash interrupted a multi-bucket commit; Structured
+  Streaming replays the interrupted batch BEFORE any new one, so a
+  partially-committed batch always completes before more data folds —
+  cross-bucket consistency is restored at recovery, per-bucket
+  exactness never breaks (pinned in tests/test_streaming_ivm.py).
 """
 
 from __future__ import annotations
@@ -124,34 +142,127 @@ def merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
     )
 
 
+def key_bucket(col, n_buckets: int):
+    """The pinned bucket of a view key: the shared portable hash mod
+    B — deterministic across versions, sessions and engines, so a
+    key's state can never migrate between bucket stores."""
+    from ..functions.hashing import h32
+
+    return (h32(col.cast("string")) % n_buckets).cast("int")
+
+
+def merge_batch_bucketed(
+    batch_df: DataFrame, batch_id: int, state_dir: str, n_buckets: int
+) -> None:
+    """The bucketed production merge: fold one micro-batch into ONLY
+    the bucket stores its keys touch. The delta's signed partials are
+    materialized once (delta-sized localCheckpoint), the dirty-bucket
+    list is a bounded collect (<= B rows), and each dirty bucket runs
+    the same fence-checked read-merge-commit cycle as the single-store
+    merge against its own ``state_dir/bucket=<k>`` versioned store —
+    clean buckets do ZERO I/O."""
+    spark = batch_df.sparkSession
+    partials = (
+        signed_partials(batch_df)
+        .withColumn("bucket", key_bucket(F.col("user_id"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    dirty = sorted(
+        r["bucket"] for r in partials.select("bucket").distinct().collect()
+    )
+    for b in dirty:
+        bucket_dir = f"{state_dir}/bucket={b}"
+        state = read_latest_state(spark, bucket_dir, VIEW_SCHEMA)
+        applied = state.agg(F.max("applied_bid")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            continue  # this bucket already folded the replayed batch
+        view = state.filter(F.col("user_id").isNotNull()).select(
+            "user_id", "n", "s", "s2"
+        )
+        merged = (
+            view.unionByName(
+                partials.filter(F.col("bucket") == b).drop("bucket")
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("s").cast("bigint").alias("s"),
+                F.sum("s2").cast("bigint").alias("s2"),
+            )
+            .filter(F.col("n") != 0)
+        )
+        sentinel = spark.createDataFrame(
+            [(None, 0, 0, 0, batch_id)], VIEW_SCHEMA
+        )
+        write_next_state(
+            spark,
+            merged.withColumn(
+                "applied_bid", F.lit(batch_id).cast("bigint")
+            ).unionByName(sentinel),
+            bucket_dir,
+        )
+
+
+def read_bucketed_view(
+    spark: SparkSession, state_dir: str, n_buckets: int
+) -> DataFrame:
+    """The maintained view across all bucket stores (sentinels
+    excluded): the union of each bucket's newest committed version —
+    a never-written bucket reads as empty."""
+    out = None
+    for b in range(n_buckets):
+        part = read_latest_state(
+            spark, f"{state_dir}/bucket={b}", VIEW_SCHEMA
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "n", "s", "s2"
+    )
+
+
 def start_view_maintenance(
-    spark: SparkSession, landing_dir: str, state_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """Maintain the view over everything currently in the landing dir
     (availableNow trigger; the checkpoint's offset log + the
     batch-id-fenced versioned state commit make each input file fold
-    exactly once EVEN under foreachBatch replay)."""
+    exactly once EVEN under foreachBatch replay). ``n_buckets``
+    switches to the key-bucketed store (delta-proportional state I/O;
+    see the module docstring)."""
+    if n_buckets is None:
+        sink = lambda df, bid: merge_batch(df, bid, state_dir)  # noqa: E731
+    else:
+        sink = lambda df, bid: merge_batch_bucketed(  # noqa: E731
+            df, bid, state_dir, n_buckets
+        )
     return (
         read_change_feed(spark, landing_dir)
-        .writeStream.foreachBatch(
-            lambda df, bid: merge_batch(df, bid, state_dir)
-        )
+        .writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
 
 
-def view_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+def view_stats(
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
+) -> DataFrame:
     """The maintained view (sentinel row excluded) with derived
     mean/variance — the ivm02 fixed-order double derivations from the
     exact integer moments, through the shared ``_r`` rounding rule
     (one epsilon policy with the batch twin)."""
     from ..plans.queries import _r
 
-    v = read_latest_state(spark, state_dir, VIEW_SCHEMA).filter(
-        F.col("user_id").isNotNull()
-    )
+    if n_buckets is None:
+        v = read_latest_state(spark, state_dir, VIEW_SCHEMA).filter(
+            F.col("user_id").isNotNull()
+        )
+    else:
+        v = read_bucketed_view(spark, state_dir, n_buckets)
     mean = F.col("s").cast("double") / F.col("n") / 100.0
     var = (
         (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n"))

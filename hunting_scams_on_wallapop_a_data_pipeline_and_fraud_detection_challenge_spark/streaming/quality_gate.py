@@ -16,12 +16,31 @@ Semantics (documented, not hidden):
   a rule field, where the rule comparison itself is NULL) quarantines
   too — the ledger counts only definite violations (the dq02 oracle's
   CASE semantics), but no row is ever lost to three-valued logic:
-  accepted ∪ quarantine == batch always. The UNIQUENESS rule is
-  cross-row: within a micro-batch, ALL rows of a duplicated orderkey
-  quarantine (keeping "the first" of an unordered batch would be
-  nondeterministic); duplicates SPLIT ACROSS batches are admitted —
-  batch-local uniqueness is what a bounded-state gate can check
-  (cross-batch exact dedup is ST9/ST10's job, a different operator).
+  accepted ∪ quarantine == batch always. A NULL orderkey quarantines
+  as well (ADVICE r11: the ledger's uniqueness count
+  ``n − countDistinct(key)`` treats every NULL-key row as a
+  violation, so the leg split must agree — a malformed NULL-key row
+  can never land in accepted/ while the ledger reports FAIL).
+- The UNIQUENESS rule is cross-row: within a micro-batch, ALL rows of
+  a duplicated orderkey quarantine (keeping "the first" of an
+  unordered batch would be nondeterministic); by DEFAULT duplicates
+  split across batches are admitted — batch-local uniqueness is what
+  a stateless gate can check. The OPT-IN ``unique_state_dir`` leg
+  (VERDICT r11 item 8) upgrades this to GLOBAL key uniqueness by
+  composing ST9's bounded bloom state: each batch's keys probe the
+  bloom built from every PRIOR batch's keys (seen key → quarantine +
+  an extra ``orders_orderkey_unique_global`` ledger row), then fold
+  their own bits in — the same ≤4,096-word (word, bits) table, the
+  same shared versioned commit protocol (streaming/state.py), plus an
+  ``applied_bid`` fence so a replayed batch (foreachBatch is
+  at-least-once) probes the PREDECESSOR version its verdicts were
+  originally computed against — replay-stable verdicts, not just
+  replay-safe state. Bounded state buys approximation: a saturating
+  bloom can FALSELY flag a fresh key (quarantining it — the
+  conservative direction; a true duplicate is never admitted), at a
+  rate set by the fill factor — the documented bloom contract; exact
+  global uniqueness at scale is ST10's watermarked
+  dropDuplicates or a key-bucketed exact state (ivm.py's store).
 - The ledger row (batch_id, rule, n_checked, n_violations, pass) per
   rule per batch equals dq02's orders legs evaluated on that batch's
   rows — the parity pin.
@@ -29,15 +48,15 @@ Semantics (documented, not hidden):
 Scale shape (100 TB/day ingest): the verdict is ONE map-side-combinable
 aggregate per batch (collected — it is a single row), the quarantine
 partition is one shuffle on orderkey for the duplicate flag plus a
-codegen filter, and each leg lands as date/batch-partitioned NDJSON
-(the S3 sink shape); the gate keeps NO cross-batch state, so restart
-safety is entirely the checkpoint's file-source offset log.
+codegen filter, and every leg — accepted, quarantine AND the verdict
+ledger — lands through Spark writers so one filesystem scheme (HDFS /
+S3 / local) serves all three (ADVICE r11: the ledger used to be a
+driver-local ``open()``, silently landing on the driver's disk under
+an object-store out_dir); the default gate keeps NO cross-batch state,
+so restart safety is entirely the checkpoint's file-source offset log.
 """
 
 from __future__ import annotations
-
-import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,7 +76,97 @@ def read_orders_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     return spark.readStream.schema(ORDERS_SCHEMA).json(landing_dir)
 
 
-def gate_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+#: the extra ledger rule the opt-in global-uniqueness leg reports
+GLOBAL_UNIQUE_RULE = "orders_orderkey_unique_global"
+
+#: key-bloom state schema: ST9's (word, bits) table plus the replay
+#: fence (constant per committed version — the ST14 pattern)
+_UNIQUE_STATE_SCHEMA = "word BIGINT, bits BIGINT, applied_bid BIGINT"
+
+_LEDGER_SCHEMA = (
+    "batch_id BIGINT, rule STRING, n_checked BIGINT,"
+    " n_violations BIGINT, pass BOOLEAN"
+)
+
+
+def _key_hashes(rows: DataFrame) -> DataFrame:
+    """Per-row (doc_id=orderkey, h) probe rows for ST9's bloom
+    machinery — one hash per key through the shared portable hash."""
+    from ..functions.hashing import hmod
+
+    return rows.filter(F.col("o_orderkey").isNotNull()).select(
+        F.col("o_orderkey").alias("doc_id"),
+        hmod(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+
+
+def _probe_version(spark: SparkSession, state_dir: str, batch_id: int):
+    """The newest committed key-bloom version whose fence PRECEDES
+    ``batch_id`` — on a replay (foreachBatch is at-least-once) this is
+    the predecessor version the original verdicts were computed
+    against (the store keeps exactly one predecessor), so replayed
+    rows cannot self-flag against their own merged keys."""
+    from .state import committed_versions
+
+    for v in reversed(committed_versions(spark, state_dir)):
+        df = spark.read.parquet(f"{state_dir}/v={v}")
+        applied = df.agg(F.max("applied_bid")).collect()[0][0]
+        if applied is None or applied < batch_id:
+            return df.select("word", "bits"), applied
+    return spark.createDataFrame([], "word BIGINT, bits BIGINT"), None
+
+
+def _seen_keys(
+    rows: DataFrame, spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """(o_orderkey, v_seen) for keys already ingested by PRIOR batches,
+    by probing ST9's bloom word table (lazy import — one probe/build
+    definition with the corpus-ingest gate)."""
+    from .corpus_ingest import _probe_against_bloom
+
+    bloom, _ = _probe_version(spark, state_dir, batch_id)
+    return _probe_against_bloom(_key_hashes(rows), bloom, 1.0).select(
+        F.col("doc_id").alias("o_orderkey"),
+        F.col("dup_flag").alias("v_seen"),
+    )
+
+
+def _merge_key_state(
+    rows: DataFrame, spark: SparkSession, state_dir: str, batch_id: int
+) -> None:
+    """Fold this batch's key bits into the bloom state (idempotent
+    bit_or, bounded collect — ST9's merge) behind the applied_bid
+    fence, committed crash-safely as the next version."""
+    from .corpus_ingest import _bloom_word_rows
+    from .state import read_latest_state, write_next_state
+
+    state = read_latest_state(spark, state_dir, _UNIQUE_STATE_SCHEMA)
+    applied = state.agg(F.max("applied_bid")).collect()[0][0]
+    if applied is not None and batch_id <= applied:
+        return  # replayed batch: its keys are already in a committed version
+    merged: dict[int, int] = {
+        int(r["word"]): int(r["bits"]) for r in state.collect()
+    }
+    for r in _bloom_word_rows(_key_hashes(rows)).collect():
+        w = int(r["word"])
+        merged[w] = merged.get(w, 0) | int(r["bits"])
+    write_next_state(
+        spark,
+        spark.createDataFrame(
+            [(w, b, batch_id) for w, b in sorted(merged.items())]
+            or [(None, None, batch_id)],
+            _UNIQUE_STATE_SCHEMA,
+        ),
+        state_dir,
+    )
+
+
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    unique_state_dir: str | None = None,
+) -> None:
     """Evaluate one micro-batch: append the per-rule verdict ledger and
     split the rows into accepted/ and quarantine/ NDJSON legs."""
     # lazy import: the rule battery lives with its oracle twin in the
@@ -69,29 +178,40 @@ def gate_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         _dq02_row_violations,
     )
 
+    spark = batch_df.sparkSession
     rows = batch_df.localCheckpoint(eager=True)
     verdict = _dq02_orders_agg(rows).collect()[0]
     ledger = [
-        {
-            "batch_id": batch_id,
-            "rule": name,
-            "n_checked": verdict["n"],
-            "n_violations": verdict[vcol],
-            "pass": verdict[vcol] == 0,
-        }
+        (
+            batch_id,
+            name,
+            verdict["n"],
+            verdict[vcol],
+            verdict[vcol] == 0,
+        )
         for name, vcol in _DQ02_ORDERS_RULES
     ]
-    os.makedirs(f"{out_dir}/ledger", exist_ok=True)
-    with open(f"{out_dir}/ledger/batch-{batch_id:05d}.json", "w") as fh:
-        fh.write("\n".join(json.dumps(r) for r in ledger) + "\n")
 
     dup = F.count(F.lit(1)).over(Window.partitionBy("o_orderkey")) > 1
     flagged = _dq02_row_violations(rows).withColumn("v_dup", dup)
+    if unique_state_dir is not None:
+        # opt-in global uniqueness: probe this batch's keys against the
+        # bloom of every PRIOR batch's keys; verdicts are materialized
+        # before the state merge below (the ST9 discipline)
+        flagged = flagged.join(
+            _seen_keys(rows, spark, unique_state_dir, batch_id),
+            "o_orderkey",
+            "left",
+        ).withColumn("v_seen", F.coalesce(F.col("v_seen"), F.lit(False)))
+    else:
+        flagged = flagged.withColumn("v_seen", F.lit(False))
     # NULL-safe quarantine: a NULL in a rule field (missing price or
     # status on a malformed landing row) makes the comparison flag
     # NULL — three-valued logic would then drop the row from BOTH legs
     # and silently lose it. coalesce(..., True) sends malformed rows
-    # to quarantine, keeping accepted ∪ quarantine == batch. The
+    # to quarantine, keeping accepted ∪ quarantine == batch. A NULL
+    # orderkey quarantines too (ADVICE r11 — the ledger's uniqueness
+    # count treats it as a violation, so the split must agree). The
     # LEDGER still counts only DEFINITE violations (the dq02 oracle's
     # CASE semantics) — a quarantined-as-malformed row need not appear
     # in any rule's violation count.
@@ -99,32 +219,57 @@ def gate_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         F.coalesce(F.col("v_range") | F.col("v_set"), F.lit(True))
         | F.col("v_null")
         | F.col("v_dup")
+        | F.col("o_orderkey").isNull()
+        | F.col("v_seen")
+    )
+    flagged = flagged.withColumn("bad", bad).localCheckpoint(eager=True)
+    if unique_state_dir is not None:
+        n_seen = flagged.agg(
+            F.coalesce(F.sum(F.col("v_seen").cast("int")), F.lit(0))
+        ).collect()[0][0]
+        ledger.append(
+            (batch_id, GLOBAL_UNIQUE_RULE, verdict["n"], n_seen, n_seen == 0)
+        )
+    # all three sinks go through Spark writers so the out_dir scheme
+    # (local / HDFS / S3) is honored uniformly (ADVICE r11)
+    (
+        spark.createDataFrame(ledger, _LEDGER_SCHEMA)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{out_dir}/ledger/batch={batch_id}")
     )
     cols = rows.columns
     (
-        flagged.filter(bad)
+        flagged.filter("bad")
         .select(*cols)
         .write.mode("overwrite")
         .json(f"{out_dir}/quarantine/batch={batch_id}")
     )
     (
-        flagged.filter(~bad)
+        flagged.filter("NOT bad")
         .select(*cols)
         .write.mode("overwrite")
         .json(f"{out_dir}/accepted/batch={batch_id}")
     )
+    if unique_state_dir is not None:
+        _merge_key_state(rows, spark, unique_state_dir, batch_id)
 
 
 def start_quality_gate(
-    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    unique_state_dir: str | None = None,
 ) -> StreamingQuery:
     """Run the gate over everything currently in the landing dir
     (availableNow trigger; the checkpoint's offset log makes restarts
-    exactly-once per input file)."""
+    exactly-once per input file). ``unique_state_dir`` opts in to the
+    GLOBAL key-uniqueness leg (see the module docstring)."""
     return (
         read_orders_stream(spark, landing_dir)
         .writeStream.foreachBatch(
-            lambda df, bid: gate_batch(df, bid, out_dir)
+            lambda df, bid: gate_batch(df, bid, out_dir, unique_state_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

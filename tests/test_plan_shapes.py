@@ -1559,3 +1559,49 @@ def test_ds13_mmr_shortlist_is_takeordered_pairwise_bounded(spark, sf_dir):
     assert src.count("F.broadcast(") == 3, src.count("F.broadcast(")
     # every round cuts lineage like the oracle MATERIALIZEs its CTEs
     assert src.count("localCheckpoint") >= 3
+
+
+def test_ix02_serving_reads_postings_not_corpus(spark, sf_dir):
+    """BM25 serving's scale contract (VERDICT r11 item 2: a plan that
+    READS the index): the posting side of the serving join is the
+    materialized localCheckpoint of ix01's build (Scan ExistingRDD in
+    the executed plan — in production a stored index table), so the
+    only PARQUET scan in the plan is the bounded query block; ranking
+    is a query-PARTITIONED window (never a global sort), and nothing
+    nested-loops."""
+    plan = _plan(spark, sf_dir, "ix02_bm25_topk")
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed postings
+    assert plan.count("Scan parquet") == 1, plan  # query block only
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    windows = _parse_windows(plan)
+    assert windows and all(p for p, _ in windows), windows
+
+
+def test_sk03_sketch_build_is_keyed_integer_aggregate(spark, sf_dir):
+    """The quantile sketch's scale contract: the build is keyed
+    aggregates over a pure-integer bucket projection (map-side
+    combinable — no window, no join touches the raw rows except the
+    bounded 5-row broadcast probe/refinement sides), the cum/selection
+    windows run over the bucket DICTIONARY only, and the in-bucket
+    exact refinement partitions by quantile (bounded by bucket
+    occupancy). No shuffle join anywhere: every join is a broadcast of
+    the 5-row quantile/bucket dim or the one-row agree/nb scalars."""
+    plan = _plan(spark, sf_dir, "sk03_quantile_sketch")
+    assert "CartesianProduct" not in plan, plan
+    # the ONE allowed shuffle join is the merge-proof FULL OUTER over
+    # the bucket dictionary (a-priori <= 2048 rows for any BIGINT
+    # domain; Spark cannot broadcast a keyed full outer) — every other
+    # join is a broadcast of a <=5-row or one-row side
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "SortMergeJoin [b#" in plan or "SortMergeJoin [b" in plan, plan
+    # windows: q_pct-partitioned refinement ranks, and unpartitioned
+    # cums ONLY over the bucket dictionary (ordered by b — the ds11
+    # precedent), never over raw rows
+    windows = _parse_windows(plan)
+    assert any("q_pct" in p for p, _ in windows), windows
+    for part, order in windows:
+        assert ("q_pct" in part) or (part == "" and order.startswith("b#")), (
+            part,
+            order,
+        )

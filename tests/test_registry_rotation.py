@@ -20,9 +20,17 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 11 — the four
+#: Entries with ZERO green driver rows entering round 12 — the two
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
+    "ix02_bm25_topk",
+    "sk03_quantile_sketch",
+}
+
+#: Single-green entries (first non-vacuous rows earned in r11 — the
+#: nine r11 arrivals) — the schedule keeps any entry with <2 green
+#: rows in-window until it has two.
+SINGLE_GREEN = {
     "sk02_hll_mergeable",
     "ix01_inverted_index",
     "w07_sequence_patterns",
@@ -34,14 +42,13 @@ NEEDS_FIRST_ROW: set[str] = {
     "zo02_zorder_file_pruning",
 }
 
-#: Single-green entries (first non-vacuous rows earned in r10 — the 27
-#: r10 arrivals, plus nn08 which re-earned its FIRST green at the
-#: post-split 6-row shape in r10) — the schedule keeps any entry with
-#: <2 green rows in-window until it has two.
-SINGLE_GREEN = {
-    "nn09_twin_contracts",
+#: Double-green entries (the r10 arrivals, seconds earned in r11) —
+#: kept in-window for third rows, minus the three r10 heavies parked
+#: this round at exactly two greens (nn08 at six): nn08_recall_gate,
+#: nn09_twin_contracts and tk04_bpe_encode — VERDICT r11 item 1's own
+#: parking plan, sanctioned by the two-greens-may-park rule.
+DOUBLE_GREEN = {
     "dd16_url_dedup",
-    "tk04_bpe_encode",
     "cp04_span_scrub_pipeline",
     "rk03_ndcg",
     "mm05_pair_dedup",
@@ -66,25 +73,16 @@ SINGLE_GREEN = {
     "ivm01_partial_merge",
     "zo01_zorder_layout",
     "j09_attribution_join",
-    "nn08_recall_gate",
 }
 
-#: Double-green entries (the r09 arrivals, seconds earned in r10) —
-#: kept in-window for third rows. tk02/tk03 were parked in r11 at two
-#: greens to fund new-entry slots (the documented rule: <2 greens must
-#: stay; two greens may park — VERDICT r10 item 8 plans exactly this
-#: for the heavies); rk02 was parked mid-round for sk02's slot.
-DOUBLE_GREEN = {
+#: Triple-or-more-green entries still in-window (the r09 arrivals at
+#: three greens; the r08 arrivals and the five-green r07-era stock) —
+#: eligible parking stock for future rounds.
+TRIPLE_GREEN = {
     "dd14_duplicate_spans",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
     "mm04_frame_dedup",
-}
-
-#: Triple-or-more-green entries still in-window (the r08 arrivals at
-#: three greens minus tp03, parked r11; the r07-era four-greens minus
-#: vc01, parked r11) — eligible parking stock for future rounds.
-TRIPLE_GREEN = {
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
     "dd13_winnow_pairs",
@@ -96,10 +94,11 @@ TRIPLE_GREEN = {
     "co01_supplier_cooccurrence",
 }
 
-#: Multi-green entries deliberately kept in-window this round: none —
-#: every in-window multi-green above is either still accumulating its
-#: second/third row or is parking stock for the next round.
-BACK_IN_WINDOW: set[str] = set()
+#: Multi-green entries deliberately in-window this round: with 49
+#: non-parked entries the driver's 50th slot falls to the tail head —
+#: deliberately reordered to x19_geo_struct (four greens, a 0.2 s scan
+#: projection) so the leftover slot is the cheapest possible.
+BACK_IN_WINDOW: set[str] = {"x19_geo_struct"}
 
 
 def test_window_contains_every_entry_needing_rows():

@@ -42,8 +42,10 @@ def _read_leg(out_dir, leg):
 
 
 def _read_ledger(out_dir):
+    # the ledger is a Spark JSON sink like the other two legs
+    # (ADVICE r11): one batch=<n> dir per micro-batch
     rows = []
-    for f in sorted(glob.glob(f"{out_dir}/ledger/*.json")):
+    for f in sorted(glob.glob(f"{out_dir}/ledger/batch=*/*.json")):
         with open(f) as fh:
             rows.extend(json.loads(line) for line in fh if line.strip())
     return rows
@@ -172,3 +174,91 @@ def test_gate_malformed_and_empty_batches(spark, tmp_path):
         if r["batch_id"] >= 1:
             assert r["pass"] and r["n_checked"] == 0, r
             assert r["n_violations"] == 0, r
+
+
+def test_null_orderkey_quarantines_and_ledger_agrees(spark, tmp_path):
+    """ADVICE r11: a NULL-orderkey row counts as a uniqueness violation
+    in the ledger (n - countDistinct ignores NULL keys), so the leg
+    split must quarantine it — the verdict and the partition agree on
+    malformed keys."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    rows = [
+        _order(1, 10, "O", 120.0),     # clean
+        _order(None, 11, "F", 50.0),   # NULL key -> quarantine
+    ]
+    _write(landing / "b1.json", rows)
+    start_quality_gate(
+        spark, str(landing), str(out), str(tmp_path / "ck")
+    ).awaitTermination(120)
+    accepted = _read_leg(out, "accepted")
+    # Spark's JSON writer omits NULL fields, so the NULL-key quarantine
+    # row has no o_orderkey key at all — read the leg raw
+    quarantined = []
+    for f in sorted(glob.glob(f"{out}/quarantine/batch=*/*.json")):
+        with open(f) as fh:
+            quarantined.extend(json.loads(x) for x in fh if x.strip())
+    assert [r["o_orderkey"] for r in accepted] == [1]
+    assert len(quarantined) == 1
+    assert quarantined[0].get("o_orderkey") is None
+    assert len(accepted) + len(quarantined) == len(rows)
+    by_rule = {r["rule"]: r for r in _read_ledger(out)}
+    assert by_rule["orders_orderkey_unique"]["n_violations"] == 1
+    assert not by_rule["orders_orderkey_unique"]["pass"]
+
+
+def test_global_uniqueness_opt_in_quarantines_cross_batch_dup(
+    spark, tmp_path
+):
+    """VERDICT r11 item 8: under ``unique_state_dir``, a duplicate key
+    SPLIT ACROSS batches quarantines (the default gate admits it), the
+    extra ledger rule reports it, fresh keys still pass, and a replayed
+    batch id reproduces its original verdicts (the fence probes the
+    predecessor state version)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.quality_gate import (
+        GLOBAL_UNIQUE_RULE,
+        gate_batch,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    st = tmp_path / "keystate"
+    _write(landing / "b1.json", [_order(1, 10, "O", 120.0),
+                                 _order(7, 16, "P", 99.5)])
+    start_quality_gate(
+        spark, str(landing), str(out), str(ck), unique_state_dir=str(st)
+    ).awaitTermination(120)
+    assert [r["o_orderkey"] for r in _read_leg(out, "accepted")] == [1, 7]
+    b1 = {r["rule"]: r for r in _read_ledger(out) if r["batch_id"] == 0}
+    assert b1[GLOBAL_UNIQUE_RULE]["pass"]
+
+    # batch 2 re-sends key 1 (clean by every row rule) plus a fresh key
+    _write(landing / "b2.json", [_order(1, 17, "O", 50.0),
+                                 _order(9, 18, "F", 60.0)])
+    start_quality_gate(
+        spark, str(landing), str(out), str(ck), unique_state_dir=str(st)
+    ).awaitTermination(120)
+    accepted = _read_leg(out, "accepted")
+    quarantined = _read_leg(out, "quarantine")
+    # the cross-batch duplicate quarantined; the fresh key was admitted
+    assert [r["o_orderkey"] for r in accepted] == [1, 7, 9]
+    assert [r["o_orderkey"] for r in quarantined] == [1]
+    b2 = {r["rule"]: r for r in _read_ledger(out) if r["batch_id"] == 1}
+    assert b2[GLOBAL_UNIQUE_RULE]["n_violations"] == 1
+    assert not b2[GLOBAL_UNIQUE_RULE]["pass"]
+    # batch-local uniqueness still passes (no within-batch dup)
+    assert b2["orders_orderkey_unique"]["pass"]
+
+    # replay batch 1 directly (foreachBatch at-least-once): its keys
+    # are already merged, but the fence probes the PREDECESSOR version,
+    # so the original verdicts reproduce — key 1 stays accepted in its
+    # own batch, never self-flagged
+    batch1 = spark.read.schema(ORDERS_SCHEMA).json(str(landing / "b2.json"))
+    gate_batch(batch1, 1, str(out), unique_state_dir=str(st))
+    accepted = _read_leg(out, "accepted")
+    quarantined = _read_leg(out, "quarantine")
+    assert [r["o_orderkey"] for r in accepted] == [1, 7, 9]
+    assert [r["o_orderkey"] for r in quarantined] == [1]
