@@ -1572,6 +1572,14 @@ _ROTATION_TAIL = [
     "nn08_recall_gate",
     "nn09_twin_contracts",
     "tk04_bpe_encode",
+    # parked mid-round-12, one-for-one for the round's three further
+    # entries (ts03_lttb_downsample, pii04_dp_counts,
+    # qf02_calibration_audit), chosen as the most EXPENSIVE in-window
+    # entries with >=2 green rows in this round's idle full-registry
+    # sim (cp04 3.3 s / gr02 3.3 s / cp05 2.7 s):
+    "cp04_span_scrub_pipeline",
+    "gr02_dup_graph_cohesion",
+    "cp05_quality_gate_pipeline",
 ]
 
 

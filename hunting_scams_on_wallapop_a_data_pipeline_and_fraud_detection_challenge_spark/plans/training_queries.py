@@ -7187,6 +7187,7 @@ def rk01_rank_fusion(
     impl: str = "bf",
     cells: int = _IVF_CELLS,
     probes: int = _IVF_PROBES,
+    lex: str = "jaccard",
 ) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
     a lexical retriever (token-set Jaccard over ``documents``) and a
@@ -7217,32 +7218,50 @@ def rk01_rank_fusion(
     the default operating point's fused-list recall vs the brute-force
     form is gated there and re-verified every round by nn08's
     rk01_rank_fusion_ivf contract row."""
-    docs = _t(spark, sf_dir, "documents")
-    db = docs.select(
-        "doc_id", distinct_tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") > 0)
-    qd = db.filter(F.col("doc_id") < _RRF_QUERIES).select(
-        F.col("doc_id").alias("q_id"), F.col("toks").alias("qt")
-    )
-    inter = F.size(F.array_intersect("toks", "qt"))
-    lexscored = (
-        db.crossJoin(F.broadcast(qd))
-        .filter(F.col("doc_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("doc_id").alias("id"),
-            (
-                inter.cast("double")
-                / (F.size("toks") + F.size("qt") - inter)
-            ).alias("jac"),
+    if lex == "bm25":
+        # the production lexical leg (VERDICT r11 item 2's consumer):
+        # rank by ix02's index-served quantized BM25 impacts instead of
+        # scoring Jaccard inline against the corpus — the fusion and
+        # the semantic leg are UNCHANGED. Kept out of the oracle form
+        # (the driver-hashed default stays the inline-Jaccard leg);
+        # timed as a bench VARIANT and shape/parity-pinned in
+        # tests/test_scale_paths.py.
+        wl = Window.partitionBy("q_id").orderBy(
+            F.desc("impact_sum"), F.asc("doc_id")
         )
-    )
-    wl = Window.partitionBy("q_id").orderBy(F.desc("jac"), F.asc("id"))
-    lex = (
-        lexscored.withColumn("lex_rk", F.row_number().over(wl))
-        .filter(F.col("lex_rk") <= _RRF_DEPTH)
-        .select("q_id", "id", "lex_rk")
-    )
+        lexleg = (
+            _ix02_scored(spark, sf_dir, _RRF_QUERIES)
+            .withColumn("lex_rk", F.row_number().over(wl))
+            .filter(F.col("lex_rk") <= _RRF_DEPTH)
+            .select("q_id", F.col("doc_id").alias("id"), "lex_rk")
+        )
+    else:
+        docs = _t(spark, sf_dir, "documents")
+        db = docs.select(
+            "doc_id", distinct_tokens(F.col("text")).alias("toks")
+        ).filter(F.size("toks") > 0)
+        qd = db.filter(F.col("doc_id") < _RRF_QUERIES).select(
+            F.col("doc_id").alias("q_id"), F.col("toks").alias("qt")
+        )
+        inter = F.size(F.array_intersect("toks", "qt"))
+        lexscored = (
+            db.crossJoin(F.broadcast(qd))
+            .filter(F.col("doc_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("doc_id").alias("id"),
+                (
+                    inter.cast("double")
+                    / (F.size("toks") + F.size("qt") - inter)
+                ).alias("jac"),
+            )
+        )
+        wl = Window.partitionBy("q_id").orderBy(F.desc("jac"), F.asc("id"))
+        lexleg = (
+            lexscored.withColumn("lex_rk", F.row_number().over(wl))
+            .filter(F.col("lex_rk") <= _RRF_DEPTH)
+            .select("q_id", "id", "lex_rk")
+        )
     emb = _t(spark, sf_dir, "embeddings")
     eb = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
@@ -7280,7 +7299,7 @@ def rk01_rank_fusion(
         .filter(F.col("emb_rk") <= _RRF_DEPTH)
         .select("q_id", "id", "emb_rk")
     )
-    fused = lex.join(embr, ["q_id", "id"], "full_outer")
+    fused = lexleg.join(embr, ["q_id", "id"], "full_outer")
     term_l = F.when(F.col("lex_rk").isNull(), F.lit(0.0)).otherwise(
         F.lit(1.0) / (F.lit(_RRF_K0) + F.col("lex_rk"))
     )
@@ -12759,7 +12778,11 @@ def _gr03_sql(rounds: int = _GR03_ROUNDS) -> str:
 
 @query("gr03_connected_components", oracle=_gr03_sql, ops=("GRAPH-CC",))
 def gr03_connected_components(
-    spark: SparkSession, sf_dir: str, *, rounds: int = _GR03_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rounds: int = _GR03_ROUNDS,
+    escape: str | None = "star",
 ) -> DataFrame:
     """Connected components — the GRAPH-CC census that turns pair
     evidence into cluster ids (dd06's label-propagation kernel as an
@@ -12786,14 +12809,29 @@ def gr03_connected_components(
     Scale shape (100 TB): each round is ONE keyed equi-join of the
     node-sized label table against the edge list plus one map-side-
     combinable MIN aggregate and a node-keyed left join — the textbook
-    distributed label-propagation shape (large-star/small-star would
-    cut rounds on high-diameter graphs; a blocked co-purchase graph is
-    dense inside blocks, so plain propagation converges in a handful
-    of hops, and the emitted flag proves it did). Joins stay UNHINTED
-    (node side a-priori unbounded — the r09 rule); lineage is cut
-    every second round (the tk02 cadence). The final census is one
+    distributed label-propagation shape (a blocked co-purchase graph
+    is dense inside blocks, so plain propagation converges in a
+    handful of hops, and the emitted flag proves it did). Joins stay
+    UNHINTED (node side a-priori unbounded — the r09 rule); lineage is
+    cut every second round (the tk02 cadence). The final census is one
     keyed aggregate; the convergence probe joins two node-sized
-    tables."""
+    tables.
+
+    Depth escape (VERDICT r11 item 7 — a deep blocked component must
+    not SILENTLY emit ``converged=false`` rows at scale): after the
+    fixed rounds the convergence scalar is checked eagerly (a tiny job
+    over the final checkpoint), and if labels are still moving the
+    kernel switches — ``escape="star"`` (default) restarts on dd06's
+    O(log n) large-star/small-star contraction (``_cc_star_contraction``
+    — the SHARED kernel, which proves its own fixed point internally,
+    so the census then reports ``converged=true`` honestly);
+    ``escape="refuse"`` raises ``_DeepComponents`` (the explicit-
+    labelprop refusal semantics); ``escape=None`` keeps the raw
+    flagged census (the oracle-replayable fixed-round form). At every
+    test SF the blocked graph converges inside the fixed rounds, so
+    the driver-hashed plan is identical to the escape-free form; the
+    escape itself is pinned end-to-end on a synthetic deep-chain
+    fixture in tests/test_scale_paths.py."""
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     ed = _gr_edges(spark, sf_dir)
     dom = (
@@ -12839,13 +12877,40 @@ def gr03_connected_components(
             )
         )
         if r % 2 == 0 or r == rounds:
-            s = s.localCheckpoint(eager=False)
+            # the FINAL checkpoint is eager so the escape's convergence
+            # probe below is a tiny job over materialized labels, not a
+            # re-run of the whole round chain
+            s = s.localCheckpoint(eager=(r == rounds and escape is not None))
     chg = (
         s.alias("a")
         .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
         .filter(F.col("a.lab") != F.col("b.lab"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
     )
+    if escape is not None and int(chg.collect()[0][0]) > 0:
+        if escape == "refuse":
+            raise _DeepComponents(
+                f"gr03: labels still moving after {rounds} rounds — a "
+                "blocked component's diameter exceeds the fixed round "
+                "budget; rerun with escape='star' (the O(log n) kernel) "
+                "or escape=None for the raw flagged census"
+            )
+        # restart on the shared O(log n) star-contraction kernel; it
+        # proves its own fixed point internally, so converged=true is
+        # honest. Isolated suppliers (absent from the edge list) stay
+        # singleton components via the coalesce.
+        labels, _ = _cc_star_contraction(
+            dom.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+        )
+        s = (
+            s.select("node")
+            .join(labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("node")).alias("lab"),
+            )
+        )
+        chg = spark.createDataFrame([(0,)], "n_changed bigint")
     return (
         s.groupBy(F.col("lab").alias("component"))
         .agg(
@@ -14032,6 +14097,47 @@ def _ix02_sql() -> str:
     """
 
 
+def _ix02_scored(
+    spark: SparkSession, sf_dir: str, n_queries: int = _IX02_QUERIES
+) -> DataFrame:
+    """The BM25 serving core shared by ix02 (which ranks/truncates it)
+    and rk01's ``lex="bm25"`` production lexical leg: per (query, doc),
+    the matched-term count and the exact BIGINT sum of quantized
+    idf·w_bm25 impacts, served from ix01's checkpointed postings."""
+    num, den = _ix02_idf_num_den()
+    wi = (
+        _ix01_index(spark, sf_dir)
+        .localCheckpoint()
+        .withColumn("ia", F.expr(num))
+        .withColumn("ib", F.expr(den))
+    )
+    for name, expr in _ln_steps("ia", "la", duck=False) + _ln_steps(
+        "ib", "lb", duck=False
+    ):
+        wi = wi.withColumn(name, F.expr(expr))
+    wi = wi.select(
+        "term",
+        "doc_id",
+        F.expr(
+            f"CAST(floor((la - lb) * w_bm25 * {_IX02_SCALE}.0) AS BIGINT)"
+        ).alias("impact"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    qt = docs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(distinct_tokens(F.col("text"))).alias("term"),
+    )
+    return (
+        qt.join(wi, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("impact").cast("bigint").alias("impact_sum"),
+        )
+    )
+
+
 @query("ix02_bm25_topk", oracle=_ix02_sql, ops=("RETRIEVE-SERVE",))
 def ix02_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k serving FROM ix01's postings — the per-query operator
@@ -14062,38 +14168,7 @@ def ix02_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query work is |query terms| postings-list probes + a
     query-PARTITIONED top-k window — no global sort, no corpus
     shuffle."""
-    num, den = _ix02_idf_num_den()
-    wi = (
-        _ix01_index(spark, sf_dir)
-        .localCheckpoint()
-        .withColumn("ia", F.expr(num))
-        .withColumn("ib", F.expr(den))
-    )
-    for name, expr in _ln_steps("ia", "la", duck=False) + _ln_steps(
-        "ib", "lb", duck=False
-    ):
-        wi = wi.withColumn(name, F.expr(expr))
-    wi = wi.select(
-        "term",
-        "doc_id",
-        F.expr(
-            f"CAST(floor((la - lb) * w_bm25 * {_IX02_SCALE}.0) AS BIGINT)"
-        ).alias("impact"),
-    )
-    docs = _t(spark, sf_dir, "documents")
-    qt = docs.filter(F.col("doc_id") < _IX02_QUERIES).select(
-        F.col("doc_id").alias("q_id"),
-        F.explode(distinct_tokens(F.col("text"))).alias("term"),
-    )
-    scored = (
-        qt.join(wi, "term")
-        .filter(F.col("doc_id") != F.col("q_id"))
-        .groupBy("q_id", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("impact").cast("bigint").alias("impact_sum"),
-        )
-    )
+    scored = _ix02_scored(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy(
         F.desc("impact_sum"), F.asc("doc_id")
     )
@@ -14260,13 +14335,21 @@ def sk03_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for name, expr in _flog2_steps("c", "kc", duck=False):
         v = v.withColumn(name, F.expr(expr))
+    # the bucket projection feeds FOUR consumers (build, direct-rebuild
+    # proof, rank count, in-bucket refinement); DuckDB materializes the
+    # multi-referenced CTE, Spark must be told — without the eager cut
+    # the final plan re-scans lineitem once per reference path
+    # (measured 40 s vs ~2 s at sf0.1). Same for the tiny dictionaries
+    # below (merged ~225 rows, ej 5 rows).
     bb = v.select(
         "c", "shard", F.expr(_sk03_bucket("c", "kc", False)).alias("b")
-    )
+    ).localCheckpoint()
     bh = bb.groupBy("b", "shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    merged = bh.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    merged = bh.groupBy("b").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    ).localCheckpoint()
     direct = bb.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     agree = (
         merged.select("b", F.col("cnt").alias("mc"))
@@ -14314,6 +14397,7 @@ def sk03_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") - F.col("cnt")).alias("cum_before"),
             F.expr(_sk03_lb("eb", False)).alias("lb_c"),
         )
+        .localCheckpoint()
     )
     rt = (
         bb.crossJoin(F.broadcast(ej.select("q_pct", "lb_c")))
@@ -14376,4 +14460,453 @@ def sk03_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff") == 0).alias("merge_exact"),
             "n_buckets",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts03: LTTB downsampling — largest-triangle selection, parallel anchors
+# ---------------------------------------------------------------------------
+#: output points per series: first + last + _TS03_B interior picks
+_TS03_B = 20
+#: series shorter than this pass through a different (trivial) path in
+#: real downsamplers; the audit entry requires the interesting regime
+_TS03_MIN_N = 3 * _TS03_B
+#: minutes per x unit — offsets stay small so the triangle cross terms
+#: are well-conditioned doubles
+_TS03_MIN_US = 60_000_000
+
+
+def _ts03_sql() -> str:
+    return f"""
+    WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS us
+               FROM events),
+    d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts,
+                 min(us) AS mn
+          FROM e GROUP BY 1),
+    r AS (SELECT e.event_type, e.event_id, e.value, e.us, d.n_pts, d.mn,
+                 row_number() OVER (PARTITION BY e.event_type
+                                    ORDER BY e.us, e.event_id) AS rn
+          FROM e JOIN d USING (event_type)
+          WHERE d.n_pts >= {_TS03_MIN_N}),
+    p AS (SELECT event_type, event_id, value, us, n_pts,
+                 (us - mn) // {_TS03_MIN_US} AS x,
+                 CAST({_IVM01_CENTS} AS BIGINT) AS cv,
+                 CASE WHEN rn = 1 THEN 0
+                      WHEN rn = n_pts THEN {_TS03_B + 1}
+                      ELSE 1 + ((rn - 2) * {_TS03_B}) // (n_pts - 2)
+                 END AS b
+          FROM r),
+    s AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(cv) AS BIGINT) AS sv
+          FROM p GROUP BY 1, 2),
+    q AS (SELECT p.event_type, p.b, p.x, p.us, p.event_id, p.value,
+                 abs((CAST(a.sx AS DOUBLE) - CAST(a.nb AS DOUBLE) * p.x)
+                     * (CAST(c.sv AS DOUBLE) - CAST(c.nb AS DOUBLE) * p.cv)
+                     - (CAST(c.sx AS DOUBLE) - CAST(c.nb AS DOUBLE) * p.x)
+                     * (CAST(a.sv AS DOUBLE) - CAST(a.nb AS DOUBLE) * p.cv))
+                     AS a2
+          FROM p JOIN s a ON a.event_type = p.event_type AND a.b = p.b - 1
+                 JOIN s c ON c.event_type = p.event_type AND c.b = p.b + 1
+          WHERE p.b BETWEEN 1 AND {_TS03_B}),
+    m AS (SELECT event_type, b,
+                 max(struct_pack(a2 := a2, nx := -x, nus := -us,
+                                 neid := -event_id, v := value)) AS mx,
+                 CAST(count(*) AS BIGINT) AS n_bucket
+          FROM q GROUP BY 1, 2),
+    sel AS (SELECT event_type, CAST(b AS BIGINT) AS sel_idx,
+                   -struct_extract(mx, 'nx') AS x_min,
+                   -struct_extract(mx, 'nus') AS us,
+                   struct_extract(mx, 'v') AS value,
+                   n_bucket,
+                   round(struct_extract(mx, 'a2') + 1e-6, 4) + 0.0 AS area2
+            FROM m
+            UNION ALL
+            SELECT event_type, CAST(b AS BIGINT) AS sel_idx, x AS x_min,
+                   us, value, CAST(1 AS BIGINT) AS n_bucket, 0.0 AS area2
+            FROM p WHERE b = 0 OR b = {_TS03_B + 1})
+    SELECT * FROM sel
+    """
+
+
+@query("ts03_lttb_downsample", oracle=_ts03_sql, ops=("TS-DOWNSAMPLE",))
+def ts03_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle time-series downsampling (LTTB, Steinarsson
+    2013 — the shape-preserving downsampler every TS visualization
+    stack ships) in its PARALLEL-ANCHOR form: per series the points
+    split into {_TS03_B} equal rank buckets (first/last always kept),
+    and each bucket keeps the point with the largest triangle area
+    against the CENTROIDS of its neighbor buckets. Classic LTTB
+    anchors on the previously SELECTED point — an inherently serial
+    per-series scan; swapping the left anchor for the neighbor-bucket
+    centroid removes the sequential dependency entirely (the
+    observation behind MinMaxLTTB-class parallel downsamplers) at a
+    visual fidelity cost the original thesis itself measures as small.
+
+    Exactness: ranks are row_number over the (us, event_id) total
+    order; bucket ids are pure BIGINT rank arithmetic; centroids stay
+    as exact integer (sum, count) pairs — the triangle area2 is ONE
+    fixed-shape cross-product expression over integer-valued doubles
+    (minute offsets and cents — small magnitudes, so every product is
+    far inside exact-double range), bit-identical cross-engine; the
+    argmax is max(struct) with the negated (x, us, event_id) total
+    order as tiebreak (the j10/ts02 move).
+
+    Scale shape (100 TB): one series-partitioned rank window (the
+    order pass every downsampler pays), one map-side-combinable
+    bucket aggregate for the centroid dictionary (series×buckets
+    rows — broadcast-sized), anchors join back as that broadcast
+    dict, and the per-bucket argmax is a combinable max(struct) —
+    never a per-bucket sort, no serial chain: this is precisely why
+    the parallel-anchor variant (and not textbook LTTB) is the
+    operator a distributed engine should ship."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.expr(_EPOCH_US).alias("us"),
+    )
+    d = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.min("us").alias("mn"),
+    )
+    wrn = Window.partitionBy("event_type").orderBy("us", "event_id")
+    r = (
+        e.join(F.broadcast(d), "event_type")
+        .filter(F.col("n_pts") >= _TS03_MIN_N)
+        .withColumn("rn", F.row_number().over(wrn))
+    )
+    p = r.select(
+        "event_type",
+        "event_id",
+        "value",
+        "us",
+        F.expr(f"(us - mn) DIV {_TS03_MIN_US}").alias("x"),
+        F.expr(_IVM01_CENTS).cast("bigint").alias("cv"),
+        F.expr(
+            f"CASE WHEN rn = 1 THEN 0 WHEN rn = n_pts THEN {_TS03_B + 1}"
+            f" ELSE 1 + ((rn - 2) * {_TS03_B}) DIV (n_pts - 2) END"
+        ).alias("b"),
+    )
+    s = p.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("cv").cast("bigint").alias("sv"),
+    )
+    a = s.select(
+        F.col("event_type").alias("aet"),
+        (F.col("b") + 1).alias("ab"),
+        F.col("nb").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sv").alias("sva"),
+    )
+    c = s.select(
+        F.col("event_type").alias("cet"),
+        (F.col("b") - 1).alias("cb"),
+        F.col("nb").alias("nc"),
+        F.col("sx").alias("sxc"),
+        F.col("sv").alias("svc"),
+    )
+    q = (
+        p.filter(F.col("b").between(1, _TS03_B))
+        .join(
+            F.broadcast(a),
+            (F.col("aet") == F.col("event_type")) & (F.col("ab") == F.col("b")),
+        )
+        .join(
+            F.broadcast(c),
+            (F.col("cet") == F.col("event_type")) & (F.col("cb") == F.col("b")),
+        )
+        .select(
+            "event_type",
+            "b",
+            "x",
+            "us",
+            "event_id",
+            "value",
+            F.abs(
+                (
+                    F.col("sxa").cast("double")
+                    - F.col("na").cast("double") * F.col("x")
+                )
+                * (
+                    F.col("svc").cast("double")
+                    - F.col("nc").cast("double") * F.col("cv")
+                )
+                - (
+                    F.col("sxc").cast("double")
+                    - F.col("nc").cast("double") * F.col("x")
+                )
+                * (
+                    F.col("sva").cast("double")
+                    - F.col("na").cast("double") * F.col("cv")
+                )
+            ).alias("a2"),
+        )
+    )
+    m = q.groupBy("event_type", "b").agg(
+        F.max(
+            F.struct(
+                F.col("a2"),
+                (-F.col("x")).alias("nx"),
+                (-F.col("us")).alias("nus"),
+                (-F.col("event_id")).alias("neid"),
+                F.col("value").alias("v"),
+            )
+        ).alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bucket"),
+    )
+    sel = m.select(
+        "event_type",
+        F.col("b").cast("bigint").alias("sel_idx"),
+        (-F.col("mx.nx")).alias("x_min"),
+        (-F.col("mx.nus")).alias("us"),
+        F.col("mx.v").alias("value"),
+        "n_bucket",
+        (_r(F.col("mx.a2"), 4) + F.lit(0.0)).alias("area2"),
+    )
+    ends = p.filter((F.col("b") == 0) | (F.col("b") == _TS03_B + 1)).select(
+        "event_type",
+        F.col("b").cast("bigint").alias("sel_idx"),
+        F.col("x").alias("x_min"),
+        "us",
+        "value",
+        F.lit(1).cast("bigint").alias("n_bucket"),
+        F.lit(0.0).alias("area2"),
+    )
+    return sel.unionByName(ends)
+
+
+# ---------------------------------------------------------------------------
+# pii04: differentially-private release shape — Laplace counts, seeded
+# ---------------------------------------------------------------------------
+#: privacy budget per release; sensitivity of a count is 1, so the
+#: Laplace scale is b = 1/epsilon
+_PII04_EPS = 0.5
+_PII04_B = 1.0 / _PII04_EPS
+#: the release's noise seed — part of the published operator contract
+#: (the qf01 weights convention): a reproducible pipeline pins it, a
+#: production DP release swaps the seeded hash for a CSPRNG draw
+_PII04_SEED = "pii04-r12"
+#: |u - 0.5| is quantized to a/2^31 with a >= 1 — the clamp bounds the
+#: worst-case |noise| at b * 31 * ln(2) (~43 counts at eps = 0.5)
+_PII04_HALF = 1 << 31
+
+
+def _pii04_sql() -> str:
+    ln_steps = ",\n    ".join(
+        f"n{i} AS (SELECT *, {expr} AS {name} FROM n{i - 1})"
+        for i, (name, expr) in enumerate(
+            _ln_steps("a", "ln_a", duck=True), start=1
+        )
+    )
+    last = f"n{len(_ln_steps('a', 'ln_a', duck=True))}"
+    return f"""
+    WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
+               FROM customer GROUP BY 1),
+    h AS (SELECT *, {sql_h32(f"'{_PII04_SEED}|' || CAST(c_nationkey AS VARCHAR)")} AS hv
+          FROM g),
+    n0 AS (SELECT *,
+                  CASE WHEN hv < {_PII04_HALF} THEN -1 ELSE 1 END AS sgn,
+                  greatest({_PII04_HALF} - abs(hv - {_PII04_HALF}),
+                           CAST(1 AS BIGINT)) AS a
+           FROM h),
+    {ln_steps}
+    SELECT c_nationkey, true_n,
+           round(({_PII04_B}e0 * sgn * (31.0e0 * {_LN2_LIT} - ln_a)) + 1e-6, 4)
+               AS noise,
+           CAST(greatest(round(true_n
+                               + {_PII04_B}e0 * sgn
+                                 * (31.0e0 * {_LN2_LIT} - ln_a), 0),
+                         0) AS BIGINT) AS released_n,
+           (abs({_PII04_B}e0 * sgn * (31.0e0 * {_LN2_LIT} - ln_a))
+            <= {_PII04_B}e0 * 31.0e0 * {_LN2_LIT}) AS noise_within_bound
+    FROM {last}
+    """
+
+
+@query("pii04_dp_counts", oracle=_pii04_sql, ops=("PII-DP",))
+def pii04_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (the Laplace mechanism,
+    Dwork et al. 2006) — the aggregate-release shape a privacy-bound
+    pipeline publishes instead of raw group counts: per customer
+    nation, the true count plus Laplace(1/ε) noise at ε={_PII04_EPS},
+    drawn by inverse-CDF from a SEEDED uniform
+    (noise = -b·sgn(u−½)·ln(1−2|u−½|)).
+
+    The honest scope note, in the contract not buried: the uniform
+    comes from the shared portable hash of (seed, group) — a
+    DETERMINISTIC draw, which is what makes the release reproducible
+    AND hash-verifiable cross-engine (and is the standard convention
+    for testing DP pipelines); a production release swaps exactly this
+    one draw for a CSPRNG, keeping the mechanism, the sensitivity
+    accounting and the post-processing (round, clamp at 0 — both
+    DP-safe) unchanged. The audit emits the true count NEXT TO the
+    noisy one — certifying the mechanism, which a real release would
+    of course not publish.
+
+    Exactness: the uniform is quantized to a/2^31 with exact integer
+    a >= 1, and ln comes from the shared ``_ln_steps`` deterministic
+    primitive (ix02's idf machinery — exact range reduction + pinned
+    Horner series), so the noise double is bit-identical cross-engine;
+    ln(2^31) is spelled 31·LN2 with the pinned literal. The clamp
+    bounds |noise| <= b·31·ln2, emitted as a verified gate.
+
+    Scale shape (100 TB): ONE map-side-combinable keyed count; the
+    noise is a projection over the GROUP dictionary (25 rows here;
+    never row-sized work), so the release costs exactly what the
+    un-noised rollup costs."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .withColumn(
+            "hv",
+            h32(
+                F.concat(
+                    F.lit(f"{_PII04_SEED}|"),
+                    F.col("c_nationkey").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "sgn",
+            F.when(F.col("hv") < _PII04_HALF, F.lit(-1)).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "a",
+            F.greatest(
+                F.lit(_PII04_HALF).cast("bigint")
+                - F.abs(F.col("hv") - _PII04_HALF),
+                F.lit(1).cast("bigint"),
+            ),
+        )
+    )
+    for name, expr in _ln_steps("a", "ln_a", duck=False):
+        g = g.withColumn(name, F.expr(expr))
+    noise = F.expr(f"{_PII04_B}e0 * sgn * (31.0e0 * {_LN2_LIT} - ln_a)")
+    return g.select(
+        "c_nationkey",
+        "true_n",
+        (_r(noise, 4) + F.lit(0.0)).alias("noise"),
+        F.expr(
+            f"CAST(greatest(round(true_n + {_PII04_B}e0 * sgn"
+            f" * (31.0e0 * {_LN2_LIT} - ln_a), 0), 0) AS BIGINT)"
+        ).alias("released_n"),
+        (
+            F.abs(noise) <= F.lit(_PII04_B * 31.0) * F.lit(float(_LN2_LIT))
+        ).alias("noise_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qf02: classifier calibration audit — reliability table vs the rule battery
+# ---------------------------------------------------------------------------
+#: fixed margin bins: [-1.5, 1) in 0.25 steps, clamped at the edges
+#: (the observed qf01 margin mass sits in [-1, 0.5] at every SF)
+_QF02_BINS = 10
+_QF02_LO = -1.5
+_QF02_STEP = 0.25
+
+
+def _qf02_sql() -> str:
+    score = _qf01_score_sql("text")
+    keep = " AND ".join(_gopher_rule_sqls("text").values())
+    return f"""
+    WITH d AS (SELECT ({score}) AS sc, ({keep}) AS label FROM documents),
+    b AS (SELECT least(greatest(CAST(floor((sc - {_QF02_LO}e0)
+                                           / {_QF02_STEP}e0) AS BIGINT),
+                                0), {_QF02_BINS - 1}) AS bin,
+                 CAST(floor(sc * 10000.0e0) AS BIGINT) AS q4,
+                 CASE WHEN label THEN 1 ELSE 0 END AS pos
+          FROM d),
+    g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pass,
+                 CAST(sum(q4) AS BIGINT) AS sq4
+          FROM b GROUP BY bin),
+    w AS (SELECT *,
+                 CAST(n_pass AS DOUBLE) / n AS pr,
+                 lag(CAST(n_pass AS DOUBLE) / n)
+                     OVER (ORDER BY bin) AS prev_pr
+          FROM g)
+    SELECT bin, {_QF02_LO}e0 + {_QF02_STEP}e0 * bin AS lo_score,
+           n, n_pass,
+           round(pr + 1e-6, 4) AS pass_rate,
+           round((CAST(sq4 AS DOUBLE) / (n * 10000.0e0)) + 1e-6, 4)
+               AS mean_score,
+           (prev_pr IS NULL OR pr >= prev_pr) AS monotone_up
+    FROM w
+    """
+
+
+@query("qf02_calibration_audit", oracle=_qf02_sql, ops=("QF-CALIBRATION",))
+def qf02_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration/reliability audit — the table every
+    model-based quality filter needs next to its threshold: qf01's
+    margin binned into {_QF02_BINS} fixed-width buckets, each bin
+    reporting how often the EXPENSIVE rule battery (txt05's Gopher
+    filters — the label the cheap classifier distills) agrees, plus a
+    per-bin monotonicity verdict (pass rate non-decreasing in score —
+    the ranking-quality signal that justifies using the margin as a
+    cutoff at all). Both sides reuse the shared one-source-of-truth
+    expressions (`_qf01_score_sql`/`_qf01_score_col`,
+    `_gopher_rule_sqls`/`_gopher_rule_cols`), so the audit can never
+    drift from the operators it audits.
+
+    Exactness: the margin is qf01's pinned-order double (bit-identical
+    cross-engine), bin edges come from floor() on that double (no
+    rounding ambiguity), the per-bin mean uses floor-quantized
+    1e-4-unit integers so the sum is exact BIGINT, and the
+    monotonicity comparison runs on UNROUNDED single-division rates
+    (the lm02 rule).
+
+    Scale shape (100 TB): one scan, one map-side-combinable keyed
+    aggregate to the {_QF02_BINS}-row bin dictionary; the lag window
+    orders those {_QF02_BINS} rows only. This is the audit a pipeline
+    runs once per classifier version — the scan cost IS qf01's."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    sc = _qf01_score_col(text)
+    label = reduce(lambda x, y: x & y, _gopher_rule_cols(text).values())
+    b = docs.select(
+        F.least(
+            F.greatest(
+                F.floor((sc - _QF02_LO) / _QF02_STEP).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(_QF02_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.floor(sc * 10000.0).cast("bigint").alias("q4"),
+        F.when(label, 1).otherwise(0).alias("pos"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pass"),
+        F.sum("q4").cast("bigint").alias("sq4"),
+    )
+    pr = F.col("n_pass").cast("double") / F.col("n")
+    w = g.select(
+        "bin",
+        "n",
+        "n_pass",
+        "sq4",
+        pr.alias("pr"),
+        F.lag(pr).over(Window.orderBy("bin")).alias("prev_pr"),
+    )
+    return w.select(
+        "bin",
+        (F.lit(_QF02_LO) + F.lit(_QF02_STEP) * F.col("bin")).alias(
+            "lo_score"
+        ),
+        "n",
+        "n_pass",
+        (_r(F.col("pr"), 4) + F.lit(0.0)).alias("pass_rate"),
+        (
+            _r(F.col("sq4").cast("double") / (F.col("n") * 10000.0), 4)
+            + F.lit(0.0)
+        ).alias("mean_score"),
+        (F.col("prev_pr").isNull() | (F.col("pr") >= F.col("prev_pr"))).alias(
+            "monotone_up"
+        ),
     )

@@ -136,6 +136,13 @@ OPS = [
     # term-PARTITIONED top-k window whose per-partition state is the
     # postings list — corpus growth widens partitions, never the plan.
     "ix01_inverted_index",
+    # round-12 additions. BM25 serving: ix01's build (gated above) +
+    # a dictionary-sized postings join against the bounded query
+    # block and a query-partitioned top-k — corpus growth only grows
+    # the build. calibration audit: qf01's zero-shuffle projection +
+    # one bin-dictionary keyed aggregate.
+    "ix02_bm25_topk",
+    "qf02_calibration_audit",
 ]
 
 

@@ -1605,3 +1605,39 @@ def test_sk03_sketch_build_is_keyed_integer_aggregate(spark, sf_dir):
             part,
             order,
         )
+
+
+def test_ts03_downsample_is_window_plus_broadcast_argmax(spark, sf_dir):
+    """LTTB's scale contract: ONE series-partitioned rank window (the
+    order pass), the centroid dictionary joins back as broadcasts
+    (never a shuffle join), and the per-bucket argmax is an aggregate
+    — no per-bucket sort, no nested loop."""
+    plan = _plan(spark, sf_dir, "ts03_lttb_downsample")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    windows = _parse_windows(plan)
+    assert windows and all("event_type" in p for p, _ in windows), windows
+
+
+def test_pii04_noise_is_a_dictionary_projection(spark, sf_dir):
+    """The DP release costs what the rollup costs: one keyed count
+    (map-side combinable), then the seeded-noise chain is a pure
+    projection over the 25-row group dictionary — no join, no window,
+    no second scan."""
+    plan = _plan(spark, sf_dir, "pii04_dp_counts")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "c_nationkey" in read and "c_name" not in read, read
+
+
+def test_qf02_calibration_is_one_scan_bin_aggregate(spark, sf_dir):
+    """The calibration audit's scale contract: one corpus scan, one
+    keyed aggregate to the bin dictionary; the lag window orders only
+    those bins (unpartitioned over <= _QF02_BINS rows)."""
+    plan = _plan(spark, sf_dir, "qf02_calibration_audit")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    windows = _parse_windows(plan)
+    assert len(windows) == 1 and windows[0][0] == "", windows

@@ -25,6 +25,9 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
 NEEDS_FIRST_ROW: set[str] = {
     "ix02_bm25_topk",
     "sk03_quantile_sketch",
+    "ts03_lttb_downsample",
+    "pii04_dp_counts",
+    "qf02_calibration_audit",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r11 — the
@@ -43,13 +46,15 @@ SINGLE_GREEN = {
 }
 
 #: Double-green entries (the r10 arrivals, seconds earned in r11) —
-#: kept in-window for third rows, minus the three r10 heavies parked
-#: this round at exactly two greens (nn08 at six): nn08_recall_gate,
-#: nn09_twin_contracts and tk04_bpe_encode — VERDICT r11 item 1's own
-#: parking plan, sanctioned by the two-greens-may-park rule.
+#: kept in-window for third rows, minus the six parked this round at
+#: exactly two greens: the three r10 heavies (nn08_recall_gate at six
+#: greens, nn09_twin_contracts, tk04_bpe_encode — VERDICT r11 item 1's
+#: own parking plan) and the three most expensive remaining residents
+#: (cp04_span_scrub_pipeline, gr02_dup_graph_cohesion,
+#: cp05_quality_gate_pipeline), funding the round's five new entries
+#: under the two-greens-may-park rule.
 DOUBLE_GREEN = {
     "dd16_url_dedup",
-    "cp04_span_scrub_pipeline",
     "rk03_ndcg",
     "mm05_pair_dedup",
     "w06_sliding_window",
@@ -60,11 +65,9 @@ DOUBLE_GREEN = {
     "lm02_crossentropy_buckets",
     "qf01_linear_quality_classifier",
     "u14_table_set_ops",
-    "gr02_dup_graph_cohesion",
     "cdc02_scd2_intervals",
     "j08_interval_overlap_join",
     "pii03_k_anonymity",
-    "cp05_quality_gate_pipeline",
     "a19_robust_zscore",
     "er01_fuzzy_match",
     "ts01_gap_fill_locf",

@@ -1197,3 +1197,76 @@ def test_cp04_survives_fully_scrubbed_source(spark, tmp_path):
         "src3": (10, 10, 24, 3, 18, 0.75),
         "src5": (10, 10, 18, 2, 15, 0.833333),
     }, rows
+
+
+def test_gr03_deep_chain_escape(spark, tmp_path):
+    """gr03's depth escape (VERDICT r11 item 7): on a synthetic
+    40-supplier PATH graph (diameter far beyond the fixed round
+    budget), the default kernel must NOT silently emit
+    converged=false — it restarts on dd06's shared O(log n) star
+    contraction and reports the one true component as converged;
+    escape='refuse' raises instead; escape=None keeps the raw flagged
+    census (the oracle-replayable form)."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _DeepComponents,
+        gr03_connected_components,
+    )
+
+    n = 40
+    spark.createDataFrame(
+        [(i, 0) for i in range(n)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    # order i is supplied by suppliers i and i+1 -> co-purchase edges
+    # form the path 0-1-...-39, all in one nation block
+    spark.createDataFrame(
+        [(i, i) for i in range(n - 1)] + [(i, i + 1) for i in range(n - 1)],
+        "l_orderkey long, l_suppkey long",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = gr03_connected_components(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_nodes == n
+    assert rows[0].min_node == 0 and rows[0].max_node == n - 1
+    assert rows[0].converged  # the escape kernel converged for real
+
+    with pytest.raises(_DeepComponents):
+        gr03_connected_components(spark, str(tmp_path), escape="refuse")
+
+    raw = gr03_connected_components(spark, str(tmp_path), escape=None).collect()
+    assert len(raw) > 1 and all(not r.converged for r in raw)
+
+
+def test_rk01_bm25_leg_matches_ix02_ranking(spark, sf_dir):
+    """rk01's ``lex="bm25"`` production leg serves its lexical ranks
+    from ix02's postings machinery; wherever the oracle-verified ix02
+    entry and the fusion output rank the same (query, doc), the ranks
+    must agree — the leg is the INDEX ranking, not a reimplementation.
+    The semantic leg and the fusion algebra are unchanged, so the
+    output schema and per-query depth match the default form."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _RRF_TOPK,
+        ix02_bm25_topk,
+        rk01_rank_fusion,
+    )
+
+    fused = rk01_rank_fusion(spark, sf_dir, lex="bm25").collect()
+    default = rk01_rank_fusion(spark, sf_dir).collect()
+    assert {tuple(r.asDict()) for r in fused} == {
+        tuple(r.asDict()) for r in default
+    }  # same schema
+    per_q = {}
+    for r in fused:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert per_q and all(len(v) <= _RRF_TOPK for v in per_q.values())
+
+    ix = {
+        (r.q_id, r.doc_id): r["rank"]
+        for r in ix02_bm25_topk(spark, sf_dir).collect()
+    }
+    checked = 0
+    for r in fused:
+        k = (r.q_id, r.doc_id)
+        if r.lex_rk and k in ix:
+            assert r.lex_rk == ix[k], (k, r.lex_rk, ix[k])
+            checked += 1
+    assert checked >= 10, f"only {checked} overlapping ranks checked"
