@@ -12831,7 +12831,13 @@ def gr03_connected_components(
     test SF the blocked graph converges inside the fixed rounds, so
     the driver-hashed plan is identical to the escape-free form; the
     escape itself is pinned end-to-end on a synthetic deep-chain
-    fixture in tests/test_scale_paths.py."""
+    fixture in tests/test_scale_paths.py. Deliberate divergence
+    surface: if the driver corpus ever grew a deep blocked component,
+    the escaped census would MISMATCH the fixed-round oracle and turn
+    the row red — chosen over registering escape=None, where the same
+    data change would keep the row silently green with
+    converged=false, the exact failure mode this escape exists to
+    prevent."""
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     ed = _gr_edges(spark, sf_dir)
     dom = (
@@ -14695,13 +14701,12 @@ _PII04_HALF = 1 << 31
 
 
 def _pii04_sql() -> str:
+    steps = _ln_steps("a", "ln_a", duck=True)
     ln_steps = ",\n    ".join(
         f"n{i} AS (SELECT *, {expr} AS {name} FROM n{i - 1})"
-        for i, (name, expr) in enumerate(
-            _ln_steps("a", "ln_a", duck=True), start=1
-        )
+        for i, (name, expr) in enumerate(steps, start=1)
     )
-    last = f"n{len(_ln_steps('a', 'ln_a', duck=True))}"
+    last = f"n{len(steps)}"
     return f"""
     WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_n
                FROM customer GROUP BY 1),

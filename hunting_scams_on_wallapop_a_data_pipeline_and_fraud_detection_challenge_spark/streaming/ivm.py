@@ -87,7 +87,15 @@ def signed_partials(df: DataFrame) -> DataFrame:
 
     sg = F.when(F.col("op") == "D", F.lit(-1)).otherwise(F.lit(1))
     return (
-        df.select(
+        # a keyless change row (permissive JSON source, missing
+        # user_id) cannot address any view state — dropped explicitly
+        # here so BOTH store layouts behave identically (the bucketed
+        # merge would otherwise compute a NULL bucket and die sorting
+        # the dirty list; the single store silently shed the row on
+        # the next read's isNotNull filter). Malformed-row QUALITY
+        # handling is the upstream gate's job (ST13), not the view's.
+        df.filter(F.col("user_id").isNotNull())
+        .select(
             "user_id",
             sg.alias("sg"),
             F.expr(_IVM01_CENTS).cast("bigint").alias("c"),

@@ -28,9 +28,12 @@ Semantics (documented, not hidden):
   a stateless gate can check. The OPT-IN ``unique_state_dir`` leg
   (VERDICT r11 item 8) upgrades this to GLOBAL key uniqueness by
   composing ST9's bounded bloom state: each batch's keys probe the
-  bloom built from every PRIOR batch's keys (seen key → quarantine +
-  an extra ``orders_orderkey_unique_global`` ledger row), then fold
-  their own bits in — the same ≤4,096-word (word, bits) table, the
+  bloom built from every PRIOR batch's ADMITTED keys (seen key →
+  quarantine + an extra ``orders_orderkey_unique_global`` ledger row),
+  then the batch's own accepted keys fold in — a quarantined row's key
+  stays available, so a corrected resubmission of a rejected order is
+  admitted rather than re-quarantined as a duplicate of its own
+  rejected attempt — the same ≤4,096-word (word, bits) table, the
   same shared versioned commit protocol (streaming/state.py), plus an
   ``applied_bid`` fence so a replayed batch (foreachBatch is
   at-least-once) probes the PREDECESSOR version its verdicts were
@@ -119,7 +122,7 @@ def _probe_version(spark: SparkSession, state_dir: str, batch_id: int):
 def _seen_keys(
     rows: DataFrame, spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame:
-    """(o_orderkey, v_seen) for keys already ingested by PRIOR batches,
+    """(o_orderkey, v_seen) for keys already ADMITTED by PRIOR batches,
     by probing ST9's bloom word table (lazy import — one probe/build
     definition with the corpus-ingest gate)."""
     from .corpus_ingest import _probe_against_bloom
@@ -144,8 +147,12 @@ def _merge_key_state(
     applied = state.agg(F.max("applied_bid")).collect()[0][0]
     if applied is not None and batch_id <= applied:
         return  # replayed batch: its keys are already in a committed version
+    # a keyless batch commits a (NULL, NULL, batch_id) sentinel so the
+    # fence still advances — skip it when rebuilding the word dict
     merged: dict[int, int] = {
-        int(r["word"]): int(r["bits"]) for r in state.collect()
+        int(r["word"]): int(r["bits"])
+        for r in state.collect()
+        if r["word"] is not None
     }
     for r in _bloom_word_rows(_key_hashes(rows)).collect():
         w = int(r["word"])
@@ -252,7 +259,14 @@ def gate_batch(
         .json(f"{out_dir}/accepted/batch={batch_id}")
     )
     if unique_state_dir is not None:
-        _merge_key_state(rows, spark, unique_state_dir, batch_id)
+        # fold only the ADMITTED keys: a quarantined row never entered
+        # the accepted leg, so its key must stay available — a producer
+        # that corrects and resubmits a rejected order is let through
+        # instead of being permanently re-quarantined as a "duplicate"
+        # of its own rejected attempt
+        _merge_key_state(
+            flagged.filter("NOT bad"), spark, unique_state_dir, batch_id
+        )
 
 
 def start_quality_gate(

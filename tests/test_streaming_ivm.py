@@ -271,3 +271,22 @@ def test_bucketed_partial_commit_replay_converges(spark, tmp_path):
     assert _bview(spark, state) == _expected(
         {u_a: [10.00], u_b: [40.00]}
     )
+
+
+def test_keyless_change_rows_drop_in_both_layouts(spark, tmp_path):
+    """Review r12: a keyless change row (permissive JSON, missing
+    user_id) cannot address view state — both store layouts drop it
+    explicitly instead of the bucketed merge dying on a NULL bucket."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.ivm import (
+        merge_batch_bucketed,
+    )
+
+    rows = [(None, 1, "I", 99.0), (1, 2, "I", 10.00)]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, op string, value double"
+    )
+    single, bucketed = tmp_path / "s", tmp_path / "b"
+    merge_batch(batch, 0, str(single))
+    merge_batch_bucketed(batch, 0, str(bucketed), 4)
+    assert _view(spark, single) == _expected({1: [10.00]})
+    assert _bview(spark, bucketed) == _expected({1: [10.00]})

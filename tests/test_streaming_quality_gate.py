@@ -262,3 +262,52 @@ def test_global_uniqueness_opt_in_quarantines_cross_batch_dup(
     quarantined = _read_leg(out, "quarantine")
     assert [r["o_orderkey"] for r in accepted] == [1, 7, 9]
     assert [r["o_orderkey"] for r in quarantined] == [1]
+
+
+def test_global_uniqueness_rejected_key_can_resubmit(spark, tmp_path):
+    """Review r12: the bloom folds only ADMITTED keys — a rejected
+    row's key stays available, so a corrected resubmission is accepted
+    instead of being re-quarantined as a duplicate of its own rejected
+    attempt. Also: a batch with only keyless/rejected rows commits a
+    sentinel state version, and the NEXT batch must survive reading it."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    st = tmp_path / "keystate"
+
+    def _run():
+        start_quality_gate(
+            spark, str(landing), str(out), str(ck), unique_state_dir=str(st)
+        ).awaitTermination(120)
+
+    # batch 0: one NULL-key row only -> everything quarantines, the
+    # state commits a keyless sentinel (fence advances, no words)
+    _write(landing / "b0.json", [_order(None, 30, "O", 10.0)])
+    _run()
+    # batch 1: order 99 with an invalid price -> quarantined by v_range
+    # (reading the sentinel state must not crash the gate)
+    _write(landing / "b1.json", [_order(99, 31, "O", -5.0)])
+    _run()
+    assert _read_leg(out, "accepted") == []
+    # batch 2: the corrected resubmission of order 99 -> ADMITTED
+    _write(landing / "b2.json", [_order(99, 31, "O", 50.0)])
+    _run()
+    accepted = _read_leg(out, "accepted")
+    assert [r["o_orderkey"] for r in accepted] == [99]
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.streaming.quality_gate import (
+        GLOBAL_UNIQUE_RULE,
+    )
+
+    b2 = {
+        r["rule"]: r for r in _read_ledger(out) if r["batch_id"] == 2
+    }
+    assert b2[GLOBAL_UNIQUE_RULE]["pass"]
+    # batch 3: NOW the key is taken — a re-send quarantines
+    _write(landing / "b3.json", [_order(99, 32, "F", 60.0)])
+    _run()
+    assert [r["o_orderkey"] for r in _read_leg(out, "accepted")] == [99]
+    b3 = {
+        r["rule"]: r for r in _read_ledger(out) if r["batch_id"] == 3
+    }
+    assert b3[GLOBAL_UNIQUE_RULE]["n_violations"] == 1
