@@ -1335,9 +1335,24 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            stay in-window for their second greens per the <2-green
 #            rule. With 49 non-parked entries the driver's 50th slot
 #            falls to the tail head (nn02_lsh_ann — cheap, 5 greens).
+#            Mid-round the registry grew 158 -> 161 (ts03_lttb_downsample,
+#            pii04_dp_counts, qf02_calibration_audit) funded one-for-one
+#            by the three most expensive double-green residents
+#            (cp04 3.3 s, gr02 3.3 s, cp05 2.7 s in the idle sim).
+#            Close-of-round ledger (idle box, sf0.01, local[8], full
+#            161/161-green sim): window cost 50.5 s vs the r11 close's
+#            106.3 s — the VERDICT r11 item 1 target (<80 s) cleared
+#            with room; heaviest residents gr03 3.0 s / mm05 2.9 s /
+#            ds13 2.6 s; the five r12 arrivals sum to ~6 s (sk03 1.8 s
+#            after its lineage-cut fix — see the sk03 docstring).
 #   round 13+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
+#            The five r12 arrivals (ix02, sk03, ts03, pii04, qf02) and
+#            the nine r11 arrivals (now double-green if r12 lands) are
+#            the window's accumulation stock; parking candidates next
+#            round: mm05 2.9 s, gr01 2.1 s, a19, er01 (all multi-green
+#            by then).
 #
 # Union after round 3: every oracle-backed entry has ≥1 green row in
 # r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
