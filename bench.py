@@ -283,6 +283,13 @@ HEADLINE = [
     "ts03_lttb_downsample",
     "pii04_dp_counts",
     "qf02_calibration_audit",
+    # late round-12: theta-style set algebra over mergeable HLL
+    # registers (distinct projection + 64-register MAX + register-
+    # dictionary set math incl. the deterministic linear-counting
+    # branch) and the EWMA control chart (one 16-lag series window +
+    # exact-moment sigma + broadcast flag join)
+    "sk04_set_op_sketches",
+    "ts04_ewma_anomaly",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

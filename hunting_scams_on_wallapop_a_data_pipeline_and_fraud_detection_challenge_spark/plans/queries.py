@@ -1345,6 +1345,11 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            with room; heaviest residents gr03 3.0 s / mm05 2.9 s /
 #            ds13 2.6 s; the five r12 arrivals sum to ~6 s (sk03 1.8 s
 #            after its lineage-cut fix — see the sk03 docstring).
+#            LATE round-12 the registry grew 161 -> 163 (sk04 theta
+#            set-op sketches, ts04 EWMA anomaly) funded by mm05/gr01;
+#            final 163/163-green sim puts the window at 54.3 s
+#            (sk04 2.6 s + ts04 1.6 s in, mm05 2.9 + gr01 2.1 out,
+#            plus run-to-run drift) — still half the r11 close.
 #   round 13+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
@@ -1595,6 +1600,14 @@ _ROTATION_TAIL = [
     "cp04_span_scrub_pipeline",
     "gr02_dup_graph_cohesion",
     "cp05_quality_gate_pipeline",
+    # parked late-round-12, one-for-one for the round's final two
+    # entries (sk04_set_op_sketches — theta-style set algebra on
+    # mergeable HLL registers with the deterministic linear-counting
+    # branch, ts04_ewma_anomaly — EWMA control-chart anomaly scoring),
+    # chosen as the most expensive remaining >=2-green residents in
+    # the close-of-round idle sim (mm05 2.9 s, gr01 2.1 s):
+    "mm05_pair_dedup",
+    "gr01_integer_pagerank",
 ]
 
 

@@ -14915,3 +14915,432 @@ def qf02_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monotone_up"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sk04: set-operation sketches — union/intersection cardinality from
+# mergeable HLL registers, with the deterministic linear-counting branch
+# ---------------------------------------------------------------------------
+#: registers per sketch (2^6); alpha_64 is the standard HLL bias
+#: constant for m = 64
+_SK04_M = 64
+_SK04_ALPHA = 0.709
+#: the scaled-integer harmonic-sum trick (sk02): Σ 2^(-M[j]) as exact
+#: BIGINT Σ 2^(K - M[j]); w has 26 bits so rho <= 27 and every term
+#: is >= 2^5
+_SK04_K = 32
+#: gates (measured at every test SF with >=2x headroom): union
+#: estimate within 25% of exact; intersection error within 25% OF THE
+#: UNION SIZE (inclusion-exclusion error scales with the union — the
+#: theta-sketch error model)
+_SK04_BOUND_PCT = 25
+
+
+def _sk04_est_steps(duck: bool) -> list[tuple[str, str]]:
+    """(column, expr) chain computing ``est`` from a sketch row
+    (n_used, s_present): the raw scaled-integer HLL estimate, then the
+    STANDARD small-range branch — raw <= 2.5m with empty registers
+    switches to linear counting m·ln(m/V) = m·(6·LN2 − ln V), exact
+    thanks to the shared deterministic ln primitive. Both engines
+    branch on bit-identical doubles and exact integers."""
+    shl1 = _shl("CAST(1 AS BIGINT)", _SK04_K, duck)
+    steps = [
+        ("vreg", f"({_SK04_M} - n_used)"),
+        (
+            "raw",
+            f"({_SK04_ALPHA}e0 * {_SK04_M} * {_SK04_M}"
+            f" * CAST({shl1} AS DOUBLE)"
+            f" / (s_present + vreg * {shl1}))",
+        ),
+    ]
+    steps += _ln_steps("greatest(vreg, 1)", "ln_v", duck)
+    steps.append(
+        (
+            "est",
+            f"(CASE WHEN raw <= 2.5e0 * {_SK04_M} AND vreg > 0"
+            f" THEN {_SK04_M}.0e0 * (6.0e0 * {_LN2_LIT} - ln_v)"
+            " ELSE raw END)",
+        )
+    )
+    steps.append(
+        ("lc_used", f"(raw <= 2.5e0 * {_SK04_M} AND vreg > 0)")
+    )
+    return steps
+
+
+def _sk04_sql() -> str:
+    est_ctes = ",\n    ".join(
+        f"e{i} AS (SELECT *, {expr} AS {name} FROM e{i - 1})"
+        for i, (name, expr) in enumerate(_sk04_est_steps(True), start=1)
+    )
+    last = f"e{len(_sk04_est_steps(True))}"
+    b = _SK04_BOUND_PCT
+    return f"""
+    WITH u AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS k
+               FROM orders),
+    pr AS (SELECT DISTINCT p FROM u),
+    pairs AS (SELECT a.p AS pa, b.p AS pb FROM pr a JOIN pr b
+              ON a.p <= b.p),
+    h AS (SELECT p, k, {sql_h32("CAST(k AS VARCHAR)")} AS hv FROM u),
+    r AS (SELECT p, hv % {_SK04_M} AS reg,
+                 CASE WHEN hv // {_SK04_M} = 0 THEN 27
+                      ELSE CAST(bit_count(((hv // {_SK04_M})
+                                           & -(hv // {_SK04_M})) - 1)
+                                AS BIGINT) + 1 END AS rho
+          FROM h),
+    rs AS (SELECT p, reg, max(rho) AS m FROM r GROUP BY 1, 2),
+    ru AS (SELECT pa, pb, reg, max(m) AS m
+           FROM (SELECT pairs.pa, pairs.pb, rs.reg, rs.m
+                 FROM rs JOIN pairs ON rs.p = pairs.pa
+                 UNION ALL
+                 SELECT pairs.pa, pairs.pb, rs.reg, rs.m
+                 FROM rs JOIN pairs ON rs.p = pairs.pb)
+           GROUP BY 1, 2, 3),
+    e0 AS (SELECT pa, pb,
+                  CAST(count(*) AS BIGINT) AS n_used,
+                  CAST(sum(CAST(1 AS BIGINT) << ({_SK04_K} - m))
+                       AS BIGINT) AS s_present
+           FROM ru GROUP BY 1, 2),
+    {est_ctes},
+    est AS (SELECT pa, pb, est, lc_used FROM {last}),
+    ex AS (SELECT pa, pb, CAST(count(DISTINCT k) AS BIGINT) AS n
+           FROM (SELECT pairs.pa, pairs.pb, u.k
+                 FROM u JOIN pairs ON u.p = pairs.pa
+                 UNION
+                 SELECT pairs.pa, pairs.pb, u.k
+                 FROM u JOIN pairs ON u.p = pairs.pb)
+           GROUP BY 1, 2)
+    SELECT x.pa, x.pb,
+           ea.n AS n_a, eb.n AS n_b, x.n AS n_union,
+           ea.n + eb.n - x.n AS n_inter,
+           round(sa.est + 1e-6, 2) AS est_a,
+           round(sb.est + 1e-6, 2) AS est_b,
+           round(su.est + 1e-6, 2) AS est_union,
+           round((sa.est + sb.est - su.est) + 1e-6, 2) AS est_inter,
+           round(abs(su.est - x.n) / x.n + 1e-6, 4) AS union_rel_err,
+           (abs(su.est - x.n) * 100 <= {b}e0 * x.n) AS union_within_bound,
+           round(abs((sa.est + sb.est - su.est) - (ea.n + eb.n - x.n))
+                 / x.n + 1e-6, 4) AS inter_err_vs_union,
+           (abs((sa.est + sb.est - su.est) - (ea.n + eb.n - x.n)) * 100
+            <= {b}e0 * x.n) AS inter_within_bound,
+           (sa.lc_used OR sb.lc_used OR su.lc_used) AS lc_used
+    FROM ex x
+    JOIN ex ea ON ea.pa = x.pa AND ea.pb = x.pa
+    JOIN ex eb ON eb.pa = x.pb AND eb.pb = x.pb
+    JOIN est sa ON sa.pa = x.pa AND sa.pb = x.pa
+    JOIN est sb ON sb.pa = x.pb AND sb.pb = x.pb
+    JOIN est su ON su.pa = x.pa AND su.pb = x.pb
+    WHERE x.pa < x.pb
+    """
+
+
+@query("sk04_set_op_sketches", oracle=_sk04_sql, ops=("SKETCH-SETOPS",))
+def sk04_set_op_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from MERGEABLE sketches — the
+    audience-overlap query (theta-sketch territory: Druid/DataSketches
+    set algebra) that makes sketch mergeability USEFUL beyond single
+    counts: for every pair of order priorities, estimate
+    |A∪B| from the register-wise MAX of the two per-priority HLLs
+    (union of sketches == sketch of union, the sk02 identity) and
+    |A∩B| by inclusion-exclusion — next to the exact counts and two
+    verified error gates (union within {_SK04_BOUND_PCT}% of exact;
+    intersection error within {_SK04_BOUND_PCT}% OF THE UNION — the
+    honest error model: inclusion-exclusion error scales with the
+    union, which is why real theta sketches exist).
+
+    A single set rides the same machinery as the pair (p, p) — one
+    estimator chain serves all 15 sketches. The estimator carries the
+    STANDARD small-range branch (raw <= 2.5m with empty registers →
+    linear counting m·ln(m/V)) — previously impossible under the
+    no-libm rule and now exact via the shared deterministic ln
+    primitive (ix02/pii04's `_ln_steps`); sf0.001 genuinely exercises
+    the branch (sets of ~130 keys over m=64), sf0.01+ the raw branch,
+    and `lc_used` reports which fired.
+
+    Scale shape (100 TB): the sketch build is one distinct projection
+    + one map-side-combinable MAX into 64 registers per set — KBs of
+    state regardless of key cardinality; all set algebra then runs on
+    the register DICTIONARY (15 sketches × 64 rows). The exact legs
+    exist to certify the estimates and drop in production — exactly
+    sk02/sk03's audit convention."""
+    u = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_custkey").alias("k"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    pr = u.select("p").distinct()
+    pairs = (
+        pr.select(F.col("p").alias("pa"))
+        .join(pr.select(F.col("p").alias("pb")), F.col("pa") <= F.col("pb"))
+        .localCheckpoint()
+    )
+    hv = u.select("p", h32(F.col("k").cast("string")).alias("hv"))
+    r = hv.select(
+        "p",
+        (F.col("hv") % _SK04_M).alias("reg"),
+        F.expr(
+            f"CASE WHEN hv DIV {_SK04_M} = 0 THEN 27"
+            f" ELSE CAST(bit_count(((hv DIV {_SK04_M})"
+            f" & -(hv DIV {_SK04_M})) - 1) AS BIGINT) + 1 END"
+        ).alias("rho"),
+    )
+    rs = (
+        r.groupBy("p", "reg").agg(F.max("rho").alias("m")).localCheckpoint()
+    )
+    ru = (
+        rs.join(F.broadcast(pairs), rs["p"] == pairs["pa"])
+        .select("pa", "pb", "reg", "m")
+        .unionByName(
+            rs.join(F.broadcast(pairs), rs["p"] == pairs["pb"]).select(
+                "pa", "pb", "reg", "m"
+            )
+        )
+        .groupBy("pa", "pb", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    sk = ru.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SK04_K} - m)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    for name, expr in _sk04_est_steps(duck=False):
+        sk = sk.withColumn(name, F.expr(expr))
+    est = sk.select("pa", "pb", "est", "lc_used").localCheckpoint()
+    ex = (
+        u.join(F.broadcast(pairs), u["p"] == pairs["pa"])
+        .select("pa", "pb", "k")
+        .unionByName(
+            u.join(F.broadcast(pairs), u["p"] == pairs["pb"]).select(
+                "pa", "pb", "k"
+            )
+        )
+        .distinct()
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+
+    def _leg(df, cols, conds):
+        out = df
+        for c, new in cols.items():
+            out = out.withColumnRenamed(c, new)
+        return F.broadcast(out.filter(conds) if conds is not None else out)
+
+    x = ex.filter(F.col("pa") < F.col("pb"))
+    ea = ex.filter(F.col("pa") == F.col("pb")).select(
+        F.col("pa").alias("sa_p"), F.col("n").alias("n_a")
+    )
+    eb = ex.filter(F.col("pa") == F.col("pb")).select(
+        F.col("pa").alias("sb_p"), F.col("n").alias("n_b")
+    )
+    sa = est.filter(F.col("pa") == F.col("pb")).select(
+        F.col("pa").alias("ea_p"),
+        F.col("est").alias("est_a_raw"),
+        F.col("lc_used").alias("lc_a"),
+    )
+    sb = est.filter(F.col("pa") == F.col("pb")).select(
+        F.col("pa").alias("eb_p"),
+        F.col("est").alias("est_b_raw"),
+        F.col("lc_used").alias("lc_b"),
+    )
+    su = est.select(
+        F.col("pa").alias("su_pa"),
+        F.col("pb").alias("su_pb"),
+        F.col("est").alias("est_u_raw"),
+        F.col("lc_used").alias("lc_u"),
+    )
+    j = (
+        x.join(F.broadcast(ea), F.col("sa_p") == F.col("pa"))
+        .join(F.broadcast(eb), F.col("sb_p") == F.col("pb"))
+        .join(F.broadcast(sa), F.col("ea_p") == F.col("pa"))
+        .join(F.broadcast(sb), F.col("eb_p") == F.col("pb"))
+        .join(
+            F.broadcast(su),
+            (F.col("su_pa") == F.col("pa"))
+            & (F.col("su_pb") == F.col("pb")),
+        )
+    )
+    ei = F.col("est_a_raw") + F.col("est_b_raw") - F.col("est_u_raw")
+    ni = F.col("n_a") + F.col("n_b") - F.col("n")
+    b = _SK04_BOUND_PCT
+    return j.select(
+        "pa",
+        "pb",
+        "n_a",
+        "n_b",
+        F.col("n").alias("n_union"),
+        ni.alias("n_inter"),
+        _r(F.col("est_a_raw"), 2).alias("est_a"),
+        _r(F.col("est_b_raw"), 2).alias("est_b"),
+        _r(F.col("est_u_raw"), 2).alias("est_union"),
+        _r(ei, 2).alias("est_inter"),
+        _r(F.abs(F.col("est_u_raw") - F.col("n")) / F.col("n"), 4).alias(
+            "union_rel_err"
+        ),
+        (
+            F.abs(F.col("est_u_raw") - F.col("n")) * 100
+            <= F.expr(f"{b}e0") * F.col("n")
+        ).alias("union_within_bound"),
+        _r(F.abs(ei - ni) / F.col("n"), 4).alias("inter_err_vs_union"),
+        (F.abs(ei - ni) * 100 <= F.expr(f"{b}e0") * F.col("n")).alias(
+            "inter_within_bound"
+        ),
+        (F.col("lc_a") | F.col("lc_b") | F.col("lc_u")).alias("lc_used"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts04: EWMA anomaly detection — truncated recurrence with literal weights
+# ---------------------------------------------------------------------------
+#: smoothing factor and truncation depth: alpha=0.25 over the previous
+#: 16 points carries 99% of the untruncated EWMA mass (0.75^16 ~ 1%)
+_TS04_ALPHA = 0.25
+_TS04_LAGS = 16
+#: python-computed weight literals embedded VERBATIM in both engines —
+#: the rk03 discount-table pattern; libm pow never runs engine-side
+_TS04_W = [repr(_TS04_ALPHA * (1.0 - _TS04_ALPHA) ** k) for k in range(_TS04_LAGS)]
+#: anomaly cut: |residual| > 3 sigma (sigma from exact integer moments
+#: of the cent-quantized residuals)
+_TS04_NSIGMA = "3.0e0"
+
+
+def _ts04_terms(over: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL for the truncated EWMA of the
+    PREVIOUS {_TS04_LAGS} values — NULL lags (series head) drop out of
+    both sums, renormalizing the window; identical fixed-order text in
+    both engines apart from the window reference."""
+    num = " + ".join(
+        f"(CASE WHEN lag(v, {k + 1}) OVER {over} IS NULL THEN 0.0e0"
+        f" ELSE {w} * lag(v, {k + 1}) OVER {over} END)"
+        for k, w in enumerate(_TS04_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {k + 1}) OVER {over} IS NULL THEN 0.0e0"
+        f" ELSE {w} END)"
+        for k, w in enumerate(_TS04_W)
+    )
+    return num, den
+
+
+_TS04_SIGMA = (
+    "(sqrt((CAST(sr2 AS DOUBLE) * n - CAST(sr AS DOUBLE) * sr)"
+    " / (CAST(n AS DOUBLE) * (n - 1))) / 100.0e0)"
+)
+
+
+def _ts04_sql() -> str:
+    num, den = _ts04_terms("w")
+    return f"""
+    WITH e AS (SELECT event_type AS et, event_id AS eid, value AS v,
+                      epoch_us(ts) AS us
+               FROM events),
+    l AS (SELECT et, eid, us, v, {num} AS num, {den} AS den
+          FROM e WINDOW w AS (PARTITION BY et ORDER BY us, eid)),
+    s AS (SELECT et, eid, us, v, v - num / den AS res
+          FROM l WHERE den > 0.0e0),
+    q AS (SELECT *, CAST(floor(res * 100.0e0) AS BIGINT) AS rc FROM s),
+    st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(rc) AS BIGINT) AS sr,
+                  CAST(sum(rc * rc) AS BIGINT) AS sr2
+           FROM q GROUP BY 1),
+    sg AS (SELECT et, n, {_TS04_SIGMA} AS sigma FROM st),
+    f AS (SELECT q.et, q.us, q.eid, q.res, sg.n, sg.sigma,
+                 (abs(q.res) > {_TS04_NSIGMA} * sg.sigma) AS anom
+          FROM q JOIN sg ON sg.et = q.et)
+    SELECT et AS event_type,
+           CAST(max(n) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           round(CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS DOUBLE)
+                 / max(n) + 1e-6, 4) AS anomaly_rate,
+           round(max(sigma) + 1e-6, 4) AS sigma,
+           struct_extract(max(struct_pack(a := abs(res), us := us,
+                                          eid := eid)), 'us') AS worst_us,
+           round(struct_extract(max(struct_pack(a := abs(res), us := us,
+                                                eid := eid)), 'a')
+                 + 1e-6, 4) AS worst_abs_res
+    FROM f GROUP BY 1
+    """
+
+
+@query("ts04_ewma_anomaly", oracle=_ts04_sql, ops=("TS-ANOMALY",))
+def ts04_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection by EWMA residuals — the control-
+    chart pass (EWMA chart, Roberts 1959; the Prometheus/monitoring
+    baseline) a telemetry pipeline runs over every series: each point
+    is scored against the exponentially-weighted mean of its previous
+    {_TS04_LAGS} points, and a point whose residual exceeds
+    {_TS04_NSIGMA}·sigma of the series' residual distribution flags as
+    an anomaly. Per series: scored count, anomaly count/rate, the
+    residual sigma and the worst offender (arg-max |residual| with the
+    (us, event_id) tiebreak — the j10 move).
+
+    Exactness: the EWMA is a TRUNCATED recurrence — {_TS04_LAGS}
+    lag() terms with PYTHON-COMPUTED weight literals embedded verbatim
+    in both engines (the rk03 pattern; engine-side pow never runs),
+    NULL head-lags dropping out of numerator AND denominator (exact
+    renormalization at the series head); sigma comes from exact
+    BIGINT moments of cent-quantized residuals through one fixed-order
+    double expression (sqrt is IEEE-correctly-rounded, so it is safe
+    where libm ln/pow are not); the flag compares bit-identical
+    doubles.
+
+    Scale shape (100 TB): one series-partitioned window pass computes
+    every score (the lag terms share ONE window frame — no self-join,
+    no per-point subquery), one keyed aggregate builds the per-series
+    moments, and the flag pass joins the 5-row stats dim back as a
+    broadcast. State per series is {_TS04_LAGS} lag slots — the same
+    bound a streaming EWMA would carry."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("et"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+        F.expr(_EPOCH_US).alias("us"),
+    )
+    over = "(PARTITION BY et ORDER BY us, eid)"
+    num, den = _ts04_terms(over)
+    s = (
+        e.withColumn("num", F.expr(num))
+        .withColumn("den", F.expr(den))
+        .filter(F.col("den") > 0.0)
+        .withColumn("res", F.col("v") - F.col("num") / F.col("den"))
+        .withColumn(
+            "rc", F.expr("CAST(floor(res * 100.0e0) AS BIGINT)")
+        )
+        .localCheckpoint()
+    )
+    sg = (
+        s.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("rc").cast("bigint").alias("sr"),
+            F.sum(F.col("rc") * F.col("rc")).cast("bigint").alias("sr2"),
+        )
+        .select("et", "n", F.expr(_TS04_SIGMA).alias("sigma"))
+    )
+    f = s.join(F.broadcast(sg), "et").withColumn(
+        "anom", F.abs(F.col("res")) > F.expr(_TS04_NSIGMA) * F.col("sigma")
+    )
+    return f.groupBy(F.col("et").alias("event_type")).agg(
+        F.max("n").cast("bigint").alias("n_scored"),
+        F.sum(F.col("anom").cast("int")).cast("bigint").alias("n_anomalies"),
+        _r(
+            F.sum(F.col("anom").cast("int")).cast("double") / F.max("n"), 4
+        ).alias("anomaly_rate"),
+        _r(F.max("sigma"), 4).alias("sigma"),
+        F.max(
+            F.struct(F.abs(F.col("res")).alias("a"), "us", "eid")
+        )["us"].alias("worst_us"),
+        _r(
+            F.max(
+                F.struct(F.abs(F.col("res")).alias("a"), "us", "eid")
+            )["a"],
+            4,
+        ).alias("worst_abs_res"),
+    )

@@ -1641,3 +1641,46 @@ def test_qf02_calibration_is_one_scan_bin_aggregate(spark, sf_dir):
     assert "Join" not in plan, plan
     windows = _parse_windows(plan)
     assert len(windows) == 1 and windows[0][0] == "", windows
+
+
+def test_sk04_set_algebra_runs_on_register_dictionary(spark, sf_dir):
+    """The set-op sketch's scale contract: after the one distinct
+    projection + register MAX, everything (pair unions, estimators,
+    the final 10-row assembly) runs on checkpointed dictionaries
+    joined as broadcasts — no shuffle join, no cartesian blowup."""
+    plan = _plan(spark, sf_dir, "sk04_set_op_sketches")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ts04_ewma_is_one_series_window_pass(spark, sf_dir):
+    """The control chart's scale contract: every lag term shares ONE
+    series-partitioned window (no self-join, no per-point subquery);
+    the stats dim joins back as a broadcast onto the checkpointed
+    scored table."""
+    plan = _plan(spark, sf_dir, "ts04_ewma_anomaly")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the scored table is eagerly checkpointed (it feeds both the
+    # moments aggregate and the flag join), so the WINDOW ran at build
+    # — the final plan reads the checkpoint and broadcast-joins the
+    # 5-row stats dim; any window still visible must be et-partitioned
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert all("et" in p for p, _ in _parse_windows(plan)), plan
+    import inspect
+
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans import (
+        training_queries as tq,
+    )
+
+    # every lag term shares the ONE series window spec
+    num, den = tq._ts04_terms("(PARTITION BY et ORDER BY us, eid)")
+    # two lag references per term (the NULL guard + the weighted value)
+    assert (
+        num.count("OVER (PARTITION BY et ORDER BY us, eid)")
+        == 2 * tq._TS04_LAGS
+    )
+    src = inspect.getsource(tq.ts04_ewma_anomaly)
+    assert src.count("localCheckpoint") == 1

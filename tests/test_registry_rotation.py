@@ -28,6 +28,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "ts03_lttb_downsample",
     "pii04_dp_counts",
     "qf02_calibration_audit",
+    "sk04_set_op_sketches",
+    "ts04_ewma_anomaly",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r11 — the
@@ -56,11 +58,9 @@ SINGLE_GREEN = {
 DOUBLE_GREEN = {
     "dd16_url_dedup",
     "rk03_ndcg",
-    "mm05_pair_dedup",
     "w06_sliding_window",
     "a18_rollup_cube",
     "u13_unpivot_long",
-    "gr01_integer_pagerank",
     "j07_grid_spatial_join",
     "lm02_crossentropy_buckets",
     "qf01_linear_quality_classifier",
