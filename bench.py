@@ -43,6 +43,10 @@ Bench notes (round-over-round context for the judge):
   The eight r12 additions cost ~10 s total (rk01_bm25 2.7 s — it
   rebuilds ix01's index per run; sk04 2.0, ix02 1.6, sk03 1.3,
   ts03 1.1, ts04 1.0, qf02 0.8, pii04 0.3).
+- r12 scale-smoke re-run (K=8, post-additions): summary ok — worst op
+  nn06_residual_ivfpq_arrow at 5.7x vs its 16x linear bound (0.36 of
+  bound); the new document ops measure ix02 2.4x / qf02 4.1x /
+  ix01 3.1x; skew fallback 2.06x speedup, skew_ok true.
 - tk02_bpe_trainer wall-clock (r10 item 5 / r11 watch item, CLOSED
   r12 as measured-irreducible): per-round instrumentation at sf0.1
   shows the dictionary is 31 rows after round 0 (the ^[a-z]+$ filter)
