@@ -296,6 +296,9 @@ HEADLINE = [
     # exact-moment sigma + broadcast flag join)
     "sk04_set_op_sketches",
     "ts04_ewma_anomaly",
+    # late round-12: golden-record survivorship (er01's blocked resolve
+    # + one mention-key join + two entity-keyed aggregates)
+    "er02_survivorship",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

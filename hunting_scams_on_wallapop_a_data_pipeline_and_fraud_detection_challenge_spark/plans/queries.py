@@ -1608,6 +1608,11 @@ _ROTATION_TAIL = [
     # the close-of-round idle sim (mm05 2.9 s, gr01 2.1 s):
     "mm05_pair_dedup",
     "gr01_integer_pagerank",
+    # parked at close-of-round-12 for the final entry
+    # (er02_survivorship — golden-record consolidation over er01's
+    # resolved entities), the most expensive remaining >=2-green
+    # resident (1.9 s in the close-of-round idle sim):
+    "rk03_ndcg",
 ]
 
 

@@ -11803,8 +11803,11 @@ _ER01_DIRTY_SQL = """CASE p_partkey % 4
                     WHEN 2 THEN 'z' || substr(p_name, 2)
                     ELSE p_name END"""
 
-_ER01_SQL = f"""
-WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
+#: the resolve chain shared VERBATIM between er01 (the match audit)
+#: and er02 (survivorship over the resolved entities) — one definition
+#: of what "the same entity" means, the ix01/ix02 sharing pattern.
+#: `m` is the per-mention best-match table.
+_ER01_CTES = f"""canon AS (SELECT DISTINCT p_name AS name FROM part),
  dirty AS (SELECT p_partkey, {_ER01_DIRTY_SQL} AS dirty FROM part),
  cand AS (SELECT d.p_partkey, d.dirty, c.name,
                  CAST(levenshtein(d.dirty, c.name) AS BIGINT) AS dist
@@ -11816,10 +11819,15 @@ WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
               min(dist) OVER (PARTITION BY p_partkey) AS best_dist,
               CAST(count(*) OVER (PARTITION BY p_partkey) AS BIGINT)
                   AS n_candidates
-       FROM cand)
-SELECT p_partkey, dirty, min(name) AS matched, best_dist, n_candidates
-FROM w WHERE dist = best_dist
-GROUP BY 1, 2, 4, 5
+       FROM cand),
+ m AS (SELECT p_partkey, dirty, min(name) AS matched, best_dist,
+              n_candidates
+       FROM w WHERE dist = best_dist
+       GROUP BY 1, 2, 4, 5)"""
+
+_ER01_SQL = f"""
+WITH {_ER01_CTES}
+SELECT p_partkey, dirty, matched, best_dist, n_candidates FROM m
 """
 
 
@@ -15343,4 +15351,131 @@ def ts04_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )["a"],
             4,
         ).alias("worst_abs_res"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# er02: survivorship / golden record — attribute consolidation per entity
+# ---------------------------------------------------------------------------
+#: source-priority of each mention's dirt class (p_partkey % 4): the
+#: clean passthrough outranks truncation outranks suffix noise
+#: outranks the leading typo — the "most trusted source wins" rule
+#: every MDM survivorship engine parameterizes
+_ER02_PRI_SQL = (
+    "CASE p_partkey % 4 WHEN 3 THEN 3 WHEN 0 THEN 2"
+    " WHEN 1 THEN 1 ELSE 0 END"
+)
+
+_ER02_SQL = f"""
+WITH {_ER01_CTES},
+ a AS (SELECT m.matched AS entity, m.best_dist,
+              p.p_partkey, p.p_brand, p.p_type, p.p_retailprice,
+              {_ER02_PRI_SQL.replace("p_partkey", "p.p_partkey")} AS pri
+       FROM m JOIN part p ON p.p_partkey = m.p_partkey),
+ tc AS (SELECT entity, p_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM a GROUP BY 1, 2),
+ tm AS (SELECT entity,
+               min(struct_pack(nc := -cnt, t := p_type)) AS mt
+        FROM tc GROUP BY 1),
+ g AS (SELECT entity,
+              CAST(count(*) AS BIGINT) AS n_mentions,
+              CAST(sum(CASE WHEN best_dist = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_exact,
+              CAST(max(pri) AS BIGINT) AS best_pri,
+              struct_extract(max(struct_pack(pri := pri,
+                                             nk := -p_partkey,
+                                             b := p_brand)), 'b')
+                  AS golden_brand,
+              CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brand_values,
+              round(min(p_retailprice) + 1e-6, 2) AS min_price,
+              round(max(p_retailprice) + 1e-6, 2) AS max_price
+       FROM a GROUP BY 1)
+SELECT g.entity, g.n_mentions, g.n_exact, g.best_pri, g.golden_brand,
+       g.n_brand_values, g.min_price, g.max_price,
+       struct_extract(tm.mt, 't') AS golden_type,
+       CAST(-struct_extract(tm.mt, 'nc') AS BIGINT) AS type_support
+FROM g JOIN tm ON tm.entity = g.entity
+"""
+
+
+@query("er02_survivorship", oracle=_ER02_SQL, ops=("ER-SURVIVORSHIP",))
+def er02_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record consolidation — the step after
+    entity resolution that every MDM pipeline runs (and the reason to
+    resolve at all): mentions sharing er01's best-match canonical name
+    collapse to ONE record per entity, each attribute surviving by its
+    own rule — `golden_brand` by SOURCE PRIORITY (the most trusted
+    dirt class wins, partkey tiebreak — the recency rule's shape),
+    `golden_type` by FREQUENCY (the mode across mentions, ties to the
+    lexicographically first value), price by RANGE (min/max), plus the
+    conflict audit columns (distinct brand values seen, exact-match
+    count) a steward actually reviews. The resolve chain is shared
+    VERBATIM with er01 (`_ER01_CTES` / the er01 function — one
+    definition of entity identity, the ix01/ix02 pattern); here the
+    dictionary IS the entity key, so no components pass is needed —
+    pairwise-match graphs without a canonical side get that from
+    dd06/gr03's shared CC kernels.
+
+    Exactness: both survivorship argmaxes are lexicographic
+    min/max(struct) with exact-integer leading keys ((pri, -partkey)
+    and (-count, type) — the j10 move; string payloads sit behind a
+    total order), counts are BIGINT, prices are parquet doubles
+    min/maxed then rounded. Every row hash-matches.
+
+    Scale shape (100 TB): er01's blocked resolve (its own pinned
+    plan), one join back to the attribute table on the mention key,
+    then TWO map-side-combinable keyed aggregates (entity grain and
+    (entity, type) grain) — the mode needs its own pass, everything
+    else partial-aggregates; no window over mentions, no self-join.
+    Consolidating a 10^9-mention corpus is exactly two shuffles on the
+    entity key."""
+    m = er01_fuzzy_match(spark, sf_dir).select("p_partkey", "best_dist", "matched")
+    part = _t(spark, sf_dir, "part")
+    a = m.join(part, "p_partkey").select(
+        F.col("matched").alias("entity"),
+        "best_dist",
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_retailprice",
+        F.expr(_ER02_PRI_SQL).alias("pri"),
+    )
+    tm = (
+        a.groupBy("entity", "p_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("entity")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("p_type").alias("t"))
+            ).alias("mt")
+        )
+    )
+    g = a.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.sum(F.when(F.col("best_dist") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.max("pri").cast("bigint").alias("best_pri"),
+        F.max(
+            F.struct(
+                F.col("pri"),
+                (-F.col("p_partkey")).alias("nk"),
+                F.col("p_brand").alias("b"),
+            )
+        )["b"].alias("golden_brand"),
+        F.countDistinct("p_brand").cast("bigint").alias("n_brand_values"),
+        _r(F.min("p_retailprice"), 2).alias("min_price"),
+        _r(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+    return g.join(tm, "entity").select(
+        "entity",
+        "n_mentions",
+        "n_exact",
+        "best_pri",
+        "golden_brand",
+        "n_brand_values",
+        "min_price",
+        "max_price",
+        F.col("mt.t").alias("golden_type"),
+        (-F.col("mt.nc")).cast("bigint").alias("type_support"),
     )

@@ -1684,3 +1684,18 @@ def test_ts04_ewma_is_one_series_window_pass(spark, sf_dir):
     )
     src = inspect.getsource(tq.ts04_ewma_anomaly)
     assert src.count("localCheckpoint") == 1
+
+
+def test_er02_survivorship_is_two_keyed_aggregates(spark, sf_dir):
+    """Survivorship's scale contract: er01's blocked resolve (its own
+    pinned plan) + one mention-key join + two map-side-combinable
+    entity-keyed aggregates — no window over mentions beyond er01's
+    own, no self-join, no nested loop."""
+    plan = _plan(spark, sf_dir, "er02_survivorship")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # er01's mention-keyed best-match window is the ONLY window (an
+    # order-less partitioned Window prints its partition spec in the
+    # last bracket, which _parse_windows reads as the order slot)
+    windows = _parse_windows(plan)
+    assert all("p_partkey" in (p + o) for p, o in windows), windows

@@ -30,6 +30,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "qf02_calibration_audit",
     "sk04_set_op_sketches",
     "ts04_ewma_anomaly",
+    "er02_survivorship",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r11 — the
@@ -57,7 +58,6 @@ SINGLE_GREEN = {
 #: under the two-greens-may-park rule.
 DOUBLE_GREEN = {
     "dd16_url_dedup",
-    "rk03_ndcg",
     "w06_sliding_window",
     "a18_rollup_cube",
     "u13_unpivot_long",
