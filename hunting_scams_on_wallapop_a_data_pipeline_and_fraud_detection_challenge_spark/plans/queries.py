@@ -1345,11 +1345,13 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            with room; heaviest residents gr03 3.0 s / mm05 2.9 s /
 #            ds13 2.6 s; the five r12 arrivals sum to ~6 s (sk03 1.8 s
 #            after its lineage-cut fix — see the sk03 docstring).
-#            LATE round-12 the registry grew 161 -> 163 (sk04 theta
-#            set-op sketches, ts04 EWMA anomaly) funded by mm05/gr01;
-#            final 163/163-green sim puts the window at 54.3 s
-#            (sk04 2.6 s + ts04 1.6 s in, mm05 2.9 + gr01 2.1 out,
-#            plus run-to-run drift) — still half the r11 close.
+#            LATE round-12 the registry grew 161 -> 164 (sk04 theta
+#            set-op sketches, ts04 EWMA anomaly, er02 survivorship)
+#            funded by mm05/gr01/rk03; the 163-entry sim put the
+#            window at 54.3 s (sk04 2.6 s + ts04 1.6 s in, mm05 2.9 +
+#            gr01 2.1 out) and er02 adds ~1.3 s against rk03's 1.9 s
+#            park — still about half the r11 close, and the final
+#            full-registry sim is 164/164 green.
 #   round 13+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
 #            entry with <2 green rows inside the window until it has two.
