@@ -5,6 +5,8 @@ TakeOrdered-style top-k instead of global sorts."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.queries import (
@@ -1562,20 +1564,47 @@ def test_ds13_mmr_shortlist_is_takeordered_pairwise_bounded(spark, sf_dir):
 
 
 def test_ix02_serving_reads_postings_not_corpus(spark, sf_dir):
-    """BM25 serving's scale contract (VERDICT r11 item 2: a plan that
-    READS the index): the posting side of the serving join is the
-    materialized localCheckpoint of ix01's build (Scan ExistingRDD in
-    the executed plan — in production a stored index table), so the
-    only PARQUET scan in the plan is the bounded query block; ranking
-    is a query-PARTITIONED window (never a global sort), and nothing
-    nested-loops."""
+    """BM25 serving's scale contract (VERDICT r11 item 2 asked for a
+    plan that READS the index; VERDICT r12 item 2 asked for it to read
+    a STORED artifact, not an in-session checkpoint): the posting side
+    of the serving join is ix03's parquet index artifact, so the plan
+    scans exactly TWO parquet sources — the bounded query block and
+    the vocabulary-sized stored index — and never the corpus text
+    (no tokenize/explode anywhere); ranking is a query-PARTITIONED
+    window (never a global sort), and nothing nested-loops."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ix03_artifact_path,
+    )
+
+    artifact = _ix03_artifact_path(spark, sf_dir)
     plan = _plan(spark, sf_dir, "ix02_bm25_topk")
-    assert "Scan ExistingRDD" in plan, plan  # the checkpointed postings
-    assert plan.count("Scan parquet") == 1, plan  # query block only
+    assert "Scan ExistingRDD" not in plan, plan  # stored, not checkpointed
+    assert plan.count("Scan parquet") == 2, plan  # query block + index
+    assert os.path.basename(artifact) in plan, plan  # one IS the artifact
+    # the corpus is never re-tokenized at serving time: the only
+    # explode is the bounded query block's term fanout
+    assert plan.count("Generate") <= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     windows = _parse_windows(plan)
     assert windows and all(p for p, _ in windows), windows
+
+
+def test_ix03_audit_is_bucket_aggregate_over_stored_artifact(spark, sf_dir):
+    """The stored-index audit's scale contract: ONE parquet scan (the
+    artifact — never the corpus), one bucket-keyed map-side-combinable
+    aggregate, no joins, no windows."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _ix03_artifact_path,
+    )
+
+    artifact = _ix03_artifact_path(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "ix03_index_artifact")
+    assert plan.count("Scan parquet") == 1, plan
+    assert os.path.basename(artifact) in plan, plan
+    assert "Join" not in plan, plan
+    assert _parse_windows(plan) == [], plan
+    assert "partial" in plan.lower(), plan  # map-side combine visible
 
 
 def test_sk03_sketch_build_is_keyed_integer_aggregate(spark, sf_dir):
