@@ -310,6 +310,13 @@ HEADLINE = [
     # carries the one-time write exactly once per bench process and
     # ix03/rk01_bm25 time the steady-state serve.
     "ix03_index_artifact",
+    # round-13: the truncated Holt level+trend forecaster (one
+    # series-partitioned window pass + broadcast flag join), er01's
+    # blocking-recall certification (bounded-stratum exact leg), and
+    # the operating-point selection over qf02's bin dictionary
+    "ts05_holt_forecast",
+    "er03_blocking_recall",
+    "qf03_operating_point",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

@@ -1352,14 +1352,26 @@ from . import domain_queries  # noqa: E402,F401  (registers on import)
 #            gr01 2.1 out) and er02 adds ~1.3 s against rk03's 1.9 s
 #            park — still about half the r11 close, and the final
 #            full-registry sim is 164/164 green.
-#   round 13+ rotate a different set of multi-greens back (use
+#   round 13 tail: the r12 tail plus FOUR parks funding the round's
+#            four new entries one-for-one (ix03_index_artifact — the
+#            stored BM25 index write-leg, ts05_holt_forecast,
+#            er03_blocking_recall, qf03_operating_point):
+#            dd16_url_dedup 2.42 s, lm02_crossentropy_buckets 2.32 s,
+#            j08_interval_overlap_join 2.19 s, a19_robust_zscore
+#            2.12 s — the four most expensive in-window entries with
+#            >=3 greens in the round-13 idle sf0.01 sim. ALL 8 r12
+#            arrivals (ix02, sk03, ts03, pii04, qf02, sk04, ts04,
+#            er02 — single-green) stay in-window for their second
+#            greens per the <2-green rule, and the 9 r11 arrivals
+#            (double-green after r12) stay for thirds. x19 keeps the
+#            tail-head leftover slot (49 non-parked + x19 = 50).
+#   round 14+ rotate a different set of multi-greens back (use
 #            `python scripts/gen_coverage.py --propose-tail`); keep any
-#            entry with <2 green rows inside the window until it has two.
-#            The five r12 arrivals (ix02, sk03, ts03, pii04, qf02) and
-#            the nine r11 arrivals (now double-green if r12 lands) are
-#            the window's accumulation stock; parking candidates next
-#            round: mm05 2.9 s, gr01 2.1 s, a19, er01 (all multi-green
-#            by then).
+#            entry with <2 green rows inside the window until it has
+#            two. Parking candidates next round: the remaining 3-green
+#            stock (er01 1.15 s, dq02 1.80 s, dq01 1.44 s, j07 1.41 s,
+#            cdc02 1.36 s, ivm01 1.32 s) and the r11 arrivals once
+#            their thirds land.
 #
 # Union after round 3: every oracle-backed entry has ≥1 green row in
 # r01∪r02∪r03 (a01b is rows-only by design — it has driver rows, never a
@@ -1615,6 +1627,21 @@ _ROTATION_TAIL = [
     # resolved entities), the most expensive remaining >=2-green
     # resident (1.9 s in the close-of-round idle sim):
     "rk03_ndcg",
+    # parked round-13, one-for-one for the round's four new entries
+    # (ix03_index_artifact — the stored BM25 index write-leg +
+    # read-back audit, ts05_holt_forecast — truncated Holt
+    # level+trend with the naive-baseline gate, er03_blocking_recall
+    # — er01's blocking certified against exact ground truth on a
+    # bounded stratum, qf03_operating_point — threshold selection
+    # from qf02's reliability table), chosen as the four most
+    # expensive in-window entries with >=3 green rows in this round's
+    # idle sf0.01 sim (dd16 2.42 s, lm02 2.32 s, j08 2.19 s,
+    # a19 2.12 s); the 8 r12 arrivals and 9 r11 arrivals stay
+    # in-window per the <2-green/accumulation rule:
+    "dd16_url_dedup",
+    "lm02_crossentropy_buckets",
+    "j08_interval_overlap_join",
+    "a19_robust_zscore",
 ]
 
 

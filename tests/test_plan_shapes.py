@@ -1728,3 +1728,51 @@ def test_er02_survivorship_is_two_keyed_aggregates(spark, sf_dir):
     # last bracket, which _parse_windows reads as the order slot)
     windows = _parse_windows(plan)
     assert all("p_partkey" in (p + o) for p, o in windows), windows
+
+
+def test_ts05_holt_is_one_series_window_pass(spark, sf_dir):
+    """The Holt forecaster's scale contract (the ts04 shape): ALL lag
+    terms — forecast, level, trend, naive — share ONE series-
+    partitioned window frame (no self-join, no per-point subquery);
+    the scored rows materialize once (Scan ExistingRDD reused by the
+    stats, flag and final legs) and the stats dim joins back as a
+    broadcast."""
+    plan = _plan(spark, sf_dir, "ts05_holt_forecast")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan  # checkpoint reused
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_er03_exact_leg_is_length_keyed_never_nested_loop(spark, sf_dir):
+    """Blocking certification must not smuggle in the O(n·m) plan it
+    certifies against: the exact ground-truth leg equi-joins on
+    CANDIDATE LENGTH (the stratum explodes to 2·maxdist+1 length
+    keys), the blocked leg equi-joins on the second-char block key,
+    and every join is a broadcast — no nested loop, no cartesian,
+    and the stratum cut is pushed into the part scan."""
+    plan = _plan(spark, sf_dir, "er03_blocking_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,200)" in plan, plan
+    assert "Generate explode" in plan, plan  # the ±maxdist length fanout
+
+
+def test_qf03_selection_runs_on_bin_dictionary(spark, sf_dir):
+    """Operating-point selection costs one classifier pass: ONE
+    corpus parquet scan (the sweep table is lazily checkpointed — the
+    sk03 multi-consumer rule — so the three consumers reuse it), and
+    every window (the bin-DESC cume, the global total) runs over the
+    bin dictionary only."""
+    plan = _plan(spark, sf_dir, "qf03_operating_point")
+    # the classifier pass lives INSIDE the one checkpointed sweep
+    # table; the selection plan consumes that RDD three times and
+    # never re-touches parquet
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for part, order in _parse_windows(plan):
+        assert part == "" and (order == "" or "bin" in order), (part, order)

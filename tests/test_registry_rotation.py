@@ -20,9 +20,19 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 12 — the two
+#: Entries with ZERO green driver rows entering round 13 — the four
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
+    "ix03_index_artifact",
+    "ts05_holt_forecast",
+    "er03_blocking_recall",
+    "qf03_operating_point",
+}
+
+#: Single-green entries (first non-vacuous rows earned in r12 — the
+#: eight r12 arrivals) — the schedule keeps any entry with <2 green
+#: rows in-window until it has two.
+SINGLE_GREEN = {
     "ix02_bm25_topk",
     "sk03_quantile_sketch",
     "ts03_lttb_downsample",
@@ -33,10 +43,9 @@ NEEDS_FIRST_ROW: set[str] = {
     "er02_survivorship",
 }
 
-#: Single-green entries (first non-vacuous rows earned in r11 — the
-#: nine r11 arrivals) — the schedule keeps any entry with <2 green
-#: rows in-window until it has two.
-SINGLE_GREEN = {
+#: Double-green entries (the r11 arrivals, seconds earned in r12) —
+#: kept in-window for third rows.
+DOUBLE_GREEN = {
     "sk02_hll_mergeable",
     "ix01_inverted_index",
     "w07_sequence_patterns",
@@ -48,27 +57,20 @@ SINGLE_GREEN = {
     "zo02_zorder_file_pruning",
 }
 
-#: Double-green entries (the r10 arrivals, seconds earned in r11) —
-#: kept in-window for third rows, minus the six parked this round at
-#: exactly two greens: the three r10 heavies (nn08_recall_gate at six
-#: greens, nn09_twin_contracts, tk04_bpe_encode — VERDICT r11 item 1's
-#: own parking plan) and the three most expensive remaining residents
-#: (cp04_span_scrub_pipeline, gr02_dup_graph_cohesion,
-#: cp05_quality_gate_pipeline), funding the round's five new entries
-#: under the two-greens-may-park rule.
-DOUBLE_GREEN = {
-    "dd16_url_dedup",
+#: Triple-green r10 arrivals still in-window (thirds earned in r12),
+#: minus the four parked this round at three greens — the most
+#: expensive residents in the round-13 idle sim (dd16_url_dedup,
+#: lm02_crossentropy_buckets, j08_interval_overlap_join,
+#: a19_robust_zscore), funding the four new entries one-for-one.
+TRIPLE_GREEN_R10 = {
     "w06_sliding_window",
     "a18_rollup_cube",
     "u13_unpivot_long",
     "j07_grid_spatial_join",
-    "lm02_crossentropy_buckets",
     "qf01_linear_quality_classifier",
     "u14_table_set_ops",
     "cdc02_scd2_intervals",
-    "j08_interval_overlap_join",
     "pii03_k_anonymity",
-    "a19_robust_zscore",
     "er01_fuzzy_match",
     "ts01_gap_fill_locf",
     "dq01_segment_drift",
@@ -81,7 +83,7 @@ DOUBLE_GREEN = {
 #: Triple-or-more-green entries still in-window (the r09 arrivals at
 #: three greens; the r08 arrivals and the five-green r07-era stock) —
 #: eligible parking stock for future rounds.
-TRIPLE_GREEN = {
+QUAD_GREEN_OLDER = {
     "dd14_duplicate_spans",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
@@ -116,8 +118,13 @@ def test_window_contains_every_entry_needing_rows():
     assert DOUBLE_GREEN <= window, (
         f"double-green entries outside the window: {DOUBLE_GREEN - window}"
     )
-    assert TRIPLE_GREEN <= window, (
-        f"triple-green entries outside the window: {TRIPLE_GREEN - window}"
+    assert TRIPLE_GREEN_R10 <= window, (
+        f"triple-green entries outside the window: "
+        f"{TRIPLE_GREEN_R10 - window}"
+    )
+    assert QUAD_GREEN_OLDER <= window, (
+        f"older multi-green stock outside the window: "
+        f"{QUAD_GREEN_OLDER - window}"
     )
     assert BACK_IN_WINDOW <= window
 
