@@ -13316,6 +13316,14 @@ _SK02_ALPHA = 0.673
 _SK02_K = 32
 #: shards the mergeability proof splits each group into (by key)
 _SK02_SHARDS = 4
+#: trailing-zero rank of the 28 post-register hash bits (+1) — the HLL
+#: rho register value, shared VERBATIM by sk02's batch build and the
+#: ST15 streaming register maintenance (streaming/sketches.py)
+_SK02_RHO_SQL = (
+    f"CASE WHEN h DIV {_SK02_M} = 0 THEN 29"
+    f" ELSE bit_count(((h DIV {_SK02_M}) & -(h DIV {_SK02_M})) - 1)"
+    " + 1 END"
+)
 
 _SK02_SQL = f"""
 WITH v AS (SELECT DISTINCT p_brand AS grp, p_partkey AS k,
@@ -13415,11 +13423,7 @@ def sk02_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         "shard",
         (F.col("h") % _SK02_M).alias("reg"),
-        F.expr(
-            f"CASE WHEN h DIV {_SK02_M} = 0 THEN 29"
-            f" ELSE bit_count(((h DIV {_SK02_M}) & -(h DIV {_SK02_M})) - 1)"
-            " + 1 END"
-        ).alias("rho"),
+        F.expr(_SK02_RHO_SQL).alias("rho"),
     )
     rs = rho.groupBy("grp", "shard", "reg").agg(F.max("rho").alias("m"))
     rm = rs.groupBy("grp", "reg").agg(F.max("m").alias("m"))
