@@ -648,7 +648,14 @@ def main() -> None:
         "runs_per_query": n_runs,
         "n_queries": len(timings),
         "worst_spread": round(max(spreads.values(), default=0.0), 3),
-        "full_timings": "bench_latest.json",
+        # bench_latest.json is only (re)written by the sf0.1 record run
+        # below — a probe at another SF must not point the reader at a
+        # file that still holds the previous sf0.1 numbers
+        "full_timings": (
+            "bench_latest.json"
+            if sf == "0.1"
+            else "full stdout above (bench_latest.json holds the sf0.1 record)"
+        ),
         "queries": {},
         "queries_omitted": 0,
     }

@@ -15507,7 +15507,7 @@ _IX03_STORE: dict[tuple[str, str], str] = {}
 
 def _ix03_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     """Write ix01's postings as a parquet index artifact (once per
-    session+corpus) and return its path.
+    CORPUS) and return its path.
 
     Layout: partitioned by ``pk`` = the term's leading character — the
     deterministic stand-in for production term-bucketing (a real
@@ -15516,27 +15516,53 @@ def _ix03_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     file per partition (`repartition(pk)` before the write), so the
     artifact is the small-file-free layout an OPTIMIZE pass would
     produce. The base dir is $SPARK_GRAFT_INDEX_DIR or the system temp
-    dir; the path carries the Spark applicationId, so concurrent
-    sessions never collide and a session re-run overwrites its own
-    artifact idempotently."""
+    dir.
+
+    Publication is the staging-then-rename committer pattern (review
+    r13: the earlier per-applicationId path accumulated one artifact
+    tree per session forever). The artifact is keyed by the CORPUS
+    FINGERPRINT (path digest + source mtime — a changed corpus gets a
+    fresh artifact, an unchanged one is SHARED across sessions): a
+    session that finds a committed artifact (``_SUCCESS`` marker)
+    serves from it without rebuilding — the actual cross-session
+    store-and-serve a shipping retrieval stack runs — while a builder
+    writes into a session-private staging dir and publishes with an
+    atomic ``os.rename`` only the FIRST publisher wins (the index is
+    deterministic per corpus, so concurrent builders produce identical
+    content and the loser just discards its staging copy)."""
     import os
+    import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    corpus = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, corpus)
     path = _IX03_STORE.get(key)
-    if path is None:
-        base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or tempfile.gettempdir()
-        tag = _hashlib.md5(key[1].encode()).hexdigest()[:8]
-        path = os.path.join(base, f"spark_graft_bm25_index_{key[0]}_{tag}")
+    if path is not None:
+        return path
+    try:
+        src_mtime = os.stat(os.path.join(corpus, "documents.parquet")).st_mtime_ns
+    except OSError:
+        src_mtime = 0
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or tempfile.gettempdir()
+    tag = _hashlib.md5(f"{corpus}|{src_mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(base, f"spark_graft_bm25_index_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}._staging_{spark.sparkContext.applicationId}"
         (
             _ix01_index(spark, sf_dir)
             .withColumn("pk", F.substring("term", 1, 1))
             .repartition("pk")
             .write.mode("overwrite")
             .partitionBy("pk")
-            .parquet(path)
+            .parquet(staging)
         )
-        _IX03_STORE[key] = path
+        try:
+            os.rename(staging, path)  # atomic publish; first wins
+        except OSError:
+            # a concurrent session published between our check and
+            # rename — its artifact is byte-equivalent; drop ours
+            shutil.rmtree(staging, ignore_errors=True)
+    _IX03_STORE[key] = path
     return path
 
 

@@ -159,49 +159,55 @@ def key_bucket(col, n_buckets: int):
     return (h32(col.cast("string")) % n_buckets).cast("int")
 
 
-def merge_batch_bucketed(
-    batch_df: DataFrame, batch_id: int, state_dir: str, n_buckets: int
+def fold_bucketed(
+    spark: SparkSession,
+    partials: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    schema: str,
+    key_cols: list[str],
+    merge_aggs: list,
+    post_filter=None,
 ) -> None:
-    """The bucketed production merge: fold one micro-batch into ONLY
-    the bucket stores its keys touch. The delta's signed partials are
-    materialized once (delta-sized localCheckpoint), the dirty-bucket
-    list is a bounded collect (<= B rows), and each dirty bucket runs
-    the same fence-checked read-merge-commit cycle as the single-store
-    merge against its own ``state_dir/bucket=<k>`` versioned store —
-    clean buckets do ZERO I/O."""
-    spark = batch_df.sparkSession
-    partials = (
-        signed_partials(batch_df)
-        .withColumn("bucket", key_bucket(F.col("user_id"), n_buckets))
-        .localCheckpoint(eager=True)
-    )
+    """THE fence-checked bucketed merge cycle, shared by every
+    bucketed foreachBatch state (ST14's view merge, ST15's sketch
+    folds): ``partials`` arrive with a ``bucket`` column (already
+    materialized delta-sized by the caller), the dirty-bucket list is
+    a bounded collect (<= B rows), and each dirty bucket runs the
+    fence-checked read-merge-commit against its own
+    ``state_dir/bucket=<k>`` versioned store — clean buckets do ZERO
+    I/O, replayed batches fold nothing twice (each bucket carries its
+    own ``applied_bid`` fence on every row plus a NULL-key sentinel so
+    it survives an empty store). ``merge_aggs`` is the state's merge
+    algebra (signed SUM for the view, MAX/ADD for the sketches);
+    ``post_filter`` optionally drops dead keys after the merge (the
+    view's ``n != 0`` rule). The sentinel's arity comes from the
+    PARSED schema (field count), never from naive text splitting, so
+    comma-bearing types (DECIMAL(10,2), structs) stay safe."""
     dirty = sorted(
         r["bucket"] for r in partials.select("bucket").distinct().collect()
     )
+    fence_key = key_cols[0]
+    n_fields = len(spark.createDataFrame([], schema).schema.fields)
     for b in dirty:
         bucket_dir = f"{state_dir}/bucket={b}"
-        state = read_latest_state(spark, bucket_dir, VIEW_SCHEMA)
+        state = read_latest_state(spark, bucket_dir, schema)
         applied = state.agg(F.max("applied_bid")).collect()[0][0]
         if applied is not None and batch_id <= applied:
             continue  # this bucket already folded the replayed batch
-        view = state.filter(F.col("user_id").isNotNull()).select(
-            "user_id", "n", "s", "s2"
-        )
+        view = state.filter(F.col(fence_key).isNotNull()).drop("applied_bid")
         merged = (
             view.unionByName(
                 partials.filter(F.col("bucket") == b).drop("bucket")
             )
-            .groupBy("user_id")
-            .agg(
-                F.sum("n").cast("bigint").alias("n"),
-                F.sum("s").cast("bigint").alias("s"),
-                F.sum("s2").cast("bigint").alias("s2"),
-            )
-            .filter(F.col("n") != 0)
+            .groupBy(*key_cols)
+            .agg(*merge_aggs)
         )
+        if post_filter is not None:
+            merged = merged.filter(post_filter)
         sentinel = spark.createDataFrame(
-            [(None, 0, 0, 0, batch_id)], VIEW_SCHEMA
-        )
+            [tuple([None] * n_fields)], schema
+        ).withColumn("applied_bid", F.lit(batch_id).cast("bigint"))
         write_next_state(
             spark,
             merged.withColumn(
@@ -211,20 +217,61 @@ def merge_batch_bucketed(
         )
 
 
+def read_bucketed(
+    spark: SparkSession, state_dir: str, schema: str, n_buckets: int
+) -> DataFrame:
+    """A bucketed state across all bucket stores (sentinel rows
+    INCLUDED — callers filter their own fence key): the union of each
+    bucket's newest committed version — a never-written bucket reads
+    as empty."""
+    out = None
+    for b in range(n_buckets):
+        part = read_latest_state(spark, f"{state_dir}/bucket={b}", schema)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def merge_batch_bucketed(
+    batch_df: DataFrame, batch_id: int, state_dir: str, n_buckets: int
+) -> None:
+    """The bucketed production merge: fold one micro-batch into ONLY
+    the bucket stores its keys touch — the delta's signed partials are
+    materialized once (delta-sized localCheckpoint) and run through
+    the shared ``fold_bucketed`` cycle with the view's signed-SUM
+    algebra and the dead-key drop."""
+    spark = batch_df.sparkSession
+    partials = (
+        signed_partials(batch_df)
+        .withColumn("bucket", key_bucket(F.col("user_id"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    fold_bucketed(
+        spark,
+        partials,
+        batch_id,
+        state_dir,
+        VIEW_SCHEMA,
+        ["user_id"],
+        [
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("s2").cast("bigint").alias("s2"),
+        ],
+        # a key whose rows were all retracted leaves the view — the
+        # view holds live keys only
+        post_filter=F.col("n") != 0,
+    )
+
+
 def read_bucketed_view(
     spark: SparkSession, state_dir: str, n_buckets: int
 ) -> DataFrame:
     """The maintained view across all bucket stores (sentinels
-    excluded): the union of each bucket's newest committed version —
-    a never-written bucket reads as empty."""
-    out = None
-    for b in range(n_buckets):
-        part = read_latest_state(
-            spark, f"{state_dir}/bucket={b}", VIEW_SCHEMA
-        )
-        out = part if out is None else out.unionByName(part)
-    return out.filter(F.col("user_id").isNotNull()).select(
-        "user_id", "n", "s", "s2"
+    excluded)."""
+    return (
+        read_bucketed(spark, state_dir, VIEW_SCHEMA, n_buckets)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "n", "s", "s2")
     )
 
 

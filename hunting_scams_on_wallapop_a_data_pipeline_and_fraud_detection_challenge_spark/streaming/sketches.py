@@ -48,8 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
-from .ivm import key_bucket
-from .state import read_latest_state, write_next_state
+from .ivm import fold_bucketed, key_bucket, read_bucketed
 
 #: event-feed landing schema: a keyed value stream — grp is the
 #: sketch group (HLL cardinality per grp), k the entity key counted
@@ -128,52 +127,6 @@ def qsk_bucket_partials(df: DataFrame) -> DataFrame:
     )
 
 
-def _fold_store(
-    spark: SparkSession,
-    partials: DataFrame,
-    batch_id: int,
-    state_dir: str,
-    schema: str,
-    key_cols: list[str],
-    merge_agg,
-) -> None:
-    """The shared bucketed merge cycle (ST14's ``merge_batch_bucketed``
-    generalized over the merge function): partials arrive with a
-    ``bucket`` column, the dirty-bucket list is a bounded collect, and
-    each dirty bucket runs the fence-checked read-merge-commit against
-    its own versioned store — clean buckets do ZERO I/O, replayed
-    batches fold nothing twice."""
-    dirty = sorted(
-        r["bucket"] for r in partials.select("bucket").distinct().collect()
-    )
-    fence_key = key_cols[0]
-    for b in dirty:
-        bucket_dir = f"{state_dir}/bucket={b}"
-        state = read_latest_state(spark, bucket_dir, schema)
-        applied = state.agg(F.max("applied_bid")).collect()[0][0]
-        if applied is not None and batch_id <= applied:
-            continue  # this bucket already folded the replayed batch
-        view = state.filter(F.col(fence_key).isNotNull()).drop("applied_bid")
-        merged = (
-            view.unionByName(
-                partials.filter(F.col("bucket") == b).drop("bucket")
-            )
-            .groupBy(*key_cols)
-            .agg(merge_agg)
-        )
-        sentinel_row = [tuple([None] * len(schema.split(",")))]
-        sentinel = spark.createDataFrame(sentinel_row, schema).withColumn(
-            "applied_bid", F.lit(batch_id).cast("bigint")
-        )
-        write_next_state(
-            spark,
-            merged.withColumn(
-                "applied_bid", F.lit(batch_id).cast("bigint")
-            ).unionByName(sentinel),
-            bucket_dir,
-        )
-
-
 def fold_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -181,38 +134,41 @@ def fold_batch(
     qsk_dir: str,
     n_buckets: int,
 ) -> None:
-    """Fold one micro-batch into BOTH sketch states. Each partial is
-    materialized once (delta-sized localCheckpoint); the HLL bucket is
-    the pinned hash of the GROUP (a group's registers never migrate),
-    the quantile bucket the pinned hash of the log-bucket id."""
+    """Fold one micro-batch into BOTH sketch states through the ONE
+    shared fence-checked bucketed merge cycle (``ivm.fold_bucketed``
+    — ST14's machinery, parameterized by the merge algebra). Each
+    partial is materialized once (delta-sized localCheckpoint); the
+    HLL bucket is the pinned hash of the GROUP (a group's registers
+    never migrate), the quantile bucket the pinned hash of the
+    log-bucket id."""
     spark = batch_df.sparkSession
     regs = (
         hll_register_partials(batch_df)
         .withColumn("bucket", key_bucket(F.col("grp"), n_buckets))
         .localCheckpoint(eager=True)
     )
-    _fold_store(
+    fold_bucketed(
         spark,
         regs,
         batch_id,
         hll_dir,
         HLL_SCHEMA,
         ["grp", "reg"],
-        F.max("m").cast("bigint").alias("m"),
+        [F.max("m").cast("bigint").alias("m")],
     )
     qsk = (
         qsk_bucket_partials(batch_df)
         .withColumn("bucket", key_bucket(F.col("b"), n_buckets))
         .localCheckpoint(eager=True)
     )
-    _fold_store(
+    fold_bucketed(
         spark,
         qsk,
         batch_id,
         qsk_dir,
         QSK_SCHEMA,
         ["b"],
-        F.sum("cnt").cast("bigint").alias("cnt"),
+        [F.sum("cnt").cast("bigint").alias("cnt")],
     )
 
 
@@ -239,40 +195,34 @@ def start_sketch_maintenance(
     )
 
 
-def _read_bucketed(
-    spark: SparkSession, state_dir: str, schema: str, n_buckets: int
-) -> DataFrame:
-    out = None
-    for b in range(n_buckets):
-        part = read_latest_state(spark, f"{state_dir}/bucket={b}", schema)
-        out = part if out is None else out.unionByName(part)
-    return out
-
-
 def read_hll_registers(
-    spark: SparkSession, hll_dir: str, n_buckets: int = 4
+    spark: SparkSession, hll_dir: str, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> DataFrame:
-    """The maintained HLL register table (sentinels excluded)."""
+    """The maintained HLL register table (sentinels excluded).
+    ``n_buckets`` MUST match the maintenance fanout — it defaults to
+    the same ``N_BUCKETS_DEFAULT`` the writer defaults to, so bumping
+    the constant can never desync the write and read paths."""
     return (
-        _read_bucketed(spark, hll_dir, HLL_SCHEMA, n_buckets)
+        read_bucketed(spark, hll_dir, HLL_SCHEMA, n_buckets)
         .filter(F.col("grp").isNotNull())
         .select("grp", "reg", "m")
     )
 
 
 def read_qsk_buckets(
-    spark: SparkSession, qsk_dir: str, n_buckets: int = 4
+    spark: SparkSession, qsk_dir: str, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> DataFrame:
-    """The maintained quantile-sketch histogram (sentinels excluded)."""
+    """The maintained quantile-sketch histogram (sentinels excluded);
+    the ``n_buckets`` contract is ``read_hll_registers``'s."""
     return (
-        _read_bucketed(spark, qsk_dir, QSK_SCHEMA, n_buckets)
+        read_bucketed(spark, qsk_dir, QSK_SCHEMA, n_buckets)
         .filter(F.col("b").isNotNull())
         .select("b", "cnt")
     )
 
 
 def hll_estimates(
-    spark: SparkSession, hll_dir: str, n_buckets: int = 4
+    spark: SparkSession, hll_dir: str, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> DataFrame:
     """Per-group cardinality estimates served FROM the maintained
     registers — sk02's raw scaled-integer estimate (exact BIGINT
@@ -311,7 +261,7 @@ def hll_estimates(
 def quantile_estimates(
     spark: SparkSession,
     qsk_dir: str,
-    n_buckets: int = 4,
+    n_buckets: int = N_BUCKETS_DEFAULT,
     quantiles: tuple[int, ...] = QUANTILES,
 ) -> DataFrame:
     """Quantile estimates served FROM the maintained histogram —
