@@ -317,6 +317,15 @@ HEADLINE = [
     "ts05_holt_forecast",
     "er03_blocking_recall",
     "qf03_operating_point",
+    # mid-round-13: the co-bucketed shuffle-free join (first caller
+    # pays the one-time bucketed write of both tables — the honest
+    # amortized layout cost, the ix03 convention), the day-of-week
+    # seasonal decomposition, the CUSUM drift monitor, and the
+    # l-diversity audit over pii03's QI lattice
+    "zo03_bucketed_join",
+    "ts06_seasonal_decompose",
+    "ts07_cusum_changepoint",
+    "pii05_l_diversity",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

@@ -1642,6 +1642,19 @@ _ROTATION_TAIL = [
     "lm02_crossentropy_buckets",
     "j08_interval_overlap_join",
     "a19_robust_zscore",
+    # parked mid-round-13, one-for-one for the round's next four
+    # entries (zo03_bucketed_join — co-bucketed shuffle-free fact-fact
+    # join layout, ts06_seasonal_decompose — day-of-week profile +
+    # ANOVA seasonality strength, ts07_cusum_changepoint — one-sided
+    # CUSUM drift monitor at the k=sigma/2 operating point,
+    # pii05_l_diversity — distinct + entropy diversity over pii03's
+    # QI lattice), chosen as the four most expensive in-window
+    # entries with >=3 green rows in this round's idle sf0.01 sim
+    # (u14 2.34 s, dd12 1.27 s, dd14 1.17 s, j07 1.05 s):
+    "u14_table_set_ops",
+    "dd12_bloom_incremental",
+    "dd14_duplicate_spans",
+    "j07_grid_spatial_join",
 ]
 
 

@@ -16229,3 +16229,637 @@ def qf03_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("f1"), 4).alias("f1_kept"),
         (F.col("prec") >= target).alias("met_target"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zo03: bucketed co-located join — the shuffle-free fact-fact join layout
+# ---------------------------------------------------------------------------
+#: bucket fanout for the co-bucketed orders/lineitem tables — small for
+#: the test shape; production sizes it so a bucket's rows fit one task
+#: (the standard warehouse rule: ~hundreds of buckets at 100 TB)
+_ZO03_BUCKETS = 8
+#: session-scoped catalog registry: (applicationId, corpus dir) -> the
+#: registered (orders, lineitem) bucketed-table names. Bucketing
+#: metadata lives in the session catalog, so each session registers
+#: its own tables; the DATA path is corpus-keyed (no per-session
+#: accumulation — the ix03 rule).
+_ZO03_STORE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _zo03_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem ONCE per (session, corpus) as external
+    parquet tables co-bucketed AND sorted on the join key
+    (``bucketBy(_ZO03_BUCKETS, orderkey).sortBy(orderkey)``), and
+    return the catalog names. Each frame is
+    ``repartition(_ZO03_BUCKETS, key)``-ed first — repartition and
+    bucketBy share Spark's Murmur3 hash, so every task holds exactly
+    one bucket's rows and the layout lands as ONE file per bucket
+    (the condition under which the scan also reports sorted output
+    and the join needs no Sort). The data path is keyed by the corpus
+    fingerprint, so repeated sessions overwrite one location instead
+    of accumulating trees."""
+    import os
+    import tempfile
+
+    corpus = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, corpus)
+    names = _ZO03_STORE.get(key)
+    if names is not None:
+        return names
+    tag = _hashlib.md5(corpus.encode()).hexdigest()[:12]
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or tempfile.gettempdir()
+    names = (f"zo03_orders_{tag}", f"zo03_lineitem_{tag}")
+    for name, tbl, k in (
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
+    ):
+        (
+            _t(spark, sf_dir, tbl)
+            .repartition(_ZO03_BUCKETS, F.col(k))
+            .write.bucketBy(_ZO03_BUCKETS, k)
+            .sortBy(k)
+            .option(
+                "path", os.path.join(base, f"spark_graft_zo03_{tag}", name)
+            )
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    _ZO03_STORE[key] = names
+    return names
+
+
+def _zo03_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join leg, shared by the query and the plan pin:
+    SortMergeJoin (hinted — a broadcast at toy SF would hide the
+    layout property being proven) of the two bucketed tables on the
+    bucket key. Because both sides are hash-distributed identically
+    by the STORED layout, the plan contains NO Exchange on either
+    join input — the property test_plan_shapes pins."""
+    o_name, l_name = _zo03_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    return o.hint("merge").join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    )
+
+
+def _zo03_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0e0 - l_discount)
+                               * 100.0e0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(sum(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """
+
+
+@query("zo03_bucketed_join", oracle=_zo03_sql, ops=("LAYOUT-BUCKETED-JOIN",))
+def zo03_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the layout move zo01/zo02
+    (clustering for SCAN pruning) stopped short of: pre-hash-
+    distributing BOTH join sides into the same bucket scheme at WRITE
+    time so every later join on the key runs with ZERO shuffle of
+    either table (Hive/Spark bucketed joins — the standard answer to
+    the one query shape that otherwise always pays a full exchange of
+    the biggest tables in the warehouse). orders and lineitem are
+    written once as external parquet tables ``bucketBy(_ZO03_BUCKETS,
+    orderkey).sortBy(orderkey)`` (one file per bucket — see
+    ``_zo03_tables``), and the verified rows aggregate the join of
+    the STORED tables: green rows prove the bucketed write→read
+    round-trip preserved every order, line and price against an
+    oracle joining the raw corpus.
+
+    The layout property itself is plan-pinned in test_plan_shapes:
+    the SortMergeJoin's physical plan contains NO Exchange on either
+    input (both scans report ``Bucketed: true`` with the bucket hash
+    distribution); Spark keeps its conservative in-partition Sort,
+    which costs a per-bucket merge pass, not a network shuffle. The revenue term quantizes per-row to exact BIGINT
+    cents before summing (floor on bit-identical doubles — no
+    float-sum ordering anywhere).
+
+    Scale shape (100 TB): the write is each table's one honest hash
+    shuffle — paid ONCE, amortized over every subsequent join; the
+    serving join is map-side (bucket i of orders streams against
+    bucket i of lineitem, no exchange, no sort), which at 1000
+    executors means the cluster's largest recurring shuffle is gone
+    from the daily plan. The final priority rollup exchanges only the
+    5-row aggregate state."""
+    j = _zo03_joined(spark, sf_dir)
+    return j.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1.0e0 - l_discount)"
+                " * 100.0e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.sum(F.expr("CAST(floor(l_quantity + 0.5e0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts06: additive seasonal decomposition — day-of-week profile + strength
+# ---------------------------------------------------------------------------
+#: portable day-of-week: days-since-epoch mod 7 (0 = Thursday —
+#: 1970-01-01), identical integers in both engines; the engines' own
+#: dayofweek() disagree on week start and range, so it never runs
+_TS06_DOW_SPARK = "datediff(d, DATE'1970-01-01') % 7"
+_TS06_DOW_DUCK = "(d - DATE '1970-01-01') % 7"
+
+
+def _ts06_sql() -> str:
+    return f"""
+    WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0e0 + 0.5e0)
+                                     AS BIGINT)) AS BIGINT) AS v
+                FROM orders GROUP BY 1),
+    dq AS (SELECT d, v, v // 100 AS q, {_TS06_DOW_DUCK} AS dow FROM dd),
+    dw AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(sum(v) AS BIGINT) AS s_k,
+                  CAST(sum(q) AS BIGINT) AS sq_k,
+                  CAST(sum(q * q) AS BIGINT) AS qq_k
+           FROM dq GROUP BY 1),
+    g AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                 CAST(sum(s_k) AS BIGINT) AS s,
+                 CAST(sum(sq_k) AS BIGINT) AS sq,
+                 CAST(sum(qq_k) AS BIGINT) AS qq,
+                 CAST(sum(CAST(floor(CAST(sq_k AS DOUBLE) * sq_k / n_k)
+                               AS BIGINT)) AS BIGINT) AS bg
+          FROM dw)
+    SELECT CAST(dw.dow AS BIGINT) AS dow, dw.n_k AS n_days,
+           round((CAST(dw.s_k AS DOUBLE) / dw.n_k / 100.0e0) + 1e-6, 2)
+               AS mean_daily,
+           round(((CAST(dw.s_k AS DOUBLE) / dw.n_k)
+                  / (CAST(g.s AS DOUBLE) / g.n)) + 1e-6, 4)
+               AS seasonal_ratio,
+           round(((CAST(dw.s_k AS DOUBLE) / dw.n_k
+                   - CAST(g.s AS DOUBLE) / g.n) / 100.0e0) + 1e-6, 2)
+               AS seasonal_add,
+           g.n AS n_total_days,
+           CASE WHEN CAST(g.qq AS DOUBLE)
+                     - CAST(g.sq AS DOUBLE) * g.sq / g.n > 0.0e0
+                THEN round((1.0e0 - ((CAST(g.qq AS DOUBLE)
+                                      - CAST(g.bg AS DOUBLE))
+                                     / (CAST(g.qq AS DOUBLE)
+                                        - CAST(g.sq AS DOUBLE) * g.sq
+                                          / g.n))) + 1e-6, 4)
+                ELSE NULL END AS seasonal_strength
+    FROM dw, g
+    """
+
+
+@query("ts06_seasonal_decompose", oracle=_ts06_sql, ops=("TS-SEASONAL",))
+def ts06_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily revenue series —
+    the classical-decomposition step between ts02's resampling and
+    ts05's forecasting: per day-of-week, the seasonal profile (group
+    mean as a level, a ratio and an additive offset against the grand
+    mean), plus the variance-explained seasonality strength
+    1 − SSR/SST (Hyndman's strength-of-seasonality statistic), where
+    SSR is the residual sum of squares AFTER removing the day-of-week
+    means — the one-way-ANOVA identity SSR = Σq² − Σ_k S_k²/n_k
+    evaluated entirely from per-group exact integer sums.
+
+    Day-of-week is days-since-epoch mod 7 (engine-portable integers;
+    Spark and DuckDB ``dayofweek()`` disagree on week start so
+    neither runs). Exactness: daily totals are floor-quantized exact
+    BIGINT cents; the squared sums use the dollar-floored twin
+    (q = v DIV 100) so Σq² stays in BIGINT through sf0.1 (cents
+    squared would overflow ~100× sooner — the rescale a larger SF
+    repeats); the between-group term Σ_k S_k²/n_k is floor-quantized
+    per group to integer dollar² units and summed as BIGINT (the
+    sk03/ix02 quantized-sum rule: never an order-dependent float
+    sum); every served double is ONE fixed-order expression over
+    those exact integers, identical text in both engines, through
+    the shared rounding rule. A constant series (SST = 0) serves
+    NULL strength rather than a division by zero.
+
+    Scale shape (100 TB): one map-side-combinable daily rollup (the
+    only shuffle that sees data volume), one 7-group rollup of the
+    date-count-sized dailies, a 7-row re-aggregate and a broadcast
+    of the 1-row global — the output is seasonality-period-sized.
+    The 7-row intermediate is lineage-cut (localCheckpoint) so the
+    global re-aggregate and the final join don't re-scan orders (the
+    sk03 multi-consumer rule)."""
+    ords = _t(spark, sf_dir, "orders")
+    dd = (
+        ords.select(
+            F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)"
+            ).alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    dq = dd.select(
+        "v",
+        F.expr("v DIV 100").alias("q"),
+        F.expr(_TS06_DOW_SPARK).alias("dow"),
+    )
+    dw = (
+        dq.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_k"),
+            F.sum("v").cast("bigint").alias("s_k"),
+            F.sum("q").cast("bigint").alias("sq_k"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq_k"),
+        )
+        .localCheckpoint()
+    )
+    g = dw.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("s_k").cast("bigint").alias("s"),
+        F.sum("sq_k").cast("bigint").alias("sq"),
+        F.sum("qq_k").cast("bigint").alias("qq"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(sq_k AS DOUBLE) * sq_k / n_k) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("bg"),
+    )
+    sst = F.expr("CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n")
+    strength = F.when(
+        sst > 0.0,
+        _r(
+            F.lit(1.0)
+            - (
+                (F.expr("CAST(qq AS DOUBLE) - CAST(bg AS DOUBLE)"))
+                / sst
+            ),
+            4,
+        ),
+    )
+    return dw.crossJoin(F.broadcast(g)).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n_k").alias("n_days"),
+        _r(F.expr("CAST(s_k AS DOUBLE) / n_k / 100.0e0"), 2).alias(
+            "mean_daily"
+        ),
+        _r(
+            F.expr(
+                "(CAST(s_k AS DOUBLE) / n_k) / (CAST(s AS DOUBLE) / n)"
+            ),
+            4,
+        ).alias("seasonal_ratio"),
+        _r(
+            F.expr(
+                "(CAST(s_k AS DOUBLE) / n_k - CAST(s AS DOUBLE) / n)"
+                " / 100.0e0"
+            ),
+            2,
+        ).alias("seasonal_add"),
+        F.col("n").alias("n_total_days"),
+        strength.alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts07: CUSUM changepoint detection — exact integer drift accumulation
+# ---------------------------------------------------------------------------
+#: decision threshold in sigma units (the classical CUSUM h) and the
+#: allowance (slack) in half-sigma units subtracted per step — the
+#: textbook k = sigma/2 operating point. h = 10 sigma keeps the ARL on
+#: the synthetic in-control series long enough that quiet and alarmed
+#: outcomes BOTH appear at the correctness SF.
+_TS07_H_SIGMA = 10
+
+
+def _ts07_sql() -> str:
+    return f"""
+    WITH e AS (SELECT event_type AS et, event_id AS eid,
+                      epoch_us(ts) AS us,
+                      CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c
+               FROM events),
+    st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS qq,
+                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * sum(c * c)
+                                  - CAST(sum(c) AS DOUBLE) * sum(c))
+                             / 2.0e0) AS BIGINT) AS kk
+           FROM e GROUP BY 1),
+    w AS (SELECT e.et, e.eid, e.us, st.n, st.s, st.qq,
+                 row_number() OVER win AS rn,
+                 CAST(sum(e.c * st.n - st.s - st.kk) OVER win AS BIGINT)
+                     AS cup,
+                 CAST(sum(e.c * st.n - st.s + st.kk) OVER win AS BIGINT)
+                     AS cdn
+          FROM e JOIN st ON st.et = e.et
+          WINDOW win AS (PARTITION BY e.et ORDER BY e.us, e.eid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    x AS (SELECT et, eid, us, n, s, qq, rn,
+                 CAST(cup - least(min(cup) OVER win2, 0) AS BIGINT) AS cp,
+                 CAST(greatest(max(cdn) OVER win2, 0) - cdn AS BIGINT) AS cn
+          FROM w
+          WINDOW win2 AS (PARTITION BY et ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)),
+    f AS (SELECT et, n, s, qq, rn, us, cp, cn,
+                 CASE WHEN CAST(cp AS DOUBLE) * cp
+                           > {_TS07_H_SIGMA * _TS07_H_SIGMA}.0e0
+                             * (CAST(n AS DOUBLE) * qq
+                                - CAST(s AS DOUBLE) * s)
+                      THEN 1 ELSE 0 END AS up,
+                 CASE WHEN CAST(cn AS DOUBLE) * cn
+                           > {_TS07_H_SIGMA * _TS07_H_SIGMA}.0e0
+                             * (CAST(n AS DOUBLE) * qq
+                                - CAST(s AS DOUBLE) * s)
+                      THEN 1 ELSE 0 END AS dn
+          FROM x)
+    SELECT et AS event_type, n AS n_points,
+           round((CAST(s AS DOUBLE) / n / 100.0e0) + 1e-6, 4) AS mean_value,
+           round((sqrt(CAST(n AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)
+                  / n / 100.0e0) + 1e-6, 4) AS sigma_value,
+           round((CAST(max(cp) AS DOUBLE) / n / 100.0e0) + 1e-6, 2)
+               AS max_cusum_up,
+           round((CAST(max(cn) AS DOUBLE) / n / 100.0e0) + 1e-6, 2)
+               AS max_cusum_down,
+           CAST(sum(up) AS BIGINT) AS n_beyond_up,
+           CAST(sum(dn) AS BIGINT) AS n_beyond_down,
+           (sum(up) + sum(dn) > 0) AS detected,
+           CAST(min(CASE WHEN up + dn > 0 THEN rn END) AS BIGINT)
+               AS first_beyond_rn,
+           min(CASE WHEN up + dn > 0 THEN us END) AS first_beyond_us
+    FROM f GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("ts07_cusum_changepoint", oracle=_ts07_sql, ops=("TS-CHANGEPOINT",))
+def ts07_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) — the mean-shift
+    monitor that complements ts04's EWMA point-anomaly chart: per
+    series, the one-sided CUSUM statistics at the textbook operating
+    point (allowance k = sigma/2 per step, decision interval
+    h = 10 sigma) track up- and down-drift, and crossing h flags a
+    changepoint. The recurrence S_i = max(0, S_{i-1} + (x_i − mu − k))
+    is NOT computed as a recurrence (which would serialize); it
+    collapses to the closed form S_i = C_i − min(0, min_{j<=i} C_j)
+    over the running slack-adjusted deviation sum C — one window pass
+    for both directions' sums, one for the prefix extrema, both on
+    the same partitioning (the standard prefix-min identity; the 0
+    floor carries C_0 = 0).
+
+    Exactness: values quantize to exact BIGINT cents; mu = S/n stays
+    RATIONAL by scaling every deviation by n (c·n − S − K — exact
+    BIGINT through |cum| <= n²·maxdev, inside BIGINT to sf0.1, the
+    rescale documented for larger SF); the allowance K =
+    floor(n·sigma/2 in cents) is floor of a correctly-rounded sqrt —
+    one deterministic BIGINT both engines agree on; the h-sigma
+    decision is the SQUARED comparison cp² > h²·(n·Σc² − S²) where
+    both sides are the same
+    fixed-order double expression in both engines — no engine-side
+    sqrt in any branch decision (sqrt appears only in the SERVED
+    sigma, where IEEE correct rounding makes it portable). First
+    crossing is min(rn)/min(us) over flagged rows — deterministic
+    under the pinned (us, eid) order.
+
+    Scale shape (100 TB): one keyed stats aggregate (map-side
+    combinable), a broadcast of the series-count-sized stats dim,
+    and ONE series-partitioned sort serving both window passes (same
+    partition spec — no second shuffle); the final rollup exchanges
+    per-series aggregate state only. Per-series streaming state for
+    an ST twin would be three registers (cum, min, max)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("et"),
+        F.col("event_id").alias("eid"),
+        F.expr(_EPOCH_US).alias("us"),
+        F.expr("CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT)").alias("c"),
+    )
+    st = e.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * sum(c * c)"
+            " - CAST(sum(c) AS DOUBLE) * sum(c)) / 2.0e0) AS BIGINT)"
+        ).alias("kk"),
+    )
+    win = "(PARTITION BY et ORDER BY us, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    w = e.join(F.broadcast(st), "et").select(
+        "et",
+        "eid",
+        "us",
+        "n",
+        "s",
+        "qq",
+        F.expr("row_number() OVER (PARTITION BY et ORDER BY us, eid)").alias(
+            "rn"
+        ),
+        F.expr(f"CAST(sum(c * n - s - kk) OVER {win} AS BIGINT)").alias(
+            "cup"
+        ),
+        F.expr(f"CAST(sum(c * n - s + kk) OVER {win} AS BIGINT)").alias(
+            "cdn"
+        ),
+    )
+    win2 = (
+        "(PARTITION BY et ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    x = w.select(
+        "et",
+        "eid",
+        "us",
+        "n",
+        "s",
+        "qq",
+        "rn",
+        F.expr(
+            f"CAST(cup - least(min(cup) OVER {win2}, 0) AS BIGINT)"
+        ).alias("cp"),
+        F.expr(
+            f"CAST(greatest(max(cdn) OVER {win2}, 0) - cdn AS BIGINT)"
+        ).alias("cn"),
+    )
+    h2 = float(_TS07_H_SIGMA * _TS07_H_SIGMA)
+    var_n2 = "(CAST(n AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)"
+    f = x.select(
+        "et",
+        "n",
+        "s",
+        "qq",
+        "rn",
+        "us",
+        "cp",
+        "cn",
+        F.expr(
+            f"CASE WHEN CAST(cp AS DOUBLE) * cp > {h2!r} * {var_n2}"
+            " THEN 1 ELSE 0 END"
+        ).alias("up"),
+        F.expr(
+            f"CASE WHEN CAST(cn AS DOUBLE) * cn > {h2!r} * {var_n2}"
+            " THEN 1 ELSE 0 END"
+        ).alias("dn"),
+    )
+    return (
+        f.groupBy("et", "n", "s", "qq")
+        .agg(
+            F.max("cp").alias("mcp"),
+            F.max("cn").alias("mcn"),
+            F.sum("up").cast("bigint").alias("n_beyond_up"),
+            F.sum("dn").cast("bigint").alias("n_beyond_down"),
+            F.min(F.when(F.col("up") + F.col("dn") > 0, F.col("rn")))
+            .cast("bigint")
+            .alias("first_beyond_rn"),
+            F.min(F.when(F.col("up") + F.col("dn") > 0, F.col("us"))).alias(
+                "first_beyond_us"
+            ),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n").alias("n_points"),
+            _r(F.expr("CAST(s AS DOUBLE) / n / 100.0e0"), 4).alias(
+                "mean_value"
+            ),
+            _r(
+                F.expr(
+                    "sqrt(CAST(n AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)"
+                    " / n / 100.0e0"
+                ),
+                4,
+            ).alias("sigma_value"),
+            _r(F.expr("CAST(mcp AS DOUBLE) / n / 100.0e0"), 2).alias(
+                "max_cusum_up"
+            ),
+            _r(F.expr("CAST(mcn AS DOUBLE) / n / 100.0e0"), 2).alias(
+                "max_cusum_down"
+            ),
+            "n_beyond_up",
+            "n_beyond_down",
+            (F.col("n_beyond_up") + F.col("n_beyond_down") > 0).alias(
+                "detected"
+            ),
+            "first_beyond_rn",
+            "first_beyond_us",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii05: l-diversity audit — distinct + entropy diversity per QI group
+# ---------------------------------------------------------------------------
+#: the diversity floor — a QI group whose sensitive attribute takes
+#: fewer than L distinct values is vulnerable to homogeneity attack
+#: even when pii03's k-anonymity holds (Machanavajjhala et al. 2006)
+_PII05_L = 3
+
+
+def _pii05_sql() -> str:
+    steps_v = _ln_steps("nv", "ln_nv", duck=True)
+    chain_v = ",\n    ".join(
+        f"v{i} AS (SELECT *, {expr} AS {name} FROM v{i - 1})"
+        for i, (name, expr) in enumerate(steps_v, start=1)
+    )
+    last_v = f"v{len(steps_v)}"
+    steps_g = _ln_steps("n", "ln_n", duck=True) + _ln_steps(
+        "l_distinct", "ln_l", duck=True
+    )
+    chain_g = ",\n    ".join(
+        f"g{i} AS (SELECT *, {expr} AS {name} FROM g{i - 1})"
+        for i, (name, expr) in enumerate(steps_g, start=1)
+    )
+    last_g = f"g{len(steps_g)}"
+    entropy = "(ln_n - (CAST(micro AS DOUBLE) / 1.0e6) / n)"
+    return f"""
+    WITH v0 AS (SELECT c_mktsegment AS seg,
+                       CAST(floor(c_acctbal / {_PII03_BAND}.0) AS INTEGER)
+                           AS bucket,
+                       c_nationkey AS nat,
+                       CAST(count(*) AS BIGINT) AS nv
+                FROM customer GROUP BY 1, 2, 3),
+    {chain_v},
+    g0 AS (SELECT seg, bucket,
+                  CAST(sum(nv) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS l_distinct,
+                  CAST(sum(CAST(floor(CAST(nv AS DOUBLE) * ln_nv * 1.0e6)
+                                AS BIGINT)) AS BIGINT) AS micro
+           FROM {last_v} GROUP BY 1, 2),
+    {chain_g}
+    SELECT seg, bucket, n, l_distinct,
+           round({entropy} + 1e-6, 4) AS entropy_nats,
+           round(ln_l + 1e-6, 4) AS entropy_cap_nats,
+           ({entropy} <= ln_l + 1.0e-4) AS entropy_le_cap,
+           (l_distinct >= {_PII05_L}) AS meets_l
+    FROM {last_g}
+    """
+
+
+@query("pii05_l_diversity", oracle=_pii05_sql, ops=("PII-LDIV",))
+def pii05_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006) — the privacy
+    gate AFTER pii03's k-anonymity: a QI group can meet the k floor
+    and still leak its sensitive attribute when every member shares
+    one value (the homogeneity attack). Per QI group (segment,
+    account-balance band — pii03's ladder prefix with its shared
+    band constant), the sensitive attribute (nation) is profiled
+    two ways: DISTINCT l-diversity (how many values appear) and
+    ENTROPY diversity H = ln(n) − (1/n)·Σ n_v·ln(n_v) in nats —
+    entropy ln-terms computed by the shared deterministic `_ln_steps`
+    primitive (the pii04/ix02 bit-exact ln), never libm. The verified
+    rows carry the Jensen bound as a PROVABLE gate: H <= ln(l) can
+    only hold on correct math (`entropy_le_cap`), and `meets_l`
+    is the release decision at L={_PII05_L}.
+
+    Exactness: occupancy counts are exact BIGINT; each group's
+    Σ n_v·ln(n_v) is floor-quantized per sensitive value to integer
+    micro-nats and summed as BIGINT (order-insensitive — the
+    quantized-sum rule), so the served entropy is ONE fixed-order
+    double expression over exact integers; the Jensen gate carries a
+    1e-4 slack dominated by the quantization error bound l/(n·1e6).
+
+    Scale shape (100 TB): two keyed aggregates (the second on a
+    strict prefix of the first's key — partitioning reuse, the pii03
+    shape) + the O(30)-term ln expression chains on group-sized rows;
+    no join, no window, output is QI-lattice-sized."""
+    cust = _t(spark, sf_dir, "customer")
+    v = (
+        cust.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / float(_PII03_BAND))
+            .cast("int")
+            .alias("bucket"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .groupBy("seg", "bucket", "nat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    for name, expr in _ln_steps("nv", "ln_nv", duck=False):
+        v = v.withColumn(name, F.expr(expr))
+    g = v.groupBy("seg", "bucket").agg(
+        F.sum("nv").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.sum(
+            F.expr("CAST(floor(CAST(nv AS DOUBLE) * ln_nv * 1.0e6) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("micro"),
+    )
+    for name, expr in _ln_steps("n", "ln_n", duck=False) + _ln_steps(
+        "l_distinct", "ln_l", duck=False
+    ):
+        g = g.withColumn(name, F.expr(expr))
+    entropy = "(ln_n - (CAST(micro AS DOUBLE) / 1.0e6) / n)"
+    return g.select(
+        "seg",
+        "bucket",
+        "n",
+        "l_distinct",
+        _r(F.expr(entropy), 4).alias("entropy_nats"),
+        _r(F.expr("ln_l"), 4).alias("entropy_cap_nats"),
+        F.expr(f"{entropy} <= ln_l + 1.0e-4").alias("entropy_le_cap"),
+        (F.col("l_distinct") >= _PII05_L).alias("meets_l"),
+    )

@@ -1776,3 +1776,63 @@ def test_qf03_selection_runs_on_bin_dictionary(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     for part, order in _parse_windows(plan):
         assert part == "" and (order == "" or "bin" in order), (part, order)
+
+
+def test_zo03_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The co-located layout's whole point, pinned: joining the two
+    STORED bucketed tables on the bucket key is a SortMergeJoin whose
+    physical plan contains ZERO Exchange — both scans report
+    ``Bucketed: true`` and supply the hash distribution from the
+    layout (at 100 TB this is the shuffle the write amortized away).
+    Only the cheap in-partition Sort remains."""
+    from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spark.plans.training_queries import (
+        _zo03_joined,
+    )
+
+    plan = _zo03_joined(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ts06_runs_on_checkpointed_dow_profile(spark, sf_dir):
+    """Seasonal decomposition's scale contract: the 7-row day-of-week
+    profile materializes once (the sk03 multi-consumer rule) and both
+    consumers — the 1-row global re-aggregate and the final join —
+    read the checkpointed rows, never parquet; the global joins back
+    as a broadcast of one row; no shuffle join anywhere."""
+    plan = _plan(spark, sf_dir, "ts06_seasonal_decompose")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ts07_windows_share_one_series_partitioning(spark, sf_dir):
+    """The CUSUM monitor's scale contract: BOTH window passes (the
+    slack-adjusted deviation sums, then the prefix extrema) run
+    partitioned by the series key — the second pass rides the first's
+    partitioning (no re-shuffle into a different key); the stats dim
+    joins back as a broadcast; no shuffle join, no cartesian."""
+    plan = _plan(spark, sf_dir, "ts07_cusum_changepoint")
+    windows = _parse_windows(plan)
+    assert windows, plan
+    for part, _order in windows:
+        assert "et" in part, (part, plan)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii05_is_two_aggregates_one_scan(spark, sf_dir):
+    """The l-diversity audit inherits pii03's shape: one 3-column
+    customer scan feeding two keyed aggregate pairs (QI+sensitive
+    key, then the QI prefix) with the ln-chain as pure projections —
+    no join, no window, no extra scan."""
+    plan = _plan(spark, sf_dir, "pii05_l_diversity")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("c_mktsegment", "c_nationkey", "c_acctbal"):
+        assert col in read, read

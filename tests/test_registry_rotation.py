@@ -20,13 +20,17 @@ from hunting_scams_on_wallapop_a_data_pipeline_and_fraud_detection_challenge_spa
     _ROTATION_TAIL,
 )
 
-#: Entries with ZERO green driver rows entering round 13 — the four
+#: Entries with ZERO green driver rows entering round 13 — the
 #: operators added this round. They must be inside the 50-slot window.
 NEEDS_FIRST_ROW: set[str] = {
     "ix03_index_artifact",
     "ts05_holt_forecast",
     "er03_blocking_recall",
     "qf03_operating_point",
+    "zo03_bucketed_join",
+    "ts06_seasonal_decompose",
+    "ts07_cusum_changepoint",
+    "pii05_l_diversity",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r12 — the
@@ -58,17 +62,17 @@ DOUBLE_GREEN = {
 }
 
 #: Triple-green r10 arrivals still in-window (thirds earned in r12),
-#: minus the four parked this round at three greens — the most
-#: expensive residents in the round-13 idle sim (dd16_url_dedup,
+#: minus the six parked this round at three greens — the most
+#: expensive residents in the round-13 idle sims (dd16_url_dedup,
 #: lm02_crossentropy_buckets, j08_interval_overlap_join,
-#: a19_robust_zscore), funding the four new entries one-for-one.
+#: a19_robust_zscore at round start; u14_table_set_ops and
+#: j07_grid_spatial_join mid-round), funding the new entries
+#: one-for-one.
 TRIPLE_GREEN_R10 = {
     "w06_sliding_window",
     "a18_rollup_cube",
     "u13_unpivot_long",
-    "j07_grid_spatial_join",
     "qf01_linear_quality_classifier",
-    "u14_table_set_ops",
     "cdc02_scd2_intervals",
     "pii03_k_anonymity",
     "er01_fuzzy_match",
@@ -84,7 +88,6 @@ TRIPLE_GREEN_R10 = {
 #: three greens; the r08 arrivals and the five-green r07-era stock) —
 #: eligible parking stock for future rounds.
 QUAD_GREEN_OLDER = {
-    "dd14_duplicate_spans",
     "ds12_epoch_allocation",
     "mm03_alignment_score",
     "mm04_frame_dedup",
@@ -93,7 +96,6 @@ QUAD_GREEN_OLDER = {
     "dd13_winnow_pairs",
     "w05_cohort_retention",
     "a16_event_type_pivot",
-    "dd12_bloom_incremental",
     "cdc01_snapshot_delta",
     "pd01_padding_efficiency",
     "co01_supplier_cooccurrence",
