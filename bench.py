@@ -326,6 +326,11 @@ HEADLINE = [
     "ts06_seasonal_decompose",
     "ts07_cusum_changepoint",
     "pii05_l_diversity",
+    # mid-round-13: positional phrase mining/serving (in-array bigram
+    # extraction — no positional self-join) and the k-core peel of
+    # dd02's dup graph (fixed rounds, eager per-round cuts)
+    "ix04_phrase_index",
+    "gr04_kcore",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

@@ -1655,6 +1655,14 @@ _ROTATION_TAIL = [
     "dd12_bloom_incremental",
     "dd14_duplicate_spans",
     "j07_grid_spatial_join",
+    # parked mid-round-13 for the round's final two entries
+    # (ix04_phrase_index — positional phrase mining + top-k serving
+    # from in-array bigram extraction, gr04_kcore — k-core peel of the
+    # dup graph with in-result convergence proof), the next two most
+    # expensive >=3-green residents in the idle sf0.01 sim
+    # (co01 1.05 s, dq02 1.03 s):
+    "co01_supplier_cooccurrence",
+    "dq02_expectation_suite",
 ]
 
 

@@ -16863,3 +16863,303 @@ def pii05_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{entropy} <= ln_l + 1.0e-4").alias("entropy_le_cap"),
         (F.col("l_distinct") >= _PII05_L).alias("meets_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ix04: positional phrase index — adjacency postings + phrase top-k serving
+# ---------------------------------------------------------------------------
+#: phrases mined and served (the impact-index truncation rule applied
+#: to the phrase dictionary) and docs kept per phrase
+_IX04_TOP_PHRASES = 10
+_IX04_TOPK_DOCS = 5
+#: a phrase must appear in at least this many docs (ix01's min-df
+#: cutoff applied to bigrams — hapax phrases are noise)
+_IX04_MIN_DOCS = 2
+
+
+def _ix04_sql() -> str:
+    return f"""
+    WITH tkp AS (SELECT doc_id, unnest(toks) AS term,
+                        generate_subscripts(toks, 1) AS pos
+                 FROM (SELECT doc_id, {sql_tokens("text")} AS toks
+                       FROM documents)),
+    bg AS (SELECT a.doc_id, a.term AS t1, b.term AS t2
+           FROM tkp a JOIN tkp b
+             ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+    pd AS (SELECT t1, t2, doc_id, CAST(count(*) AS BIGINT) AS occ
+           FROM bg GROUP BY 1, 2, 3),
+    ph AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(occ) AS BIGINT) AS n_occ
+           FROM pd GROUP BY 1, 2
+           HAVING count(*) >= {_IX04_MIN_DOCS}),
+    top AS (SELECT * FROM (
+                SELECT t1, t2, n_docs, n_occ,
+                       CAST(row_number() OVER (ORDER BY n_occ DESC, t1, t2)
+                            AS BIGINT) AS phrase_rank
+                FROM ph)
+            WHERE phrase_rank <= {_IX04_TOP_PHRASES}),
+    serve AS (SELECT top.phrase_rank, top.t1, top.t2, top.n_docs,
+                     top.n_occ, pd.doc_id, pd.occ,
+                     CAST(row_number() OVER (PARTITION BY top.t1, top.t2
+                                             ORDER BY pd.occ DESC,
+                                                      pd.doc_id)
+                          AS BIGINT) AS doc_rank
+              FROM pd JOIN top ON top.t1 = pd.t1 AND top.t2 = pd.t2)
+    SELECT phrase_rank, t1 AS term1, t2 AS term2, n_docs, n_occ,
+           doc_rank, doc_id, occ AS occ_in_doc
+    FROM serve WHERE doc_rank <= {_IX04_TOPK_DOCS}
+    """
+
+
+@query("ix04_phrase_index", oracle=_ix04_sql, ops=("RETRIEVE-PHRASE",))
+def ix04_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase indexing — the retrieval capability ix01-ix03
+    (bag-of-words postings) cannot express: exact PHRASE matching
+    needs token POSITIONS, the classic positional-postings extension
+    (Manning/IR ch. 2). The ORACLE spells the definition as literal
+    positional postings (unnest + generate_subscripts joined on
+    (doc, pos+1)); the Spark plan computes the SAME bigram set
+    without any join — adjacency within one document is adjacency
+    within its token ARRAY, extracted by a bound-array transform
+    (the shingles CollapseProject guard) and exploded once, so the
+    corpus is tokenized exactly once and nothing self-joins. The
+    per-(phrase, doc) count table
+    — the phrase acceleration structure a positional index
+    materializes — serves both legs: PHRASE MINING (the
+    {_IX04_TOP_PHRASES} highest-frequency bigrams above the
+    min-{_IX04_MIN_DOCS}-docs cutoff, deterministic (count, term)
+    tiebreak) and PHRASE SEARCH (top-{_IX04_TOPK_DOCS} docs per mined
+    phrase by in-doc occurrence).
+
+    Exactness: pure integer counting on the shared tokenizer; ranks
+    are row_number under fully-pinned orderings — every column is
+    BIGINT or a token.
+
+    Scale shape (100 TB): bigram extraction is a per-row generator —
+    no shuffle, no self-join, embarrassingly parallel; the
+    per-(phrase, doc) table aggregates once and is lineage-cut
+    (localCheckpoint) for its two consumers (the sk03 multi-consumer
+    rule); mining is TakeOrderedAndProject (distributed top-k, no
+    global window over the bigram dictionary); serving joins the
+    10-row phrase dict back as a BROADCAST, so the only rows ranked
+    per phrase are that phrase's own postings."""
+    docs = _t(spark, sf_dir, "documents")
+
+    # adjacent pairs WITHOUT a positional self-join: within one row the
+    # bigram list is pure array adjacency — the token array is bound as
+    # a lambda variable first (the shingles CollapseProject guard: an
+    # unbound computed array re-tokenizes per element) and short docs
+    # short-circuit (sequence(1, k) runs DESCENDING for k < 1)
+    def _bigrams(toks):
+        def _of(t):
+            return F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("t1"),
+                        F.element_at(t, i + 1).alias("t2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<t1:string,t2:string>>")
+            )
+
+        return F.element_at(
+            F.transform(F.array(toks), lambda t: _of(t)), 1
+        )
+
+    bg = docs.select(
+        "doc_id",
+        F.explode(_bigrams(tokens(F.col("text")))).alias("p"),
+    ).select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    pd = (
+        bg.groupBy("t1", "t2", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        .localCheckpoint()
+    )
+    ph = (
+        pd.groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= _IX04_MIN_DOCS)
+    )
+    top = (
+        ph.orderBy(F.desc("n_occ"), "t1", "t2")
+        .limit(_IX04_TOP_PHRASES)
+        .withColumn(
+            "phrase_rank",
+            F.expr(
+                "CAST(row_number() OVER (ORDER BY n_occ DESC, t1, t2)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    serve = pd.join(F.broadcast(top), ["t1", "t2"]).withColumn(
+        "doc_rank",
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY t1, t2"
+            " ORDER BY occ DESC, doc_id) AS BIGINT)"
+        ),
+    )
+    return serve.filter(F.col("doc_rank") <= _IX04_TOPK_DOCS).select(
+        "phrase_rank",
+        F.col("t1").alias("term1"),
+        F.col("t2").alias("term2"),
+        "n_docs",
+        "n_occ",
+        "doc_rank",
+        "doc_id",
+        F.col("occ").alias("occ_in_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gr04: k-core decomposition of the dup graph — cohesion-gated dedup cleanup
+# ---------------------------------------------------------------------------
+#: the core order (2-core: every kept node retains >= 2 dup partners —
+#: the standard cleanup that dissolves LSH false-positive CHAINS while
+#: preserving genuine duplicate communities)
+_GR04_K = 2
+#: fixed peel rounds (the gr01/gr03 determinism-over-convergence rule);
+#: the in-result `peel_converged` bool PROVES sufficiency on the data
+#: actually processed — round R's survivor count equals round R-1's
+_GR04_ROUNDS = 3
+
+
+def _gr04_sql() -> str:
+    k = _GR04_K
+    rounds = []
+    prev = "sym"
+    for r in range(1, _GR04_ROUNDS + 1):
+        rounds.append(
+            f"s{r} AS MATERIALIZED (SELECT u FROM"
+            f" (SELECT u, count(*) AS d FROM {prev}"
+            f" GROUP BY 1) WHERE d >= {k})"
+        )
+        rounds.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e"
+            f" JOIN s{r} a ON a.u = e.u JOIN s{r} b ON b.u = e.v)"
+        )
+        prev = f"e{r}"
+    last_s = f"s{_GR04_ROUNDS}"
+    prev_s = f"s{_GR04_ROUNDS - 1}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH prs AS MATERIALIZED (SELECT a_id, b_id FROM ({_minhash_sql()})),
+    sym AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM prs
+            UNION ALL SELECT b_id, a_id FROM prs),
+    d0 AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+           FROM sym GROUP BY 1),
+    {chain},
+    dc AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+           FROM {prev} GROUP BY 1),
+    g AS (SELECT CAST((SELECT count(*) FROM {last_s}) AS BIGINT)
+                     AS n_core_nodes,
+                 ((SELECT count(*) FROM {last_s})
+                  = (SELECT count(*) FROM {prev_s})) AS peel_converged)
+    SELECT d0.id AS doc_id, d0.d AS degree_initial,
+           (m.u IS NOT NULL) AS in_core,
+           CAST(coalesce(dc.d, 0) AS BIGINT) AS degree_in_core,
+           g.n_core_nodes, g.peel_converged
+    FROM d0 LEFT JOIN {last_s} m ON m.u = d0.id
+            LEFT JOIN dc ON dc.id = d0.id, g
+    """
+
+
+@query("gr04_kcore", oracle=_gr04_sql, ops=("GRAPH-KCORE",))
+def gr04_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983) of the MinHash-LSH dup
+    graph — the cohesion GATE that acts on what gr02's triangle
+    census measures: iteratively peel every node with fewer than
+    k={_GR04_K} surviving dup partners until stable. Chains of LSH
+    false positives (the paths transitive-closure dedup would wrongly
+    merge, gr02's warning) dissolve entirely — a path has endpoints
+    of degree 1 at every round — while genuine duplicate communities
+    (every copy pairs with every copy) survive intact, so the emitted
+    core is the safe "merge these" set. Peeling runs a FIXED
+    {_GR04_ROUNDS} rounds (the gr01/gr03 determinism rule) and the
+    verified rows carry the convergence PROOF (`peel_converged`:
+    round-{_GR04_ROUNDS} survivors == round-{_GR04_ROUNDS - 1}
+    survivors) — a green row with the bool true certifies the fixed
+    depth sufficed on the data actually processed.
+
+    Exactness: composes dd02's hash-pinned pair set; everything else
+    is BIGINT degree counting and set membership.
+
+    Scale shape (100 TB): the edge set is the LSH-verified pair list
+    (bucket-confined, corpus-size-independent); each round is one
+    keyed degree count + two semi-shaped equi-joins against the
+    shrinking survivor set (broadcast — survivor dictionaries only
+    ever shrink), with per-round lineage cuts so round r never
+    re-derives rounds 1..r-1; the corpus-sized work happens once
+    inside dd02's shared shingle table. Peel depth on a 100 TB dup
+    graph stays small because real dup communities are dense and FP
+    chains are short — and the convergence bool turns "stays small"
+    from an assumption into a per-run certificate."""
+    prs = (
+        dd02_minhash_lsh_pairs(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        prs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(
+            prs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    d0 = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e = sym
+    s_prev_count = None
+    s = None
+    for _ in range(_GR04_ROUNDS):
+        s_prev = s
+        s = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _GR04_K)
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(F.broadcast(s.select(F.col("u").alias("ua"))),
+                   F.col("u") == F.col("ua"))
+            .drop("ua")
+            .join(F.broadcast(s.select(F.col("u").alias("ub"))),
+                  F.col("v") == F.col("ub"))
+            .drop("ub")
+            .localCheckpoint(eager=True)
+        )
+    dc = e.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dcore")
+    )
+    n_last = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"))
+    n_prev = s_prev.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    g = n_last.crossJoin(F.broadcast(n_prev)).select(
+        "n_core_nodes",
+        (F.col("n_core_nodes") == F.col("np")).alias("peel_converged"),
+    )
+    return (
+        d0.join(
+            F.broadcast(s.select(F.col("u").alias("id"), F.lit(1).alias("m"))),
+            "id",
+            "left",
+        )
+        .join(F.broadcast(dc), "id", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("d").alias("degree_initial"),
+            F.col("m").isNotNull().alias("in_core"),
+            F.coalesce(F.col("dcore"), F.lit(0))
+            .cast("bigint")
+            .alias("degree_in_core"),
+            "n_core_nodes",
+            "peel_converged",
+        )
+    )

@@ -1836,3 +1836,35 @@ def test_pii05_is_two_aggregates_one_scan(spark, sf_dir):
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     for col in ("c_mktsegment", "c_nationkey", "c_acctbal"):
         assert col in read, read
+
+
+def test_ix04_has_no_positional_self_join(spark, sf_dir):
+    """Phrase indexing's scale contract: the oracle DEFINES bigrams by
+    a positional self-join; the plan must not PAY one — adjacency is
+    in-array (one Generate explode over the bound token array, one
+    corpus tokenize), the phrase-doc table materializes once for its
+    two consumers, mining is TakeOrdered (no global window over the
+    bigram dictionary), and the 10-row phrase dict joins back as a
+    broadcast."""
+    plan = _plan(spark, sf_dir, "ix04_phrase_index")
+    assert plan.count("Scan ExistingRDD") >= 1, plan  # checkpointed pd
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the serving window ranks per-phrase postings only
+    for part, _order in _parse_windows(plan):
+        assert "t1" in part and "t2" in part or part == "", (part, plan)
+
+
+def test_gr04_peel_joins_broadcast_the_survivor_set(spark, sf_dir):
+    """The k-core peel's scale contract: every per-round join probes
+    the shrinking survivor dictionary as a BROADCAST against the
+    (checkpointed) edge table — no shuffle join, no cartesian; the
+    final assembly likewise broadcasts the core membership and the
+    1-row convergence stats."""
+    plan = _plan(spark, sf_dir, "gr04_kcore")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan  # round cuts reused

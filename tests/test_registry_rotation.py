@@ -31,6 +31,8 @@ NEEDS_FIRST_ROW: set[str] = {
     "ts06_seasonal_decompose",
     "ts07_cusum_changepoint",
     "pii05_l_diversity",
+    "ix04_phrase_index",
+    "gr04_kcore",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r12 — the
@@ -74,11 +76,12 @@ TRIPLE_GREEN_R10 = {
     "u13_unpivot_long",
     "qf01_linear_quality_classifier",
     "cdc02_scd2_intervals",
+    # (dq02_expectation_suite parked mid-round-13, next in expense
+    # order after the first six parks)
     "pii03_k_anonymity",
     "er01_fuzzy_match",
     "ts01_gap_fill_locf",
     "dq01_segment_drift",
-    "dq02_expectation_suite",
     "ivm01_partial_merge",
     "zo01_zorder_layout",
     "j09_attribution_join",
@@ -98,7 +101,6 @@ QUAD_GREEN_OLDER = {
     "a16_event_type_pivot",
     "cdc01_snapshot_delta",
     "pd01_padding_efficiency",
-    "co01_supplier_cooccurrence",
 }
 
 #: Multi-green entries deliberately in-window this round: with 49
