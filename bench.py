@@ -331,6 +331,10 @@ HEADLINE = [
     # dd02's dup graph (fixed rounds, eager per-round cuts)
     "ix04_phrase_index",
     "gr04_kcore",
+    # mid-round-13: mergeable weighted sampling (priority keys from
+    # the deterministic ln; three TakeOrdered legs off one
+    # checkpointed keyed projection)
+    "sk05_weighted_sample",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

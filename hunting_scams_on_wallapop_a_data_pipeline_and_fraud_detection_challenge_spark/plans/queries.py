@@ -1663,6 +1663,11 @@ _ROTATION_TAIL = [
     # (co01 1.05 s, dq02 1.03 s):
     "co01_supplier_cooccurrence",
     "dq02_expectation_suite",
+    # parked mid-round-13 for sk05_weighted_sample (Efraimidis-
+    # Spirakis mergeable weighted sampling with the merge==direct
+    # certificate), the next most expensive >=3-green resident
+    # (mm04 1.00 s in the idle sf0.01 sim):
+    "mm04_frame_dedup",
 ]
 
 

@@ -17163,3 +17163,155 @@ def gr04_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peel_converged",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sk05: mergeable weighted sample — Efraimidis-Spirakis priority keys
+# ---------------------------------------------------------------------------
+#: sample size
+_SK05_K = 20
+#: the sample's seed — part of the published contract (the pii04
+#: convention): a reproducible pipeline pins it, production swaps in a
+#: fresh seed per draw
+_SK05_SEED = "sk05-r13"
+
+
+def _sk05_sql() -> str:
+    steps = _ln_steps("a", "ln_a", duck=True)
+    chain = ",\n    ".join(
+        f"n{i} AS (SELECT *, {expr} AS {name} FROM n{i - 1})"
+        for i, (name, expr) in enumerate(steps, start=1)
+    )
+    last = f"n{len(steps)}"
+    topk = (
+        "SELECT o_orderkey, w, pk, CAST(row_number() OVER"
+        " (ORDER BY pk DESC, o_orderkey) AS BIGINT) AS rnk FROM"
+    )
+    return f"""
+    WITH n0 AS (SELECT o_orderkey,
+                       CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                           AS w,
+                       greatest({sql_h32(f"'{_SK05_SEED}|' || CAST(o_orderkey AS VARCHAR)")},
+                                CAST(1 AS BIGINT)) AS a
+                FROM orders),
+    {chain},
+    k AS (SELECT o_orderkey, w,
+                 ((ln_a - 32.0e0 * {_LN2_LIT}) / w) AS pk
+          FROM {last}),
+    direct AS (SELECT * FROM ({topk} k) WHERE rnk <= {_SK05_K}),
+    h1 AS (SELECT * FROM ({topk} (SELECT * FROM k WHERE o_orderkey % 2 = 0))
+           WHERE rnk <= {_SK05_K}),
+    h2 AS (SELECT * FROM ({topk} (SELECT * FROM k WHERE o_orderkey % 2 = 1))
+           WHERE rnk <= {_SK05_K}),
+    mrg AS (SELECT * FROM ({topk} (SELECT o_orderkey, w, pk FROM h1
+                                   UNION ALL
+                                   SELECT o_orderkey, w, pk FROM h2))
+            WHERE rnk <= {_SK05_K}),
+    agree AS (SELECT CAST(count(*) AS BIGINT) AS n_diff
+              FROM (SELECT o_orderkey FROM
+                        (SELECT o_orderkey FROM direct
+                         UNION ALL SELECT o_orderkey FROM mrg)
+                    GROUP BY 1 HAVING count(*) = 1))
+    SELECT d.rnk AS sample_rank, d.o_orderkey, d.w AS weight_cents,
+           CAST(floor(d.pk * 1.0e15) AS BIGINT) AS priority_femto,
+           (agree.n_diff = 0) AS merge_exact
+    FROM direct d, agree
+    """
+
+
+@query("sk05_weighted_sample", oracle=_sk05_sql, ops=("SKETCH-SAMPLE",))
+def sk05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable weighted sampling (Efraimidis-Spirakis 2006 — the
+    A-Res priority keys every distributed weighted sampler uses):
+    each order draws a seeded uniform u and carries the priority
+    ln(u)/w (w = its price in cents) — the top-{_SK05_K} priorities
+    ARE a weighted-without-replacement sample, and because priorities
+    are independent of partitioning, top-k(union) ==
+    top-k(top-k's) — the sketch merges like sk02's registers. The
+    verified rows carry that proof: the sample is ALSO computed as
+    two half-samples (orderkey parity) merged and re-topped, and
+    `merge_exact` certifies the two routes picked identical keys.
+
+    ln(u) comes from the shared deterministic `_ln_steps` primitive
+    on the quantized uniform (u = a/2^32, a = max(h32, 1) — the pii04
+    inverse-CDF move), so every priority is ONE fixed-order double
+    expression over exact integers — identical bits in both engines;
+    ranks are row_number under the pinned (priority DESC, orderkey)
+    order. The seeded draw is the documented reproducible-pipeline
+    convention; production swaps the seed per draw.
+
+    Scale shape (100 TB): one narrow projection computes priorities
+    (the ln chain is ~10 scalar projections — no shuffle), the keyed
+    corpus materializes once (lineage cut) for the three top-k legs,
+    and every top-k is TakeOrderedAndProject — distributed partial
+    top-k per partition, K-sized driver merge, no global sort. The
+    production path drops the two certification legs; per-executor
+    sample state is K rows — the textbook mergeable-sample shape."""
+    ords = _t(spark, sf_dir, "orders")
+    b = ords.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)").alias(
+            "w"
+        ),
+        F.greatest(
+            h32(
+                F.concat(
+                    F.lit(f"{_SK05_SEED}|"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("a"),
+    )
+    for name, expr in _ln_steps("a", "ln_a", duck=False):
+        b = b.withColumn(name, F.expr(expr))
+    k = b.select(
+        "o_orderkey",
+        "w",
+        F.expr(f"((ln_a - 32.0e0 * {_LN2_LIT}) / w)").alias("pk"),
+    ).localCheckpoint()
+
+    def _topk(df: DataFrame) -> DataFrame:
+        return (
+            df.orderBy(F.desc("pk"), "o_orderkey")
+            .limit(_SK05_K)
+            .withColumn(
+                "rnk",
+                F.expr(
+                    "CAST(row_number() OVER (ORDER BY pk DESC, o_orderkey)"
+                    " AS BIGINT)"
+                ),
+            )
+        )
+
+    direct = _topk(k)
+    h1 = _topk(k.filter(F.expr("o_orderkey % 2 = 0")))
+    h2 = _topk(k.filter(F.expr("o_orderkey % 2 = 1")))
+    mrg = _topk(
+        h1.select("o_orderkey", "w", "pk").unionByName(
+            h2.select("o_orderkey", "w", "pk")
+        )
+    )
+    # symmetric difference WITHOUT a join (a K-row full-outer still
+    # plans as a sort-merge join): union both samples, keys appearing
+    # once are route disagreements
+    agree = (
+        direct.select("o_orderkey")
+        .unionByName(mrg.select("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_diff"))
+    )
+    return direct.crossJoin(F.broadcast(agree)).select(
+        F.col("rnk").alias("sample_rank"),
+        "o_orderkey",
+        F.col("w").alias("weight_cents"),
+        # floor-quantized exact BIGINT (the quantized-sum family rule);
+        # a ROUNDED double here collapses to +-0.0 with engine-split
+        # sign — the signed-zero trap
+        F.expr("CAST(floor(pk * 1.0e15) AS BIGINT)").alias(
+            "priority_femto"
+        ),
+        (F.col("n_diff") == 0).alias("merge_exact"),
+    )

@@ -1868,3 +1868,18 @@ def test_gr04_peel_joins_broadcast_the_survivor_set(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert plan.count("Scan ExistingRDD") >= 2, plan  # round cuts reused
+
+
+def test_sk05_topk_legs_are_takeordered_off_one_materialization(spark, sf_dir):
+    """The weighted sampler's scale contract: the keyed corpus (id,
+    weight, priority) materializes ONCE (three top-k consumers — the
+    sk03 multi-consumer rule), every top-k leg is
+    TakeOrderedAndProject (distributed partial top-k, no global
+    sort), and the certification full-join + stats ride K-sized
+    frames only."""
+    plan = _plan(spark, sf_dir, "sk05_weighted_sample")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

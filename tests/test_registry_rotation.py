@@ -33,6 +33,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "pii05_l_diversity",
     "ix04_phrase_index",
     "gr04_kcore",
+    "sk05_weighted_sample",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r12 — the
@@ -93,7 +94,6 @@ TRIPLE_GREEN_R10 = {
 QUAD_GREEN_OLDER = {
     "ds12_epoch_allocation",
     "mm03_alignment_score",
-    "mm04_frame_dedup",
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
     "dd13_winnow_pairs",
