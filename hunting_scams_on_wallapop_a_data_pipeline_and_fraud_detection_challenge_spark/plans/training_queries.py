@@ -17176,6 +17176,34 @@ _SK05_K = 20
 _SK05_SEED = "sk05-r13"
 
 
+def sk05_priority_cols(
+    df: DataFrame, id_col: str, cents_col: str
+) -> DataFrame:
+    """Attach the Efraimidis-Spirakis priority ``pk`` = ln(u)/w to a
+    frame — THE one definition of the sampling key, shared verbatim by
+    the batch sample (sk05) and its streaming maintenance twin (ST16,
+    streaming/sample.py — the _SK02_RHO_SQL sharing pattern): u is the
+    seeded quantized uniform a/2^32 (a = max(h32(seed|id), 1)), ln
+    comes from the deterministic `_ln_steps` primitive, and the whole
+    key is one fixed-order double expression over exact integers."""
+    out = df.withColumn(
+        "a",
+        F.greatest(
+            h32(
+                F.concat(
+                    F.lit(f"{_SK05_SEED}|"), F.col(id_col).cast("string")
+                )
+            ),
+            F.lit(1).cast("bigint"),
+        ),
+    )
+    for name, expr in _ln_steps("a", "ln_a", duck=False):
+        out = out.withColumn(name, F.expr(expr))
+    return out.withColumn(
+        "pk", F.expr(f"((ln_a - 32.0e0 * {_LN2_LIT}) / {cents_col})")
+    )
+
+
 def _sk05_sql() -> str:
     steps = _ln_steps("a", "ln_a", duck=True)
     chain = ",\n    ".join(
@@ -17253,23 +17281,12 @@ def sk05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)").alias(
             "w"
         ),
-        F.greatest(
-            h32(
-                F.concat(
-                    F.lit(f"{_SK05_SEED}|"),
-                    F.col("o_orderkey").cast("string"),
-                )
-            ),
-            F.lit(1).cast("bigint"),
-        ).alias("a"),
     )
-    for name, expr in _ln_steps("a", "ln_a", duck=False):
-        b = b.withColumn(name, F.expr(expr))
-    k = b.select(
-        "o_orderkey",
-        "w",
-        F.expr(f"((ln_a - 32.0e0 * {_LN2_LIT}) / w)").alias("pk"),
-    ).localCheckpoint()
+    k = (
+        sk05_priority_cols(b, "o_orderkey", "w")
+        .select("o_orderkey", "w", "pk")
+        .localCheckpoint()
+    )
 
     def _topk(df: DataFrame) -> DataFrame:
         return (
