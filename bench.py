@@ -335,6 +335,9 @@ HEADLINE = [
     # the deterministic ln; three TakeOrdered legs off one
     # checkpointed keyed projection)
     "sk05_weighted_sample",
+    # mid-round-13: seasonal-adjusted anomaly detection (dow-profile
+    # z-scores — one broadcast of the 7-row profile, no window)
+    "ts08_seasonal_anomaly",
 ]
 
 #: Deliberately NOT benched (VERDICT r09 watch item: bench coverage

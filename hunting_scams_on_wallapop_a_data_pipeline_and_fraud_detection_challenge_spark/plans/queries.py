@@ -1668,6 +1668,10 @@ _ROTATION_TAIL = [
     # certificate), the next most expensive >=3-green resident
     # (mm04 1.00 s in the idle sf0.01 sim):
     "mm04_frame_dedup",
+    # parked mid-round-13 for ts08_seasonal_anomaly (z-scores within
+    # the dow profile — the detector ts06's decomposition enables),
+    # the next most expensive >=3-green resident (dd13 0.99 s):
+    "dd13_winnow_pairs",
 ]
 
 

@@ -17332,3 +17332,128 @@ def sk05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_diff") == 0).alias("merge_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts08: seasonal-adjusted anomaly detection — z-scores within the dow profile
+# ---------------------------------------------------------------------------
+#: flag threshold in sigma units (3-sigma, squared-comparison decided)
+_TS08_Z = 3
+
+
+def _ts08_sql() -> str:
+    z2 = _TS08_Z * _TS08_Z
+    return f"""
+    WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0e0 + 0.5e0)
+                                     AS BIGINT)) AS BIGINT) AS v
+                FROM orders GROUP BY 1),
+    dq AS (SELECT d, v // 100 AS q, {_TS06_DOW_DUCK} AS dow FROM dd),
+    dw AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(sum(q) AS BIGINT) AS s_k,
+                  CAST(sum(q * q) AS BIGINT) AS qq_k
+           FROM dq GROUP BY 1),
+    z AS (SELECT dq.d, dq.q, dq.dow, dw.n_k,
+                 (CAST(dq.q * dw.n_k - dw.s_k AS DOUBLE)
+                  / sqrt(CAST(dw.n_k AS DOUBLE) * dw.qq_k
+                         - CAST(dw.s_k AS DOUBLE) * dw.s_k)) AS zz,
+                 CASE WHEN CAST(dq.q * dw.n_k - dw.s_k AS DOUBLE)
+                           * (dq.q * dw.n_k - dw.s_k)
+                           > {z2}.0e0 * (CAST(dw.n_k AS DOUBLE) * dw.qq_k
+                                         - CAST(dw.s_k AS DOUBLE) * dw.s_k)
+                      THEN 1 ELSE 0 END AS fl
+          FROM dq JOIN dw ON dw.dow = dq.dow)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(max(n_k) AS BIGINT) AS n_days,
+           CAST(sum(fl) AS BIGINT) AS n_flagged,
+           CAST(struct_extract(max(struct_pack(
+               zq := CAST(floor(abs(zz) * 1.0e6) AS BIGINT), dd := d)), 'dd')
+                AS VARCHAR) AS worst_day,
+           round((CAST(struct_extract(max(struct_pack(
+               zq := CAST(floor(abs(zz) * 1.0e6) AS BIGINT), dd := d)), 'zq')
+               AS DOUBLE) / 1.0e6) + 1e-6, 4) AS worst_abs_z
+    FROM z GROUP BY 1
+    """
+
+
+@query("ts08_seasonal_anomaly", oracle=_ts08_sql, ops=("TS-SEASONAL-ANOMALY",))
+def ts08_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection — the detector ts06's
+    decomposition exists to enable: a raw 3-sigma rule on daily
+    revenue flags every strong weekday as anomalous; scoring each day
+    WITHIN ITS day-of-week profile (z against the dow group's own
+    mean and sigma) detects genuine irregularities after seasonality
+    is removed — the seasonal-adjust step of every monitoring stack
+    (decompose -> adjust -> detect, completing ts04/ts06/ts07).
+
+    Exactness: daily totals quantize to exact BIGINT (the ts06
+    dollar-floored q so squares stay in BIGINT range); each day's
+    deviation is EXACT integer-scaled (q·n_k − S_k); the 3-sigma flag
+    is the squared comparison with both sides the same fixed-order
+    double expression (the ts07 rule — no float threshold asymmetry);
+    the served z and the per-dow worst day come from a floor-
+    quantized |z| argmax (max(struct) lexicographic — the j10 move),
+    so ordering never touches raw doubles.
+
+    Scale shape (100 TB): one map-side-combinable daily rollup, one
+    7-group stats rollup, a BROADCAST of the 7-row profile back onto
+    the date-count-sized dailies, and one final 7-group aggregate —
+    no window, no sort, output is period-sized. The dailies
+    materialize once (lineage cut) for the stats and scoring legs."""
+    ords = _t(spark, sf_dir, "orders")
+    dd = (
+        ords.select(
+            F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)"
+            ).alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+    )
+    dq = dd.select(
+        "d",
+        F.expr("v DIV 100").alias("q"),
+        F.expr(_TS06_DOW_SPARK).alias("dow"),
+    ).localCheckpoint()
+    dw = dq.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("q").cast("bigint").alias("s_k"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq_k"),
+    )
+    var_num = (
+        "(CAST(n_k AS DOUBLE) * qq_k - CAST(s_k AS DOUBLE) * s_k)"
+    )
+    z = dq.join(F.broadcast(dw), "dow").select(
+        "d",
+        "dow",
+        "n_k",
+        F.expr(
+            f"(CAST(q * n_k - s_k AS DOUBLE) / sqrt({var_num}))"
+        ).alias("zz"),
+        F.expr(
+            f"CASE WHEN CAST(q * n_k - s_k AS DOUBLE) * (q * n_k - s_k)"
+            f" > {_TS08_Z * _TS08_Z}.0e0 * {var_num}"
+            " THEN 1 ELSE 0 END"
+        ).alias("fl"),
+    )
+    worst = F.max(
+        F.struct(
+            F.expr("CAST(floor(abs(zz) * 1.0e6) AS BIGINT)").alias("zq"),
+            F.col("d").alias("dd"),
+        )
+    )
+    return z.groupBy("dow").agg(
+        F.max("n_k").cast("bigint").alias("n_days"),
+        F.sum("fl").cast("bigint").alias("n_flagged"),
+        # served as the ISO string: a DATE column hash-compares as
+        # datetime64 on the oracle side but date objects on the Spark
+        # side — the dtype-representation trap, not a value difference
+        worst["dd"].cast("string").alias("worst_day"),
+        _r(worst["zq"].cast("double") / 1.0e6, 4).alias("worst_abs_z"),
+    ).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_days",
+        "n_flagged",
+        "worst_day",
+        "worst_abs_z",
+    )

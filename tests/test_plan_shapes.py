@@ -1883,3 +1883,17 @@ def test_sk05_topk_legs_are_takeordered_off_one_materialization(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ts08_profile_joins_back_as_broadcast(spark, sf_dir):
+    """Seasonal-adjusted anomaly's scale contract: the dailies
+    materialize once (stats + scoring legs), the 7-row dow profile
+    joins back as a BROADCAST, and there is no window and no shuffle
+    join anywhere — period-sized output from two keyed rollups."""
+    plan = _plan(spark, sf_dir, "ts08_seasonal_anomaly")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

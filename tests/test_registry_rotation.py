@@ -34,6 +34,7 @@ NEEDS_FIRST_ROW: set[str] = {
     "ix04_phrase_index",
     "gr04_kcore",
     "sk05_weighted_sample",
+    "ts08_seasonal_anomaly",
 }
 
 #: Single-green entries (first non-vacuous rows earned in r12 — the
@@ -96,7 +97,6 @@ QUAD_GREEN_OLDER = {
     "mm03_alignment_score",
     "tk01_bpe_merge_mining",
     "a15_mixture_rollup",
-    "dd13_winnow_pairs",
     "w05_cohort_retention",
     "a16_event_type_pivot",
     "cdc01_snapshot_delta",
