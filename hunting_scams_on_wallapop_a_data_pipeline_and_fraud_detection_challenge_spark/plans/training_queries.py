@@ -16247,18 +16247,31 @@ _ZO03_STORE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def _zo03_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders + lineitem ONCE per (session, corpus) as external
-    parquet tables co-bucketed AND sorted on the join key
+    """Write orders + lineitem ONCE per CORPUS as external parquet
+    tables co-bucketed AND sorted on the join key
     (``bucketBy(_ZO03_BUCKETS, orderkey).sortBy(orderkey)``), and
     return the catalog names. Each frame is
     ``repartition(_ZO03_BUCKETS, key)``-ed first — repartition and
     bucketBy share Spark's Murmur3 hash, so every task holds exactly
     one bucket's rows and the layout lands as ONE file per bucket
-    (the condition under which the scan also reports sorted output
-    and the join needs no Sort). The data path is keyed by the corpus
-    fingerprint, so repeated sessions overwrite one location instead
-    of accumulating trees."""
+    (the precondition for Spark honoring the stored sort; the
+    observed plan still inserts the cheap in-partition Sort — what
+    the layout removes is the EXCHANGE, the claim the plan test
+    pins).
+
+    Publication is ix03's staging-then-rename committer (review r13:
+    a plain ``mode("overwrite")`` into the shared corpus path let a
+    concurrent session delete files a live session's tables pointed
+    at): the artifact is keyed by the corpus FINGERPRINT (path digest
+    + source mtimes), a builder writes through a session-private
+    staging dir and publishes with an atomic first-wins ``os.rename``,
+    and a session that finds a committed artifact (``_SUCCESS``)
+    REUSES it — bucketing lives in per-session catalog metadata, so
+    reuse registers an external ``CLUSTERED BY ... INTO ... BUCKETS``
+    table over the stored files (Spark re-derives bucket ids from the
+    file-name suffixes)."""
     import os
+    import shutil
     import tempfile
 
     corpus = os.path.abspath(sf_dir)
@@ -16266,25 +16279,50 @@ def _zo03_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     names = _ZO03_STORE.get(key)
     if names is not None:
         return names
-    tag = _hashlib.md5(corpus.encode()).hexdigest()[:12]
+    mt = []
+    for tbl in ("orders", "lineitem"):
+        try:
+            mt.append(str(os.stat(os.path.join(corpus, f"{tbl}.parquet")).st_mtime_ns))
+        except OSError:
+            mt.append("0")
+    tag = _hashlib.md5(f"{corpus}|{'|'.join(mt)}".encode()).hexdigest()[:12]
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR") or tempfile.gettempdir()
     names = (f"zo03_orders_{tag}", f"zo03_lineitem_{tag}")
     for name, tbl, k in (
         (names[0], "orders", "o_orderkey"),
         (names[1], "lineitem", "l_orderkey"),
     ):
-        (
-            _t(spark, sf_dir, tbl)
-            .repartition(_ZO03_BUCKETS, F.col(k))
-            .write.bucketBy(_ZO03_BUCKETS, k)
-            .sortBy(k)
-            .option(
-                "path", os.path.join(base, f"spark_graft_zo03_{tag}", name)
+        final = os.path.join(base, f"spark_graft_zo03_{tag}", name)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            staging = f"{final}._staging_{key[0]}"
+            spark.sql(f"DROP TABLE IF EXISTS {name}_staging")
+            (
+                _t(spark, sf_dir, tbl)
+                .repartition(_ZO03_BUCKETS, F.col(k))
+                .write.bucketBy(_ZO03_BUCKETS, k)
+                .sortBy(k)
+                .option("path", staging)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(f"{name}_staging")
             )
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(name)
-        )
+            try:
+                os.rename(staging, final)  # atomic publish; first wins
+            except OSError:
+                # a concurrent builder published the byte-equivalent
+                # artifact between our check and rename — use theirs
+                shutil.rmtree(staging, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {name}_staging")
+        if not spark.catalog.tableExists(name):
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(final).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet"
+                f" CLUSTERED BY ({k}) SORTED BY ({k})"
+                f" INTO {_ZO03_BUCKETS} BUCKETS LOCATION '{final}'"
+            )
     _ZO03_STORE[key] = names
     return names
 
@@ -16547,8 +16585,10 @@ def _ts07_sql() -> str:
     st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(c) AS BIGINT) AS s,
                   CAST(sum(c * c) AS BIGINT) AS qq,
-                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * sum(c * c)
-                                  - CAST(sum(c) AS DOUBLE) * sum(c))
+                  CAST(floor(sqrt(greatest(
+                                  CAST(count(*) AS DOUBLE) * sum(c * c)
+                                  - CAST(sum(c) AS DOUBLE) * sum(c),
+                                  0.0e0))
                              / 2.0e0) AS BIGINT) AS kk
            FROM e GROUP BY 1),
     w AS (SELECT e.et, e.eid, e.us, st.n, st.s, st.qq,
@@ -16581,7 +16621,8 @@ def _ts07_sql() -> str:
           FROM x)
     SELECT et AS event_type, n AS n_points,
            round((CAST(s AS DOUBLE) / n / 100.0e0) + 1e-6, 4) AS mean_value,
-           round((sqrt(CAST(n AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)
+           round((sqrt(greatest(CAST(n AS DOUBLE) * qq
+                                - CAST(s AS DOUBLE) * s, 0.0e0))
                   / n / 100.0e0) + 1e-6, 4) AS sigma_value,
            round((CAST(max(cp) AS DOUBLE) / n / 100.0e0) + 1e-6, 2)
                AS max_cusum_up,
@@ -16644,8 +16685,8 @@ def ts07_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq"),
         F.expr(
-            "CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * sum(c * c)"
-            " - CAST(sum(c) AS DOUBLE) * sum(c)) / 2.0e0) AS BIGINT)"
+            "CAST(floor(sqrt(greatest(CAST(count(*) AS DOUBLE) * sum(c * c)"
+            " - CAST(sum(c) AS DOUBLE) * sum(c), 0.0e0)) / 2.0e0) AS BIGINT)"
         ).alias("kk"),
     )
     win = "(PARTITION BY et ORDER BY us, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
@@ -16727,8 +16768,8 @@ def ts07_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _r(
                 F.expr(
-                    "sqrt(CAST(n AS DOUBLE) * qq - CAST(s AS DOUBLE) * s)"
-                    " / n / 100.0e0"
+                    "sqrt(greatest(CAST(n AS DOUBLE) * qq"
+                    " - CAST(s AS DOUBLE) * s, 0.0e0)) / n / 100.0e0"
                 ),
                 4,
             ).alias("sigma_value"),
@@ -17354,9 +17395,12 @@ def _ts08_sql() -> str:
                   CAST(sum(q * q) AS BIGINT) AS qq_k
            FROM dq GROUP BY 1),
     z AS (SELECT dq.d, dq.q, dq.dow, dw.n_k,
-                 (CAST(dq.q * dw.n_k - dw.s_k AS DOUBLE)
-                  / sqrt(CAST(dw.n_k AS DOUBLE) * dw.qq_k
-                         - CAST(dw.s_k AS DOUBLE) * dw.s_k)) AS zz,
+                 (CASE WHEN CAST(dw.n_k AS DOUBLE) * dw.qq_k
+                            - CAST(dw.s_k AS DOUBLE) * dw.s_k > 0.0e0
+                       THEN CAST(dq.q * dw.n_k - dw.s_k AS DOUBLE)
+                            / sqrt(CAST(dw.n_k AS DOUBLE) * dw.qq_k
+                                   - CAST(dw.s_k AS DOUBLE) * dw.s_k)
+                       ELSE 0.0e0 END) AS zz,
                  CASE WHEN CAST(dq.q * dw.n_k - dw.s_k AS DOUBLE)
                            * (dq.q * dw.n_k - dw.s_k)
                            > {z2}.0e0 * (CAST(dw.n_k AS DOUBLE) * dw.qq_k
@@ -17428,7 +17472,9 @@ def ts08_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "n_k",
         F.expr(
-            f"(CAST(q * n_k - s_k AS DOUBLE) / sqrt({var_num}))"
+            f"(CASE WHEN {var_num} > 0.0e0"
+            f" THEN CAST(q * n_k - s_k AS DOUBLE) / sqrt({var_num})"
+            " ELSE 0.0e0 END)"
         ).alias("zz"),
         F.expr(
             f"CASE WHEN CAST(q * n_k - s_k AS DOUBLE) * (q * n_k - s_k)"

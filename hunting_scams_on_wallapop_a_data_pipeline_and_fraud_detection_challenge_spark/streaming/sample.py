@@ -10,8 +10,10 @@ top-K(union) == top-K(top-K's) — the K-row sample is mergeable state
 exactly like sk02's registers. Each micro-batch therefore folds as:
 batch priorities (the SHARED `sk05_priority_cols` definition — one
 source of truth, the ST10/ST15 sharing pattern) -> batch top-K
-(delta-sized TakeOrdered) -> union with the stored K rows -> re-top-K
--> commit. State is K rows FOREVER, per-batch work is delta-sized.
+(delta-sized TakeOrdered) -> union with the stored K rows -> per-item
+dedup (a re-observed item keeps its best draw and ONE slot) ->
+re-top-K -> commit. State is K rows FOREVER, per-batch work is
+delta-sized.
 
 The sample lives in the shared crash-safe versioned store
 (streaming/state.py) with ST14's ``applied_bid`` replay fence (on
@@ -57,12 +59,28 @@ def read_item_feed(spark: SparkSession, landing_dir: str) -> DataFrame:
     return spark.readStream.schema(ITEM_SCHEMA).json(landing_dir)
 
 
+def _dedup_items(df: DataFrame) -> DataFrame:
+    """One row per item: a re-observed item keeps its highest-priority
+    draw (max(struct(pk, w)) — for a fixed id the seeded uniform is
+    fixed, so max priority == max observed weight). Without this the
+    K-row sample could hold the same item at several ranks (review
+    r13) — the WITHOUT-REPLACEMENT contract is per ITEM, not per
+    observation."""
+    m = F.max(F.struct(F.col("pk"), F.col("w"))).alias("m")
+    return (
+        df.groupBy("item_id")
+        .agg(m)
+        .select("item_id", F.col("m.w").alias("w"), F.col("m.pk").alias("pk"))
+    )
+
+
 def batch_sample(df: DataFrame, k: int) -> DataFrame:
-    """A batch's candidate sample: the delta's top-k priorities under
-    the SHARED sk05 key definition (lazy import — one source of
-    truth). Keyless or non-positive-weight rows cannot draw a
-    priority and are dropped (the ivm malformed-row rule: QUALITY
-    gating is ST13's job)."""
+    """A batch's candidate sample: the delta's top-k per-ITEM
+    priorities under the SHARED sk05 key definition (lazy import —
+    one source of truth). Keyless or non-positive-weight rows cannot
+    draw a priority and are dropped (the ivm malformed-row rule:
+    QUALITY gating is ST13's job); duplicate observations collapse to
+    the item's best draw (``_dedup_items``)."""
     from ..plans.training_queries import sk05_priority_cols
 
     b = df.filter(
@@ -72,8 +90,9 @@ def batch_sample(df: DataFrame, k: int) -> DataFrame:
         F.expr("CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT)").alias("w"),
     ).filter(F.col("w") >= 1)
     return (
-        sk05_priority_cols(b, "item_id", "w")
-        .select("item_id", "w", "pk")
+        _dedup_items(
+            sk05_priority_cols(b, "item_id", "w").select("item_id", "w", "pk")
+        )
         .orderBy(F.desc("pk"), "item_id")
         .limit(k)
     )
@@ -92,8 +111,11 @@ def merge_sample(batch_df: DataFrame, batch_id: int, state_dir: str, k: int) -> 
     view = state.filter(F.col("item_id").isNotNull()).select(
         "item_id", "w", "pk"
     )
+    # the per-item dedup runs on the union too: an item already in the
+    # stored sample and re-arriving in the delta must occupy ONE slot
+    # (upgrading to its best draw), never two
     merged = (
-        view.unionByName(batch_sample(batch_df, k))
+        _dedup_items(view.unionByName(batch_sample(batch_df, k)))
         .orderBy(F.desc("pk"), "item_id")
         .limit(k)
     )

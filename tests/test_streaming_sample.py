@@ -117,3 +117,28 @@ def test_sample_prefers_heavy_weights(spark, tmp_path):
     df = spark.createDataFrame(rows, ITEM_SCHEMA)
     merge_sample(df, 0, str(state), K)
     assert any(i == 999 for i, _w in _stored(spark, state)), "heavy item absent"
+
+
+def test_reobserved_item_occupies_one_slot(spark, tmp_path):
+    """An item re-emitted across batches (review r13) must hold ONE
+    rank in the maintained sample — upgraded to its best draw — and
+    the K rows must cover K distinct items."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    heavy = [(7, 1.0e6)]
+    _write(landing / "b1.json", heavy + [(i, 1.0) for i in range(1, 5)])
+    _drain(spark, landing, state, ckpt)
+    # re-emit item 7 (same weight) plus a heavier re-observation later
+    _write(landing / "b2.json", heavy + [(i, 1.0) for i in range(10, 20)])
+    _drain(spark, landing, state, ckpt)
+    rows = read_sample(spark, str(state)).collect()
+    ids = [r.item_id for r in rows]
+    assert len(ids) == len(set(ids)), ids
+    assert ids.count(7) == 1, ids
+    _write(landing / "b3.json", [(7, 5.0e6)])  # heavier draw upgrades
+    _drain(spark, landing, state, ckpt)
+    stored = _stored(spark, state)
+    assert (7, 500000000) in stored, stored
+    assert (7, 100000000) not in stored, stored
