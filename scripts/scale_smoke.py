@@ -143,6 +143,15 @@ OPS = [
     # one bin-dictionary keyed aggregate.
     "ix02_bm25_topk",
     "qf02_calibration_audit",
+    # round-13 additions. phrase index: bigram extraction is a per-row
+    # generator (no self-join), the phrase-doc table is one keyed
+    # aggregate, mining is TakeOrdered and serving a 10-row broadcast —
+    # scan-dominated end to end. k-core: dd02's banded-LSH (gated
+    # above) + fixed peel rounds over the PAIR-sized edge set with
+    # broadcast survivor dictionaries — linear while dd02 stays linear
+    # and dup clusters stay copy-sized (the gr02 argument).
+    "ix04_phrase_index",
+    "gr04_kcore",
 ]
 
 
