@@ -18,6 +18,7 @@ citations live in the docstrings.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -71,6 +72,82 @@ def query(name: str, oracle: str | None = None, ops: tuple[str, ...] = ()):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total rows, total row groups) of a parquet file/dir from footer
+    metadata only — bounded driver-side reads (no data pages), memoized
+    per path. Stops counting at 4096 row groups: past that the layout
+    already admits more scan tasks than any session here runs."""
+    cached = _parquet_layout_cache.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(path)
+            for n in names
+            if n.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    rows = groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+        if groups >= 4096:
+            break
+    _parquet_layout_cache[path] = (rows, groups)
+    return rows, groups
+
+
+_parquet_layout_cache: dict[str, tuple[int, int]] = {}
+
+
+def _fan_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame | None = None,
+    *,
+    min_rows_per_task: int = 64,
+) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.5 "input
+    skew", §6 "input split size").
+
+    The driver testdata ships each table as ONE parquet file with ONE
+    row group, and parquet row groups are the atomic scan-split unit (a
+    row group belongs to the byte-range split holding its midpoint), so
+    every scan — and all scan-side compute: encode folds, regex
+    extraction, shingling, map-side partial aggregation — runs as a
+    SINGLE task regardless of core count; no `spark.sql.files.*` knob
+    can raise it. This is the guide's "one huge unsplittable file …
+    repartition immediately after the read" case.
+
+    The gate is the physical layout, not a local[32] tune: when the
+    footers admit at least `target` scan tasks (production inputs carry
+    many row groups per core) no exchange is added and the plan is
+    unchanged; only an under-split input pays one round-robin
+    repartition, whose target derives from `defaultParallelism` and the
+    row count, so the driver's lower-core bench run keeps its meaning.
+    Apply it where downstream per-row compute dominates the scan — for
+    light projections the extra exchange costs more than it buys.
+    """
+    if df is None:
+        df = _t(spark, sf_dir, name)
+    try:
+        rows, groups = _parquet_layout(os.path.join(sf_dir, f"{name}.parquet"))
+    except Exception:
+        return df
+    target = min(
+        spark.sparkContext.defaultParallelism, max(1, rows // min_rows_per_task)
+    )
+    if groups >= target or target <= 1:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------

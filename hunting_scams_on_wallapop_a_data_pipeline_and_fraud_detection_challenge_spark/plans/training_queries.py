@@ -68,7 +68,7 @@ from ..functions.textstats import (
     sql_tokens,
     tokens,
 )
-from .queries import _r, _t, query
+from .queries import _fan_scan, _r, _t, query
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -3038,17 +3038,29 @@ def _pq_codebooks(vecs: list, codes: int = _PQ_CODES) -> list:
 def _normalized_vn_base(emb: DataFrame) -> DataFrame:
     """(vec_id, vn) scan projection with the shared NULL/zero-norm
     guards — the corpus front-end of every normalized-space operator
-    (nn04 PQ, nn06 residual IVF-PQ, dd10 SemDeDup)."""
+    (nn04 PQ, nn06 residual IVF-PQ, dd10 SemDeDup).
+
+    ``nrm`` is bound as a lambda variable before the element-wise
+    division (r13 optimization): the naive ``transform(v, x / nrm)``
+    collapses with the projection that defines ``nrm``, re-inlining the
+    64-term norm fold into the lambda body where it is re-evaluated PER
+    ELEMENT — a 64x refold per row (measured +0.4 s single-task at
+    sf0.1). Binding computes it once per row; x / nrm is the identical
+    double either way, so results are bit-equal."""
+    vn_bound = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("v").alias("v"), F.col("nrm").alias("nrm"))),
+            lambda r: F.transform(r["v"], lambda x: x / r["nrm"]),
+        ),
+        1,
+    )
     return (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn(
             "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
         )
         .filter(F.col("nrm") > 0)
-        .select(
-            "vec_id",
-            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-        )
+        .select("vec_id", vn_bound.alias("vn"))
     )
 
 
@@ -3248,21 +3260,38 @@ def nn04_pq_adc(
     lesson)."""
     if impl == "arrow":
         return _nn04_arrow(spark, sf_dir, k=k, codes=codes)
-    emb = _t(spark, sf_dir, "embeddings")
+    # r13 optimization (the nn05 pattern, see there): fanned-out scan,
+    # distance lists bound once per row, one checkpointed encode pass
+    # shared by the corpus and query legs, `qd` kept only for query rows
+    emb = _fan_scan(spark, sf_dir, "embeddings")
     cbs = _pq_codebooks(_train_vecs(spark, sf_dir), codes=codes)
     cb_lit = _pq_spark_literal(cbs)
 
     base = _normalized_vn_base(emb)
 
-    dls_bound = F.element_at(
-        F.transform(F.array(F.col("vn")), lambda vn: _pq_dls(vn, cb_lit)), 1
+    per_row = F.element_at(
+        F.transform(
+            F.array(F.col("vn")),
+            lambda vn: F.element_at(
+                F.transform(
+                    F.array(_pq_dls(vn, cb_lit)),
+                    lambda dl: F.struct(
+                        _pq_codes_col(dl).alias("codes"),
+                        F.when(F.col("vec_id") < _KNN_QUERIES, dl).alias("qd"),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
-    enc = base.select(
-        "vec_id",
-        dls_bound.alias("dls"),
-    ).select("vec_id", _pq_codes_col(F.col("dls")).alias("codes"), "dls")
+    enc = (
+        base.select("vec_id", per_row.alias("r"))
+        .select("vec_id", F.col("r.codes").alias("codes"), F.col("r.qd").alias("qd"))
+        .localCheckpoint(eager=True)
+    )
     q = enc.filter(F.col("vec_id") < _KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("dls").alias("qd")
+        F.col("vec_id").alias("q_id"), F.col("qd").alias("qd")
     )
     scored = (
         enc.select("vec_id", "codes")
@@ -3489,21 +3518,10 @@ def nn05_ivfpq(
     is an int equi-join — no all-pairs stage anywhere."""
     if impl == "arrow":
         return _nn05_arrow(spark, sf_dir, k=k, probes=probes)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_scan(spark, sf_dir, "embeddings")
     vecs = _train_vecs(spark, sf_dir)
     cent_arr = _cents_spark_literal(_fit_centroids(vecs, k=_IVF_CELLS))
     cb_lit = _pq_spark_literal(_pq_codebooks(vecs))
-
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .filter(F.col("nrm") > 0)
-        .select(
-            "vec_id",
-            "v",
-            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-        )
-    )
 
     def _ranked_cells(vec):
         return F.array_sort(
@@ -3518,40 +3536,69 @@ def nn05_ivfpq(
             )
         )
 
-
-    # bind v and vn as lambda variables so the norm fold is computed
-    # once per row, not re-inlined per element (shingles lesson); the
-    # centroid ranking runs ONCE — the assigned cell is just the first
-    # probe (higher-order lambdas sit outside common-subexpression
-    # elimination, so a second _ranked_cells call would re-pay the
-    # cells x dim distance fold for every corpus row)
+    # r13 optimization, three stacked fixes measured 6.8 s → 1.6 s at
+    # sf0.1 with bit-identical output (plans/r13/nn05_ivfpq_*.txt):
+    # 1. the embeddings scan fans out (guide §2.5 — the single-row-group
+    #    file serialized the whole encode on one task);
+    # 2. every reused value — (v, nrm), then vn, then the distance
+    #    lists — is a bound lambda variable (shingles lesson), so the
+    #    norm fold is no longer re-inlined per element and the distance
+    #    lists are computed once per row even though both the code
+    #    argmin and the query-side table consume them;
+    # 3. the encoded corpus is localCheckpoint-ed (guide §5 lineage
+    #    cut), so the query leg and the corpus leg share ONE encode pass
+    #    instead of two full-plan evaluations. The checkpoint row is
+    #    scale-honest: (vec_id, cell, pcells, codes) ints plus the
+    #    m x codes double table ONLY for query rows (`qd` is NULL for
+    #    the rest of the corpus).
+    vcol = _vec_double(F.col("embedding"))
+    nrm = F.sqrt(_fold_sum(F.transform(vcol, lambda x: x * x)))
+    pre = emb.select("vec_id", vcol.alias("v"), nrm.alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
     per_row = F.element_at(
         F.transform(
-            F.array(F.struct(F.col("v").alias("v"), F.col("vn").alias("vn"))),
-            lambda r: F.struct(
+            F.array(F.struct(F.col("v").alias("v"), F.col("nrm").alias("nrm"))),
+            lambda r: F.element_at(
                 F.transform(
-                    F.slice(_ranked_cells(r["v"]), 1, probes),
-                    lambda p: p["cell"],
-                ).alias("pcells"),
-                _pq_dls(r["vn"], cb_lit).alias("dls"),
+                    F.array(F.transform(r["v"], lambda x: x / r["nrm"])),
+                    lambda vn: F.element_at(
+                        F.transform(
+                            F.array(_pq_dls(vn, cb_lit)),
+                            lambda dl: F.struct(
+                                F.transform(
+                                    F.slice(_ranked_cells(r["v"]), 1, probes),
+                                    lambda p: p["cell"],
+                                ).alias("pcells"),
+                                _pq_codes_col(dl).alias("codes"),
+                                F.when(F.col("vec_id") < _KNN_QUERIES, dl).alias(
+                                    "qd"
+                                ),
+                            ),
+                        ),
+                        1,
+                    ),
+                ),
+                1,
             ),
         ),
         1,
     )
-    enc = base.select("vec_id", per_row.alias("r")).select(
-        "vec_id",
-        F.element_at(F.col("r.pcells"), 1).alias("cell"),
-        F.col("r.pcells").alias("pcells"),
-        _pq_codes_col(F.col("r.dls")).alias("codes"),
-        F.col("r.dls").alias("dls"),
-    )
-    q = (
-        enc.filter(F.col("vec_id") < _KNN_QUERIES)
+    enc = (
+        pre.select("vec_id", per_row.alias("r"))
         .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("dls").alias("qd"),
-            F.explode(F.col("pcells")).alias("cell"),
+            "vec_id",
+            F.element_at(F.col("r.pcells"), 1).alias("cell"),
+            F.col("r.pcells").alias("pcells"),
+            F.col("r.codes").alias("codes"),
+            F.col("r.qd").alias("qd"),
         )
+        .localCheckpoint(eager=True)
+    )
+    q = enc.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qd").alias("qd"),
+        F.explode(F.col("pcells")).alias("cell"),
     )
     scored = (
         enc.select("vec_id", "cell", "codes")
@@ -3797,7 +3844,11 @@ def nn06_residual_ivfpq(
     row in the scan projection — nothing new shuffles."""
     if impl == "arrow":
         return _nn06_arrow(spark, sf_dir, k=k, probes=probes)
-    emb = _t(spark, sf_dir, "embeddings")
+    # r13 optimization: fanned-out scan (guide §2.5 — the single-row-
+    # group file serialized the encode on one task); the corpus and
+    # query legs are separate subtrees here (no shared encode), so no
+    # checkpoint is needed — see nn05 for the full pattern
+    emb = _fan_scan(spark, sf_dir, "embeddings")
     cents, cbs = _residual_ivfpq_fit(_train_vecs(spark, sf_dir))
     cent_arr = _cents_spark_literal(cents)
     cb_lit = _pq_spark_literal(cbs)
@@ -5313,7 +5364,10 @@ def nn07_opq_pq(
     hand-off end-to-end."""
     if impl == "arrow":
         return _nn07_arrow(spark, sf_dir, k=k)
-    emb = _t(spark, sf_dir, "embeddings")
+    # r13 optimization (the nn05 pattern, see there): fanned-out scan,
+    # rotation and distance lists bound once per row, one checkpointed
+    # encode pass shared by both legs, `qd` kept only for query rows
+    emb = _fan_scan(spark, sf_dir, "embeddings")
     R, cbs = _opq_rotation_fit(_train_vecs(spark, sf_dir))
     rt_lit = _cents_spark_literal(R)  # same array<array<double>> literal shape
     cb_lit = _pq_spark_literal(cbs)
@@ -5334,18 +5388,31 @@ def nn07_opq_pq(
             lambda vn: F.element_at(
                 F.transform(
                     F.array(_rotated(vn)),
-                    lambda rv: _pq_dls(rv, cb_lit),
+                    lambda rv: F.element_at(
+                        F.transform(
+                            F.array(_pq_dls(rv, cb_lit)),
+                            lambda dl: F.struct(
+                                _pq_codes_col(dl).alias("codes"),
+                                F.when(
+                                    F.col("vec_id") < _KNN_QUERIES, dl
+                                ).alias("qd"),
+                            ),
+                        ),
+                        1,
+                    ),
                 ),
                 1,
             ),
         ),
         1,
     )
-    enc = base.select("vec_id", per_row.alias("dls")).select(
-        "vec_id", _pq_codes_col(F.col("dls")).alias("codes"), "dls"
+    enc = (
+        base.select("vec_id", per_row.alias("r"))
+        .select("vec_id", F.col("r.codes").alias("codes"), F.col("r.qd").alias("qd"))
+        .localCheckpoint(eager=True)
     )
     q = enc.filter(F.col("vec_id") < _KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("dls").alias("qd")
+        F.col("vec_id").alias("q_id"), F.col("qd").alias("qd")
     )
     scored = (
         enc.select("vec_id", "codes")
