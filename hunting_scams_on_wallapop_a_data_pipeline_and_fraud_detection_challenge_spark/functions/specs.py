@@ -297,17 +297,31 @@ def with_specs(
     )
     ft, tl, dh = F.col(t + "full_text"), F.col(t + "title_lower"), F.col(t + "desc_head")
 
-    # X7: title priority, description fallback — per field.
+    # X7: title priority, description fallback — per field. The six
+    # extraction columns (cpu/ram/gpu × title/desc) are TWO applications
+    # of the same three extractor trees, so they are packed as ONE
+    # ``transform`` over ``[title_clean, desc_head]`` with the input
+    # bound as a lambda variable: the plan carries ONE copy of each
+    # extractor tree instead of two, which halves the Catalyst analysis
+    # cost of the heaviest stage (r13 optimization, guide §1.2 step 2:
+    # measured 4.6 s → 2.2 s per with_specs BUILD at sf0.1 —
+    # driver-side analysis, not data work — with bit-identical output;
+    # extract_ram gets the per-variant lowercase it received before:
+    # lower(title_clean) ≡ title_lower, lower(desc_head)).
     step = step.withColumns(
         {
-            t + "cpu_t": extract_cpu(tc),
-            t + "cpu_d": extract_cpu(dh),
-            t + "ram_t": extract_ram(tl),
-            t + "ram_d": extract_ram(F.lower(dh)),
-            t + "gpu_t": extract_gpu(tc),
-            t + "gpu_d": extract_gpu(dh),
+            t
+            + "ex": F.transform(
+                F.array(tc, dh),
+                lambda s: F.struct(
+                    extract_cpu(s).alias("cpu"),
+                    extract_ram(F.lower(s)).alias("ram"),
+                    extract_gpu(s).alias("gpu"),
+                ),
+            )
         }
     )
+    ex = F.col(t + "ex")
     # The per-field coalesces and the title-keyword category overrides
     # land in ONE pass: the coalesce expressions are cheap references to
     # the extraction ATTRIBUTES above, so inlining them into category
@@ -315,12 +329,12 @@ def with_specs(
     # only a coalesce node, not the extraction trees — and every
     # analysis pass saved here re-traverses the whole with_specs plan
     # (regex_analyzer.py:763-772).
-    cpu0_e = F.coalesce(F.col(t + "cpu_t"), F.col(t + "cpu_d"))
-    gpu_e = F.coalesce(F.col(t + "gpu_t"), F.col(t + "gpu_d"))
+    cpu0_e = F.coalesce(ex[0]["cpu"], ex[1]["cpu"])
+    gpu_e = F.coalesce(ex[0]["gpu"], ex[1]["gpu"])
     step = step.withColumns(
         {
             t + "cpu0": cpu0_e,
-            t + "ram0": F.coalesce(F.col(t + "ram_t"), F.col(t + "ram_d")),
+            t + "ram0": F.coalesce(ex[0]["ram"], ex[1]["ram"]),
             p + "gpu": gpu_e,
             p + "category": F.when(tl.contains("chromebook"), "CHROMEBOOK")
             .when(contains_any(tl, ["macbook", "mac air", "mac pro", "imac"]), "APPLE")

@@ -24,7 +24,7 @@ from ..functions.conditions import detect_condition
 from ..functions.factors import normalize_risk_factors
 from ..functions.textprep import SPAM_INDICATORS, truncate_spam
 from ..functions.specs import with_specs
-from .queries import _r, _t, query
+from .queries import _fan_scan, _r, _t, query
 
 # ---------------------------------------------------------------------------
 # X15 + X16 + F4 — additive risk score, clamp, factor-list assembly
@@ -1089,7 +1089,13 @@ def ud2_spec_extraction(
     scale path (``functions/specs_arrow.py``): one ``mapInPandas`` pass
     with compiled ``re`` patterns instead of ~40 sequential JVM regex
     projections. Equivalence to this SQL form is pinned in
-    tests/test_scale_paths.py; timings ride bench.py VARIANTS."""
+    tests/test_scale_paths.py; timings ride bench.py VARIANTS.
+
+    r13 note: a fanned-out scan (guide §2.5) was measured and REVERTED
+    here — interleaved A/B at sf0.1 gave 3.54 s as-is vs 3.81 s fanned:
+    this entry is driver-bound (plan build/analysis), not scan-bound,
+    so the optimization target is with_specs' packed extractor tree
+    (functions/specs.py), which cut the build 4.6 s → 2.2 s."""
     docs = _t(spark, sf_dir, "documents")
     n = len(_UD2_SNIPS)
     snip = F.element_at(
