@@ -416,6 +416,28 @@ def _dot(a, b):
     return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
 
+def _emb_base(spark: SparkSession, sf_dir: str, *, fan: bool = True) -> DataFrame:
+    """The shared (vec_id, v, nrm) embedding projection. ``fan=True``
+    fans the corpus-side scan out of its single row group (guide §2.5);
+    QUERY blocks must pass ``fan=False`` so their ``vec_id < N`` filter
+    pushes down to the parquet scan — a round-robin exchange BLOCKS
+    pushdown, so a fanned query block re-reads and re-shuffles the
+    whole table to keep 8 rows (measured r13: the first fan wave cost
+    tp02_ivf +4.8 s / rk01_ivf +3.2 s through exactly this)."""
+    emb = (
+        _fan_scan(spark, sf_dir, "embeddings")
+        if fan
+        else _t(spark, sf_dir, "embeddings")
+    )
+    return (
+        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
+        .withColumn(
+            "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
+        .filter(F.col("nrm") > 0)
+    )
+
+
 def _sql_vec(col: str) -> str:
     return f"list_transform(range(1, len({col})+1), i -> CAST({col}[i] AS DOUBLE))"
 
@@ -524,13 +546,12 @@ def nn01_cosine_topk(
     bench.py — the 100 TB recommendation."""
     if impl == "arrow":
         return _nn01_arrow(spark, sf_dir)
-    emb = _t(spark, sf_dir, "embeddings")
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .filter(F.col("nrm") > 0)
-    )
-    q = base.filter(F.col("vec_id") < _KNN_QUERIES).select(
+    # r13 (guide §2.5 + §6 pushdown): fanned corpus side, UNFANNED
+    # query block — see _emb_base's docstring.
+    base = _emb_base(spark, sf_dir)
+    q = _emb_base(spark, sf_dir, fan=False).filter(
+        F.col("vec_id") < _KNN_QUERIES
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = (
@@ -789,18 +810,18 @@ def nn02_lsh_ann(
     rationale and equivalence gate as nn01's Arrow path."""
     if impl == "arrow":
         return _nn02_arrow(spark, sf_dir, bits=bits, tables=tables, k=k)
-    emb = _t(spark, sf_dir, "embeddings")
     tagged = F.transform(
         _bucket_array(F.col("v"), bits, tables),
         lambda b, i: b + i * F.lit(1 << bits),
     )
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .withColumn("buckets", tagged)
-        .filter(F.col("nrm") > 0)
-    )
-    q = base.filter(F.col("vec_id") < _KNN_QUERIES).select(
+
+    # r13 (guide §2.5 + §6 pushdown): fanned corpus side, UNFANNED
+    # query block — see _emb_base's docstring.
+    def _mk(fan: bool) -> DataFrame:
+        return _emb_base(spark, sf_dir, fan=fan).withColumn("buckets", tagged)
+
+    base = _mk(True)
+    q = _mk(False).filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -1572,7 +1593,7 @@ def ct01_benchmark_contamination(
     corpus — and the overlap is one equi-join on ints that AQE
     broadcasts when the eval set fits; per-doc shingles are already
     distinct so the final count is a plain map-side-combinable sum."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "source",
@@ -1911,18 +1932,19 @@ def nn03_ivf_ann(
     tests/test_scale_paths.py, timed in bench.py."""
     if impl == "arrow":
         return _nn03_arrow(spark, sf_dir, cells=cells, probes=probes, k=k)
-    emb = _t(spark, sf_dir, "embeddings")
     centroids = _fit_centroids(_train_vecs(spark, sf_dir), k=cells)
     # one Literal after constant folding, not k*d scalar nodes; built as
     # a single SQL string because k*d F.lit() py4j round-trips cost
     # ~0.5s of driver time (repr() round-trips doubles exactly)
     cent_arr = _cents_spark_literal(centroids)
 
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .filter(F.col("nrm") > 0)
-    )
+    # r13 (guide §2.5 + §5, the nn04/05/07 shared-encode pattern):
+    # fanned scan + ONE ranked-cells evaluation per row, materialized
+    # behind a GC-reclaimed lazy checkpoint and shared by the corpus
+    # leg (cell = first element) and the query leg (top-`probes`
+    # slice) — before, each leg re-derived the k-centroid distance
+    # fold from the scan.
+    base = _emb_base(spark, sf_dir)
 
     def _cell_dists(vec):
         # squared L2 distance to every centroid: the centroid matrix is
@@ -1940,15 +1962,19 @@ def nn03_ivf_ann(
             )
         )
 
-    assigned = base.withColumn("cell", F.element_at(_ranked_cells(F.col("v")), 1)["cell"])
-    probe_cells = F.slice(_ranked_cells(F.col("v")), 1, probes)
+    enc = base.withColumn("rc", _ranked_cells(F.col("v"))).localCheckpoint(
+        eager=False
+    )
+    assigned = enc.select(
+        "vec_id", "v", "nrm", F.element_at(F.col("rc"), 1)["cell"].alias("cell")
+    )
     q = (
-        assigned.filter(F.col("vec_id") < _KNN_QUERIES)
+        enc.filter(F.col("vec_id") < _KNN_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.explode(probe_cells).alias("p"),
+            F.explode(F.slice(F.col("rc"), 1, probes)).alias("p"),
         )
         .select("q_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
@@ -2030,7 +2056,7 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row interpreter cost amortizes."""
     from ..functions.multimodal import documents_as_media, extract_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
 
 
@@ -2539,7 +2565,7 @@ def ds06_token_budget_select(
     arithmetic to the oracle's window; quality doubles are bit-identical
     cross-engine (integer-derived ratios, fixed association), so the
     order — and therefore the cut — cannot diverge."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
@@ -2795,7 +2821,7 @@ def cp01_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     left-anti join AQE broadcasts, and packing is ds02's two-level
     prefix sum. Train rows and the (-1)-padded val/test rows meet in a
     union, not a corpus-sized re-join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     text = F.col("text")
     keep = reduce(lambda a, b: a & b, _gopher_rule_cols(text).values())
     base = docs.select(
@@ -4137,7 +4163,7 @@ def dd09_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, the one division happens per doc at the end."""
     from ..functions.textstats import ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     # the tokenize+ngram explode feeds BOTH the dictionary aggregation
     # and the probe-side join — materialize it once (GC-reclaimed lazy
     # checkpoint, the dd08/ds08/dd10 pattern) instead of re-tokenizing
@@ -4220,7 +4246,7 @@ def txt07_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-row dictionary back onto the token stream (left join ≡ set
     probe) and aggregates per doc. Integer-first counts, one division
     per doc at the end."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     # tokenized explode feeds both the vocab build and the probe join —
     # materialize once (same lazy-checkpoint discipline as dd09)
     e = docs.select(
@@ -4345,7 +4371,7 @@ def cp02_tokenizer_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level prefix sum. Text never shuffles — the dedup key is the
     only text-derived column and it's computed in the scan
     projection; everything downstream moves ids and counts."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         "lang",
@@ -7334,21 +7360,15 @@ def rk01_rank_fusion(
             .filter(F.col("lex_rk") <= _RRF_DEPTH)
             .select("q_id", "id", "lex_rk")
         )
-    emb = _t(spark, sf_dir, "embeddings")
-    eb = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn(
-            "nrm",
-            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
-        )
-        .filter(F.col("nrm") > 0)
-    )
+    eb = _emb_base(spark, sf_dir)
     if impl == "ivf":
         embscored = _ivf_scored_leg(
             spark, sf_dir, eb, _RRF_QUERIES, cells=cells, probes=probes
         ).select("q_id", F.col("vec_id").alias("id"), "cos")
     else:
-        qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        qe = _emb_base(spark, sf_dir, fan=False).filter(
+            F.col("vec_id") < _RRF_QUERIES
+        ).select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
@@ -7456,7 +7476,7 @@ def vc01_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     over O(√total_tokens) distinct frequency values (~10⁵ rows even at
     trillion-token corpora) — the classic global-prefix-sum trap never
     touches vocab- or corpus-sized data."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
@@ -7607,13 +7627,22 @@ def _ivf_scored_leg(
     centroids = _fit_centroids(_train_vecs(spark, sf_dir), k=cells)
     cent_arr = _cents_spark_literal(centroids)
     ranked = _ranked_cells_of(F.col("v"), cent_arr)
-    assigned = base.withColumn("cell", F.element_at(ranked, 1)["cell"])
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
+    # r13 (guide §2.5 + §5, the nn03/nn04 shared-encode pattern): one
+    # ranked-cells evaluation per row behind a GC-reclaimed lazy
+    # checkpoint, shared by the corpus and query legs — before, the
+    # query leg re-derived the whole scan subtree (and a fanned base's
+    # round-robin exchange blocked its vec_id pushdown: tp02_ivf
+    # measured +4.8 s from exactly this).
+    enc = base.withColumn("rc", ranked).localCheckpoint(eager=False)
+    assigned = enc.select(
+        "vec_id", "v", "nrm", F.element_at(F.col("rc"), 1)["cell"].alias("cell")
+    )
+    q = enc.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
         F.explode(
-            F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+            F.transform(F.slice(F.col("rc"), 1, probes), lambda s: s["cell"])
         ).alias("cell"),
     )
     return (
@@ -7801,21 +7830,17 @@ def tp02_hard_negatives(
         F.least("a_id", "b_id").alias("lo"),
         F.greatest("a_id", "b_id").alias("hi"),
     )
-    emb = _t(spark, sf_dir, "embeddings")
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn(
-            "nrm",
-            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
-        )
-        .filter(F.col("nrm") > 0)
-    )
+    # r13 (guide §2.5 + §6 pushdown): fanned corpus side, UNFANNED
+    # query block — see _emb_base's docstring.
+    base = _emb_base(spark, sf_dir)
     if impl == "ivf":
         scored = _ivf_scored_leg(
             spark, sf_dir, base, _HN_QUERIES, cells=cells, probes=probes
         )
     else:
-        q = base.filter(F.col("vec_id") < _HN_QUERIES).select(
+        q = _emb_base(spark, sf_dir, fan=False).filter(
+            F.col("vec_id") < _HN_QUERIES
+        ).select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
@@ -8066,7 +8091,7 @@ def cp03_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter alone. Plan-pinned in tests/test_plan_shapes.py: exactly
     one sort-merge join (the FullOuter diff), everything else
     broadcast."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         "text",
@@ -8409,7 +8434,12 @@ def tp03_triplet_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id", F.col("other_id").alias("neg_id")
     )
     t = p.join(g, "anchor_id").filter(F.col("neg_id") != F.col("pos_id"))
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_scan(spark, sf_dir, "embeddings")
+    # r13 optimization (guide §5 caching / the nn04-07 shared-encode
+    # pattern): the (v, nrm) projection feeds FOUR join legs (anchor +
+    # positive, then anchor + negative) — materialize it once
+    # (GC-reclaimed lazy checkpoint, fanned scan) instead of paying the
+    # vector cast + norm fold four times.
     base = (
         emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
         .withColumn(
@@ -8417,6 +8447,7 @@ def tp03_triplet_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
         )
         .filter(F.col("nrm") > 0)
+        .localCheckpoint(eager=False)
     )
 
     def cos_to(df, id_col, out):
@@ -8536,7 +8567,7 @@ def dd13_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER-SENSITIVE, so the k-gram stream is :func:`ngrams`
     (positional, with multiplicity) — :func:`shingles`'s distinct-set
     form would scramble the windows."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     grams = ngrams(tokens(F.col("text")), _WN_K)
     hview = F.transform(grams, lambda s: hmod(s))
     base = docs.select("doc_id", hview.alias("hv")).filter(
@@ -8718,7 +8749,7 @@ def lm01_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc reassembly is the one unavoidable doc_id shuffle,
     carrying (pos, p) pairs. No log-domain driver math, no UDFs,
     whole-stage codegen throughout."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     b0 = docs.select(
         "doc_id", ngrams(tokens(F.col("text")), 2).alias("bg")
     ).filter(F.size("bg") > 0)
@@ -9794,16 +9825,10 @@ def _eval_truth_ranked(
     (q_id, id, rk), and the distinct query-id frame (derived from the
     query BLOCK, not the truth, so a pathological no-candidate query
     can never drop out of the metric output)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    eb = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn(
-            "nrm",
-            F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x))),
-        )
-        .filter(F.col("nrm") > 0)
-    )
-    qe = eb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+    eb = _emb_base(spark, sf_dir, fan=False)
+    qe = _emb_base(spark, sf_dir, fan=False).filter(
+        F.col("vec_id") < _RRF_QUERIES
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -10957,7 +10982,10 @@ def j07_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     CartesianProduct, no BroadcastNestedLoopJoin, the offsets come
     from an explode (not a join), and the distance filter runs inside
     whole-stage codegen."""
-    ev = _t(spark, sf_dir, "events")
+    # r13 optimization (guide §2.5): fanned scan — the 9x cell-
+    # neighborhood explode and both join-side projections otherwise run
+    # as ONE task over the single-row-group events file.
+    ev = _fan_scan(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
         _r(F.col("value") % 90, 2).alias("lat"),
@@ -11105,7 +11133,7 @@ def lm02_crossentropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     unavoidable doc_id shuffle. Training touches only the in-domain
     slice — filter pushdown prunes the rest at the scan. Smoke-measured
     ratio 6.8 at K=20 (bound 40)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     b0 = docs.select(
         "doc_id", "lang", ngrams(tokens(F.col("text")), 2).alias("bg")
     ).filter(F.size("bg") > 0)
@@ -11780,7 +11808,7 @@ def cp05_quality_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, deliberately UNHINTED (the r09 rule — both sides are
     corpus-sized, AQE decides). Stage attribution is a CASE chain,
     not three filter+union passes over the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     rules_ok = reduce(
         lambda a, b: a & b, _gopher_rule_cols(F.col("text")).values()
     )
@@ -11865,7 +11893,10 @@ def a19_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is the documented swap — this entry is the exactness
     anchor."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    # r13 optimization (guide §2.5): fanned fact scan — the broadcast
+    # enrichment join and both medians' partial shuffle writes otherwise
+    # run as ONE task over the single-row-group lineitem file.
+    li = _fan_scan(spark, sf_dir, "lineitem")
     f = li.join(
         F.broadcast(part.select("p_partkey", F.col("p_brand").alias("brand"))),
         li["l_partkey"] == F.col("p_partkey"),
@@ -13340,7 +13371,12 @@ def zo02_zorder_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the probe evaluation is a broadcast cross join of a
     4-row probe set against a file-count-sized ledger. Plan-pinned:
     the only join is the broadcast probe cross join."""
-    ev = _t(spark, sf_dir, "events")
+    # r13 optimization (guide §2.5/§5): the Morton projection (32-term
+    # codegen interleave) feeds THREE consumers (both ledgers + the
+    # probe-scale aggregate) off a single-row-group scan — fan the scan
+    # out and materialize the projection once (GC-reclaimed lazy
+    # checkpoint) instead of re-interleaving per consumer.
+    ev = _fan_scan(spark, sf_dir, "events")
     z = ev.select(
         F.expr(_ZO01_GX_SQL).alias("gx"),
         F.expr(_ZO01_GY_SQL).alias("gy"),
@@ -13348,7 +13384,7 @@ def zo02_zorder_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_morton_terms("gx", "gy").replace("//", " DIV "))
         .cast("bigint")
         .alias("zval"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _ledger(ordcol: str, tag: str) -> DataFrame:
         return (
@@ -13996,14 +14032,7 @@ def ds13_mmr_diverse_select(
     on an a-priori-≤{_DS13_K}-row side, the one-row-dim rule).
     Plan-pinned: no CartesianProduct beyond the bounded C×C pairwise
     build, TakeOrdered for the shortlist."""
-    emb = _t(spark, sf_dir, "embeddings")
-    base = (
-        emb.select("vec_id", _vec_double(F.col("embedding")).alias("v"))
-        .withColumn(
-            "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
-        )
-        .filter(F.col("nrm") > 0)
-    )
+    base = _emb_base(spark, sf_dir, fan=False)
     q = base.filter(F.col("vec_id") == _DS13_QID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -14994,7 +15023,7 @@ def qf02_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to the {_QF02_BINS}-row bin dictionary; the lag window
     orders those {_QF02_BINS} rows only. This is the audit a pipeline
     runs once per classifier version — the scan cost IS qf01's."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     text = F.col("text")
     sc = _qf01_score_col(text)
     label = reduce(lambda x, y: x & y, _gopher_rule_cols(text).values())
@@ -16252,7 +16281,7 @@ def qf03_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary; everything after (cume window, argmax, the final join)
     touches only those {_QF02_BINS} rows. Selecting a threshold costs
     exactly one classifier pass."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
     text = F.col("text")
     sc = _qf01_score_col(text)
     label = reduce(lambda x, y: x & y, _gopher_rule_cols(text).values())
@@ -17092,7 +17121,7 @@ def ix04_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window over the bigram dictionary); serving joins the
     10-row phrase dict back as a BROADCAST, so the only rows ranked
     per phrase are that phrase's own postings."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_scan(spark, sf_dir, "documents")
 
     # adjacent pairs WITHOUT a positional self-join: within one row the
     # bigram list is pure array adjacency — the token array is bound as
