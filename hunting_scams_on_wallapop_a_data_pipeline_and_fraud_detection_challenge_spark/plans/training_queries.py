@@ -3935,8 +3935,13 @@ def nn06_residual_ivfpq(
         ),
         1,
     )
+    # r13 (guide §6 pushdown, the _emb_base rule): the query block
+    # reads the UNFANNED scan so its vec_id filter pushes down to the
+    # parquet read — under the fanned corpus scan it paid a full
+    # scan + round-robin shuffle to keep 8 rows.
     q = (
-        base.filter(F.col("vec_id") < _KNN_QUERIES)
+        _normalized_vn_base(_t(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < _KNN_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             "vn",
