@@ -6952,7 +6952,17 @@ def tp01_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded hash instead of rand(): retraining tomorrow mines the same
     pairs, so experiment diffs isolate the model change."""
     docs = _t(spark, sf_dir, "documents")
-    pos = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # r13 optimization (guide §5): the verified pair set feeds THREE
+    # consumers below (anchors, the known-positive anti-join key set,
+    # and the labeled union branch) — materialize it once behind a
+    # GC-reclaimed lazy checkpoint instead of replaying dd02's
+    # band-join + verify chain per reference (tp03 already does this
+    # for its own re-use of tp01).
+    pos = (
+        dd02_minhash_lsh_pairs(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     ncnt = docs.agg((F.max("doc_id") + F.lit(1)).alias("n"))
     anchors = pos.select("a_id").distinct()
     rawneg = (
