@@ -588,6 +588,56 @@ VARIANTS = {
 }
 
 
+#: compact-summary byte budget: the driver stores only the LAST 2000
+#: bytes of stdout, so the printed line must stay under it with margin
+#: (< 1900 bytes including the omitted-count rewrite after the fill
+#: loop) — pinned in tests/test_registry_rotation.py as the entry set
+#: grows (VERDICT r13 item 9)
+SUMMARY_BUDGET = 1800
+
+
+def summary_line(
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    sf: str,
+    n_runs: int,
+    budget: int = SUMMARY_BUDGET,
+) -> str:
+    """The one-line JSON summary the driver parses from its 2000-byte
+    stdout tail: total + the slowest per-query timings, filled until the
+    serialized line reaches ``budget`` bytes (the FULL per-entry dict
+    lands in bench_latest.json). Extracted as a function so the size
+    contract is testable at the current entry count without a bench
+    run; the emitted line is byte-identical to the former inline form."""
+    total = round(sum(timings.values()), 3)
+    base = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
+        "n_queries": len(timings),
+        "worst_spread": round(max(spreads.values(), default=0.0), 3),
+        # bench_latest.json is only (re)written by the sf0.1 record run
+        # — a probe at another SF must not point the reader at a file
+        # that still holds the previous sf0.1 numbers
+        "full_timings": (
+            "bench_latest.json"
+            if sf == "0.1"
+            else "full stdout above (bench_latest.json holds the sf0.1 record)"
+        ),
+        "queries": {},
+        "queries_omitted": 0,
+    }
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        base["queries"][name] = sec
+        if len(json.dumps(base)) > budget:
+            del base["queries"][name]
+            break
+    base["queries_omitted"] = len(timings) - len(base["queries"])
+    return json.dumps(base)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -687,33 +737,7 @@ def main() -> None:
     # serialized line reaches ~1800 bytes; the FULL per-entry dict
     # still lands in bench_latest.json below, which is committed
     # per-round as the durable record.
-    budget = 1800
-    base = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "runs_per_query": n_runs,
-        "n_queries": len(timings),
-        "worst_spread": round(max(spreads.values(), default=0.0), 3),
-        # bench_latest.json is only (re)written by the sf0.1 record run
-        # below — a probe at another SF must not point the reader at a
-        # file that still holds the previous sf0.1 numbers
-        "full_timings": (
-            "bench_latest.json"
-            if sf == "0.1"
-            else "full stdout above (bench_latest.json holds the sf0.1 record)"
-        ),
-        "queries": {},
-        "queries_omitted": 0,
-    }
-    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
-        base["queries"][name] = sec
-        if len(json.dumps(base)) > budget:
-            del base["queries"][name]
-            break
-    base["queries_omitted"] = len(timings) - len(base["queries"])
-    print(json.dumps(base))
+    print(summary_line(timings, spreads, sf, n_runs))
     # Durable copy (VERDICT r06 item 6): the driver's stored BENCH tail
     # head-truncates the queries dict, so persist the FULL line in-repo
     # where round-over-round numbers survive without a judge re-run.

@@ -278,8 +278,20 @@ def dd02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(base.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb")), "b_id")
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
-    return pairs.filter(jac >= _MINHASH_JACCARD).select(
-        "a_id", "b_id", _r(jac, 4).alias("jaccard")
+    # r14 (VERDICT r13 item 1, guide §5): the verified pair set is the
+    # hand-off every downstream graph/dedup consumer builds on, and
+    # several reference it more than once in a single plan (dd06's
+    # symmetrized edges, mm05's a/b partner union, gr04's sym, tp01's
+    # three legs) — materialize it ONCE per entry behind a GC-reclaimed
+    # lazy localCheckpoint so the band-join + verify chain appears as
+    # one subtree per consumer plan instead of once per reference. The
+    # checkpoint row is (a_id, b_id, jaccard) — dup-rate-sized, orders
+    # of magnitude under the corpus. Lazy: dd02's own entry still
+    # computes everything from the parquet input inside its timed run.
+    return (
+        pairs.filter(jac >= _MINHASH_JACCARD)
+        .select("a_id", "b_id", _r(jac, 4).alias("jaccard"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -741,6 +753,23 @@ def _sql_or_same_bucket(a: str, b: str, tables: int) -> str:
     return "(" + " OR ".join(f"{a}.b{t} = {b}.b{t}" for t in range(n)) + ")"
 
 
+def _sql_union_bucket_cand(tables: int) -> str:
+    """Per-table equi-join UNION form of the OR-of-bucket-equalities
+    candidate set (r14 oracle-latency fix, VERDICT r13 item 6): the OR
+    join condition forces DuckDB into an O(n²) nested-loop join; the
+    same pair set as a UNION of per-table hash equi-joins (UNION
+    dedupes collisions across tables) verifies ~5x faster at sf0.01
+    and stops growing quadratically. Proven exactly equivalent to the
+    OR form (same rows, exact compare) at sf0.001 and sf0.01 before
+    the swap; the pair semantics are untouched."""
+    n = max(tables, 1)
+    return "\n        UNION\n".join(
+        f"        SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM base a "
+        f"JOIN base b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(n)
+    )
+
+
 @query(
     "nn02_lsh_ann",
     oracle=f"""
@@ -912,12 +941,15 @@ _NEARDUP_COS = 0.4
         FROM v
     ),
     base AS (SELECT * FROM n WHERE nrm > 0),
+    cand AS (
+{_sql_union_bucket_cand(_NEARDUP_TABLES)}
+    ),
     p AS (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        SELECT a_id, b_id,
                {_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
-        FROM base a JOIN base b
-          ON a.vec_id < b.vec_id
-         AND {_sql_or_same_bucket("a", "b", _NEARDUP_TABLES)}
+        FROM cand
+        JOIN base a ON a.vec_id = a_id
+        JOIN base b ON b.vec_id = b_id
     )
     SELECT a_id, b_id, round(cos + 1e-9, 6) + 0.0 AS cosine
     FROM p WHERE cos >= {_NEARDUP_COS}
@@ -3870,10 +3902,16 @@ def nn06_residual_ivfpq(
     row in the scan projection — nothing new shuffles."""
     if impl == "arrow":
         return _nn06_arrow(spark, sf_dir, k=k, probes=probes)
-    # r13 optimization: fanned-out scan (guide §2.5 — the single-row-
-    # group file serialized the encode on one task); the corpus and
-    # query legs are separate subtrees here (no shared encode), so no
-    # checkpoint is needed — see nn05 for the full pattern
+    # r13: fanned-out scan (guide §2.5 — the single-row-group file
+    # serialized the encode on one task). r14 (VERDICT r13 item 2,
+    # guide §5): ONE eager-checkpointed encode pass shared by the
+    # corpus and query legs, the nn05 pattern — the checkpoint row
+    # carries (cell, codes) for every row plus pcells and the
+    # normalized vector ONLY for query rows (NULL otherwise), so the
+    # query leg derives its per-(query, probed-cell) residual tables
+    # from the checkpoint instead of replaying the scan + cell ranking
+    # in a second subtree. Same doubles in, same _res_dls expression →
+    # bit-identical qd tables; oracle + ANN recall suite re-verified.
     emb = _fan_scan(spark, sf_dir, "embeddings")
     cents, cbs = _residual_ivfpq_fit(_train_vecs(spark, sf_dir))
     cent_arr = _cents_spark_literal(cents)
@@ -3898,20 +3936,39 @@ def nn06_residual_ivfpq(
             1,
         )
 
-    # corpus row: bind vn -> assigned cell -> residual tables -> codes,
-    # each stage a bound lambda variable so nothing re-inlines
+    # one row-encode for BOTH legs: bind vn -> ranked cells -> assigned
+    # cell -> residual tables -> codes, each stage a bound lambda
+    # variable so nothing re-inlines; query rows (vec_id < queries)
+    # additionally keep their probe list and normalized vector for the
+    # query leg below
     per_row = F.element_at(
         F.transform(
             F.array(F.col("vn")),
             lambda vn: F.element_at(
                 F.transform(
-                    F.array(F.element_at(_ranked_cells(vn), 1)["cell"]),
-                    lambda cell: F.element_at(
+                    F.array(_ranked_cells(vn)),
+                    lambda rc: F.element_at(
                         F.transform(
-                            F.array(_res_dls(vn, cell)),
-                            lambda dls: F.struct(
-                                cell.alias("cell"),
-                                _pq_codes_col(dls).alias("codes"),
+                            F.array(F.element_at(rc, 1)["cell"]),
+                            lambda cell: F.element_at(
+                                F.transform(
+                                    F.array(_res_dls(vn, cell)),
+                                    lambda dls: F.struct(
+                                        cell.alias("cell"),
+                                        _pq_codes_col(dls).alias("codes"),
+                                        F.when(
+                                            F.col("vec_id") < _KNN_QUERIES,
+                                            F.transform(
+                                                F.slice(rc, 1, probes),
+                                                lambda p: p["cell"],
+                                            ),
+                                        ).alias("pcells"),
+                                        F.when(
+                                            F.col("vec_id") < _KNN_QUERIES, vn
+                                        ).alias("qvn"),
+                                    ),
+                                ),
+                                1,
                             ),
                         ),
                         1,
@@ -3922,38 +3979,34 @@ def nn06_residual_ivfpq(
         ),
         1,
     )
-    enc = base.select("vec_id", per_row.alias("r")).select(
-        "vec_id", F.col("r.cell").alias("cell"), F.col("r.codes").alias("codes")
+    enc = (
+        base.select("vec_id", per_row.alias("r"))
+        .select(
+            "vec_id",
+            F.col("r.cell").alias("cell"),
+            F.col("r.codes").alias("codes"),
+            F.col("r.pcells").alias("pcells"),
+            F.col("r.qvn").alias("qvn"),
+        )
+        .localCheckpoint(eager=True)
     )
-
-    q_pcells = F.element_at(
-        F.transform(
-            F.array(F.col("vn")),
-            lambda vn: F.transform(
-                F.slice(_ranked_cells(vn), 1, probes), lambda p: p["cell"]
-            ),
-        ),
-        1,
-    )
-    # r13 (guide §6 pushdown, the _emb_base rule): the query block
-    # reads the UNFANNED scan so its vec_id filter pushes down to the
-    # parquet read — under the fanned corpus scan it paid a full
-    # scan + round-robin shuffle to keep 8 rows.
+    # query leg FROM the checkpoint: 8 tiny rows, no second scan/rank
+    # subtree; the per-(query, probed cell) residual table is computed
+    # here because it depends on the probed cell
     q = (
-        _normalized_vn_base(_t(spark, sf_dir, "embeddings"))
-        .filter(F.col("vec_id") < _KNN_QUERIES)
+        enc.filter(F.col("vec_id") < _KNN_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
-            "vn",
-            F.explode(q_pcells).alias("cell"),
+            F.col("qvn").alias("vn"),
+            F.explode("pcells").alias("cell"),
         )
-        # per-(query, probed cell) table: the residual depends on the cell
         .select(
             "q_id", "cell", _res_dls(F.col("vn"), F.col("cell")).alias("qd")
         )
     )
     scored = (
-        enc.join(F.broadcast(q), "cell")
+        enc.select("vec_id", "cell", "codes")
+        .join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", _pq_adc_col().alias("adc"))
     )
@@ -6413,9 +6466,17 @@ def cs01_source_overlap(
         )
     )
     a, b = sig.alias("a"), sig.alias("b")
+    # r14 (ADVICE r13): coalesce inside the lambda so a NULL slot counts
+    # as 0 like the oracle's CASE WHEN (unreachable today — the md5 hash
+    # pipeline never yields NULL minima — but null-safe by construction),
+    # and the fold is instantiated ONCE: agree_slots is named in a first
+    # select and jaccard_est derives from the named column, so the plan
+    # carries a single aggregate(zip_with(...)) instead of two.
     agree = F.aggregate(
         F.zip_with(
-            F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.coalesce((x == y).cast("int"), F.lit(0)),
         ),
         F.lit(0),
         lambda acc, v: acc + v,
@@ -6426,8 +6487,13 @@ def cs01_source_overlap(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
             agree.cast("bigint").alias("agree_slots"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "agree_slots",
             F.lit(k).cast("bigint").alias("sig_k"),
-            _r(agree.cast("double") / F.lit(float(k)), 4).alias(
+            _r(F.col("agree_slots").cast("double") / F.lit(float(k)), 4).alias(
                 "jaccard_est"
             ),
         )
@@ -6968,17 +7034,12 @@ def tp01_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded hash instead of rand(): retraining tomorrow mines the same
     pairs, so experiment diffs isolate the model change."""
     docs = _t(spark, sf_dir, "documents")
-    # r13 optimization (guide §5): the verified pair set feeds THREE
-    # consumers below (anchors, the known-positive anti-join key set,
-    # and the labeled union branch) — materialize it once behind a
-    # GC-reclaimed lazy checkpoint instead of replaying dd02's
-    # band-join + verify chain per reference (tp03 already does this
-    # for its own re-use of tp01).
-    pos = (
-        dd02_minhash_lsh_pairs(spark, sf_dir)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
-    )
+    # The verified pair set feeds THREE consumers below (anchors, the
+    # known-positive anti-join key set, and the labeled union branch);
+    # since r14 the materialization lives INSIDE dd02 (one lazy
+    # checkpoint shared by every dd02 consumer — VERDICT r13 item 1),
+    # so the select here is just a projection of that checkpoint.
+    pos = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
     ncnt = docs.agg((F.max("doc_id") + F.lit(1)).alias("n"))
     anchors = pos.select("a_id").distinct()
     rawneg = (
@@ -11447,11 +11508,10 @@ def gr02_dup_graph_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure probe is an equi-join on both endpoints; smoke-measured
     ratio 10.3 at K=20 (bound 40) with the pair graph itself growing
     477 -> 98.5k edges under the near-dup perturbation."""
-    prs = (
-        dd02_minhash_lsh_pairs(spark, sf_dir)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
-    )
+    # the pair-set materialization lives inside dd02 since r14 (one
+    # lazy checkpoint shared by every consumer) — the four edge-table
+    # references below all read that single subtree
+    prs = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
     deg = (
         prs.select(F.col("a_id").alias("id"))
         .unionByName(prs.select(F.col("b_id").alias("id")))
@@ -17308,11 +17368,10 @@ def gr04_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph stays small because real dup communities are dense and FP
     chains are short — and the convergence bool turns "stays small"
     from an assumption into a per-run certificate."""
-    prs = (
-        dd02_minhash_lsh_pairs(spark, sf_dir)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=True)
-    )
+    # dd02's internal lazy checkpoint (r14) replaces the former eager
+    # prs checkpoint here: sym's eager materialization below computes
+    # the pair set once and cuts its own lineage
+    prs = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
     sym = (
         prs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .unionByName(

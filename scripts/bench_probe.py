@@ -37,8 +37,14 @@ def main() -> None:
     for n in names:
         try:
             REGISTRY[n].fn(spark, warm_dir).count()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            # ADVICE r13 (split_probe's warmup rule, applied here too):
+            # a silent warmup failure leaves the entry cold — flag it.
+            print(
+                f"WARNING: warmup failed for {n}: {e!r} — first timed "
+                "run will include cold JIT/analysis cost",
+                flush=True,
+            )
     total = 0.0
     for n in names:
         fn = REGISTRY[n].fn

@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Dump .explain('formatted') for named registry entries into
-plans/r13/<name>_<tag>.txt (the optimization-round evidence files).
+plans/$PLANS_ROUND/<name>_<tag>.txt (default r14 — the
+optimization-round evidence files).
 
 Usage: python scripts/dump_plans.py <tag> [name ...]
 With no names, dumps the default optimization-target set.
@@ -77,7 +78,9 @@ def main() -> None:
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")

@@ -39,8 +39,14 @@ def main() -> None:
     for n in names:
         try:
             REGISTRY[n].fn(spark, warm_dir).count()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            # ADVICE r13: a silent warmup failure leaves the entry cold,
+            # so its first timed run absorbs JIT/analysis cost — flag it.
+            print(
+                f"WARNING: warmup failed for {n}: {e!r} — first timed "
+                "run will include cold JIT/analysis cost",
+                flush=True,
+            )
     for n in names:
         fn = REGISTRY[n].fn
         builds, execs = [], []

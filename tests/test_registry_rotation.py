@@ -193,3 +193,27 @@ def test_entry_contract_exposes_rotated_order():
     window = list(REGISTRY)[:50]
     missing = [n for n in window if n not in oracles]
     assert missing == [], missing
+
+
+def test_bench_summary_line_fits_driver_tail():
+    """The driver parses the bench JSON line from its LAST 2000 stdout
+    bytes; the compact summary must stay under 1900 bytes WITH MARGIN at
+    the CURRENT entry count even with adversarially wide timing values
+    (VERDICT r13 item 9 — the r12 line silently outgrew the tail and
+    cost the round its round-over-round comparison)."""
+    import bench
+
+    labels = [n for n in bench.HEADLINE if n in REGISTRY] + list(bench.VARIANTS)
+    # worst case: every entry slow (5 integer digits) and max spread
+    timings = {n: 10000.123 for n in labels}
+    spreads = {n: 99.999 for n in labels}
+    line = bench.summary_line(timings, spreads, "0.1", 3)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["n_queries"] == len(labels)
+    assert len(line.encode()) < 1900, len(line.encode())
+    # and the realistic shape (sub-10s entries) also fits
+    line2 = bench.summary_line(
+        {n: 1.234 for n in labels}, {n: 0.123 for n in labels}, "0.1", 3
+    )
+    assert len(line2.encode()) < 1900, len(line2.encode())
