@@ -10939,28 +10939,50 @@ def gr01_integer_pagerank(
 
     Scale shape (100 TB): edges come from one basket-confined
     self-join (quadratic per order, bounded by basket size — co01's
-    documented argument), then every round is ONE keyed equi-join of
-    the node-sized score table against the edge table plus one
-    map-side-combinable BIGINT aggregate — the textbook distributed
-    PageRank shape (no driver-side loop state; the per-round tables
-    are lineage-cut like tk02's dictionary chain). Joins are
-    deliberately UNHINTED: the score side is node-sized, a priori
-    unbounded (the r09 rule), so AQE elects the strategy. The final
-    leaderboard is a TakeOrdered top-k, never a global sort."""
+    documented argument), then collapse ONCE into a node-keyed
+    adjacency table (the Pregel message pre-aggregation — r14), so
+    every round is a NODE-sized equi-join plus an in-row explode and
+    one map-side-combinable BIGINT aggregate (no driver-side loop
+    state; the per-round tables are lineage-cut like tk02's
+    dictionary chain). Adjacency rows are bounded by max co-purchase
+    degree; a graph whose single hottest node out-sizes a task's
+    memory budget should fall back to the flat edge-join round (gr03
+    keeps that form — its blocked edge list measured too small for
+    the adjacency rewrite to pay). Joins are deliberately UNHINTED:
+    the score side is node-sized, a priori unbounded (the r09 rule),
+    so AQE elects the strategy. The final leaderboard is a
+    TakeOrdered top-k, never a global sort."""
     ed = _gr_edges(spark, sf_dir)
-    deg = ed.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    ).localCheckpoint(eager=False)
+    # r14 (VERDICT r13 item 4, guide §2.3 "aggregate before you
+    # shuffle" applied to the round input): the edge list collapses
+    # ONCE into a node-keyed adjacency table (src, deg, dsts) — the
+    # map-side pre-aggregation of every round's messages — so each
+    # round joins two NODE-sized tables (the score table and the
+    # adjacency list; the old form joined the edge-sized list plus a
+    # second deg join) and the per-edge contributions re-explode
+    # in-row AFTER the join. `score DIV deg` per (src, dst) edge and
+    # the BIGINT sum per dst are order-independent, so the recurrence
+    # is bit-identical to the edge-join form (A/B collect-compared).
+    adj = (
+        ed.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+            F.collect_list("dst").alias("dsts"),
+        )
+        .localCheckpoint(eager=False)
+    )
     teleport = (100 - _GR_DAMP_PCT) * _GR_SCALE // 100
-    s = deg.select(
+    s = adj.select(
         F.col("src").alias("node"),
         F.lit(_GR_SCALE).cast("bigint").alias("score"),
     )
     for r in range(1, rounds + 1):
         s = (
-            ed.join(s, ed["src"] == s["node"])
-            .join(deg, "src")
-            .select("dst", F.expr("score DIV deg").alias("c"))
+            adj.join(s, adj["src"] == s["node"])
+            .select(
+                F.explode("dsts").alias("dst"),
+                F.expr("score DIV deg").alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
             .select(
@@ -13097,6 +13119,13 @@ def gr03_connected_components(
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
+    # r14 note: gr01's adjacency-list round form was A/B'd here too
+    # (collect_list(dst) per src, explode after the node-sized join)
+    # and REJECTED as a wash — the blocked same-nation edge list is
+    # ~1/25 of the co-purchase graph, so the per-round edge join is
+    # already cheap, and the flat form keeps AQE skew-splitting
+    # available. Interleaved medians (same session, box drifting):
+    # flat 5.19/10.39 s vs adjacency 6.03/5.60/9.34 s at sf0.1.
     s = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("node"))
