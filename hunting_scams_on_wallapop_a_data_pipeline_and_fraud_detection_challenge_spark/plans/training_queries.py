@@ -1308,7 +1308,19 @@ def _cc_star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
         # references the round input ~16x in the logical plan, needing
         # 2x-frequent lineage cuts, and its extra AQE join stages cost
         # more wall-clock than the window sorts it removed — 4.5s vs
-        # 2.0s kernel-only at sf0.1)
+        # 2.0s kernel-only at sf0.1. r14 RE-MEASURED the VERDICT r13
+        # item-3 candidate on the current tree — a SIZE-GATED broadcast
+        # round: when the observe() fingerprint shows the contracted
+        # edge list is small, both per-node window minima become
+        # partial-aggregated groupBy minima broadcast-joined back, so
+        # only the round's output distinct moves rows. Output-identical
+        # (collect-compared vs labelprop, 477 labels), but 2x SLOWER:
+        # interleaved medians of 5 at sf0.1 — window form 4.88 s,
+        # broadcast form 9.27/10.27 s. Each broadcast min-table is its
+        # own query stage, so the form trades the two tiny 256-row
+        # window shuffles for four extra per-round driver round-trips —
+        # the exact per-round fixed cost that dominates this kernel.
+        # RE-REJECTED with current numbers.)
         ls = (
             sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .filter(F.col("v") > F.col("u"))
