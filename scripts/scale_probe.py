@@ -103,6 +103,14 @@ def child(cores: int, n_runs: int) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     spark = get_spark(app_name=f"scale_probe_c{cores}")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scans split at row-group boundaries but only into pieces of
+    # maxPartitionBytes: the K× test corpus is a few MB compressed, so
+    # the default 128 MB split packs ALL row groups into ONE task (a
+    # first cut of this probe measured geomean 1.11 because of it).
+    # Scale the split size down to the corpus so task count mirrors
+    # production proportions (~data/split tasks, here ~16-64 per scan).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
     out = {}
     for name in ENTRIES:
         fn = REGISTRY[name].fn
