@@ -10975,6 +10975,13 @@ def gr01_integer_pagerank(
     # in-row AFTER the join. `score DIV deg` per (src, dst) edge and
     # the BIGINT sum per dst are order-independent, so the recurrence
     # is bit-identical to the edge-join form (A/B collect-compared).
+    # lazy checkpoint, not persist: gr03's dom won from a persist
+    # (cached relations keep their partitioning, so its SMJ rounds
+    # skip the edge-side exchange), but the same swap A/B'd a WASH
+    # here (persist 3.01/2.72 vs checkpoint 2.78 s medians) — AQE
+    # broadcasts the node-sized score table, so adj is only ever
+    # streamed, never re-shuffled. Checkpoint kept: no partitioning
+    # to preserve, and nothing stays in the CacheManager.
     adj = (
         ed.groupBy("src")
         .agg(
@@ -13129,7 +13136,17 @@ def gr03_connected_components(
         )
         .filter(F.col("na") == F.col("nb"))
         .select("src", "dst")
-        .localCheckpoint(eager=False)
+        # r14 (guide §2.4 "two operations keyed the same way share one
+        # exchange"): repartition on src and PERSIST — the cached
+        # relation keeps hashpartitioning(src), so each round's
+        # src-keyed sort-merge join skips the edge-side exchange; the
+        # former lazy localCheckpoint came back as UnknownPartitioning
+        # and re-shuffled dom every round. Interleaved A/B medians of
+        # 5 at sf0.1: checkpoint 4.29 s, persist 3.18/3.11 s (0.73×).
+        # Session-local cache like dd02's shingle table (CacheManager
+        # plan matching), ~36k rows.
+        .repartition("src")
+        .persist()
     )
     # r14 note: gr01's adjacency-list round form was A/B'd here too
     # (collect_list(dst) per src, explode after the node-sized join)
