@@ -17430,6 +17430,11 @@ def gr04_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prs checkpoint here: sym's eager materialization below computes
     # the pair set once and cuts its own lineage
     prs = dd02_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # eager checkpoint kept: the gr03-style repartition("u")+persist
+    # swap was A/B'd here and REJECTED as a wash-to-loss (persist
+    # 2.61/2.42 vs checkpoint 2.33 s medians of 5) — the loop below
+    # re-checkpoints e every round, so the preserved partitioning dies
+    # after round 1 and the up-front repartition exchange buys nothing.
     sym = (
         prs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .unionByName(
